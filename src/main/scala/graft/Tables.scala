@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Fixture-table loaders + explicit schemas.
+  *
+  * The reference (database.py:31-55, transformer.py:37-51) declares every
+  * schema explicitly via DDL and imposes it at ingest; we mirror that stance:
+  * schemas are explicit `StructType` constants, never inferred
+  * (SURVEY.md §1.3). Parquet reads take the footer schema (schema-on-write),
+  * which we assert against the constants in tests.
+  *
+  * At 100 TB the per-table parquet file becomes a partitioned directory; the
+  * loader API (dir, name) stays identical — Spark's file-source handles
+  * partition discovery, pruning and vectorized scan.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one fixture table from `dir` (e.g. /root/testdata/sf0.01). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Sanctioned path: read
+    * nanos as long (spark.sql.legacy.parquet.nanosAsLong) and floor-convert
+    * to microseconds — DuckDB's TIMESTAMP_NS→TIMESTAMP cast floors
+    * identically, so oracle parity holds. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // --- Reference-shaped schemas (FIXTURES.md §A), used by unit tests ------
+
+  /** Mirrors raw_gdp_growth / raw_unemployment (database.py:31-55). */
+  val rawIndicatorSchema: StructType = StructType(Seq(
+    StructField("country_iso3", StringType),
+    StructField("country_name", StringType),
+    StructField("year", IntegerType),
+    StructField("value", DoubleType),
+    StructField("indicator_id", StringType),
+    StructField("indicator_name", StringType),
+    StructField("fetched_at", TimestampType)))
+
+  /** Mirrors the World Bank API record shape (api_fetcher.py:125-130,
+    * database.py:96-102): nested country/indicator structs, year-as-string. */
+  val rawApiRecordSchema: StructType = StructType(Seq(
+    StructField("countryiso3code", StringType),
+    StructField("country", StructType(Seq(
+      StructField("id", StringType), StructField("value", StringType)))),
+    StructField("indicator", StructType(Seq(
+      StructField("id", StringType), StructField("value", StringType)))),
+    StructField("date", StringType),
+    StructField("value", DoubleType)))
+
+  /** Mirrors cleaned_data (transformer.py:37-51). */
+  val cleanedSchema: StructType = StructType(Seq(
+    StructField("country_iso3", StringType),
+    StructField("country_name", StringType),
+    StructField("year", IntegerType),
+    StructField("gdp_growth", DoubleType),
+    StructField("unemployment", DoubleType),
+    StructField("gdp_growth_lag1", DoubleType),
+    StructField("gdp_growth_roll5", DoubleType),
+    StructField("unemp_roll5", DoubleType),
+    StructField("cleaned_at", TimestampType)))
+}

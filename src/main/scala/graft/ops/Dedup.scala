@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family over `documents` / `embeddings` (SURVEY.md §2.11
+  * X1/X2 + the training-data-pipeline surface): exact hash dedup, MinHash
+  * signatures + LSH band pairing, n-gram Jaccard verification, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Scale notes: every variant is blocked — exact dedup shuffles once on
+  * the content hash; MinHash/SimHash signatures are per-row map work;
+  * candidate pairing always goes through a hash join on a band/bucket key
+  * (never an all-pairs cross join), so work is Σ bucket² not n². The hash
+  * primitive is md5-hex (codegen'd, and portable to the DuckDB oracle);
+  * MinHash takes the lexicographic min of seeded md5 strings — same
+  * uniformity argument as integer minhash, but engine-portable.
+  */
+object Dedup {
+
+  /** Word 3-shingles of a text column (distinct-ness handled by callers). */
+  def shingles(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => array_join(slice(toks, i, lit(3)), " ")))
+      .otherwise(array(text))
+  }
+
+  private val seeds = Seq("s0", "s1", "s2", "s3")
+
+  /** Per-doc MinHash signature: min seeded-md5 over the shingle set. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("s0|"), col("sh")).cast("binary"))).as("mh_s0"),
+        seeds.tail.map(s =>
+          min(md5(concat(lit(s + "|"), col("sh")).cast("binary"))).as("mh_" + s)): _*)
+
+  /** X1 exact dedup: first-writer-wins per content hash (row_number = 1 on
+    * the md5 of the text) — one shuffle on the hash key. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    Tables.t(spark, dir, "documents")
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X2a MinHash signatures (4 seeds). */
+  def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir).orderBy(col("doc_id"))
+
+  /** X2b MinHash LSH candidate pairs: 2 bands × 2 rows — docs agreeing on
+    * either band hash are candidates. Meets through a join on the band
+    * key, so cost is Σ band-bucket², not n². */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val bands = sig.select(col("doc_id"),
+      explode(array(
+        md5(concat(col("mh_s0"), col("mh_s1")).cast("binary")),
+        md5(concat(col("mh_s2"), col("mh_s3")).cast("binary")))).as("band"))
+    val a = bands.select(col("band"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** X2c n-gram Jaccard similarity join, blocked on `source` (the natural
+    * blocking key here; LSH bands work identically): exact |∩|/|∪| over
+    * distinct shingle sets for in-block pairs above a low threshold. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+              array_distinct(shingles(col("text"))).as("sh"))
+    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jacc", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) + 1e-9, 4))
+      .filter(col("jacc") >= 0.05)
+      .select(col("source"), col("doc_a"), col("doc_b"), col("jacc"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** X2d 16-bit SimHash: per token, each hex digit of md5 contributes ±1
+    * to its bit position; positive sums set the bit. Pure column
+    * expressions (two array passes per row), engine-portable. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitSum = (1 to 16).map { i =>
+      s"""(CASE WHEN aggregate(hs, 0, (acc, h) ->
+         | acc + (((instr('0123456789abcdef', substr(h, $i, 1)) - 1) % 2) * 2 - 1)
+         |) > 0 THEN ${1L << (i - 1)}L ELSE 0L END)""".stripMargin
+    }.mkString(" + ")
+    Tables.t(spark, dir, "documents")
+      .withColumn("hs",
+        transform(split(col("text"), "\\s+"), t => md5(t.cast("binary"))))
+      .select(col("doc_id"), expr(bitSum).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X2e embedding-cosine near-dup: sign-bit LSH blocking (8 bits) then
+    * exact cosine ≥ 0.9 on in-bucket pairs. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+              Similarity.signBucket(col("embedding"), 8).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+                     col("embedding").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+                     col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("sim") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"   -> (exact _),
+    "minhash_sig"   -> (minhashSig _),
+    "minhash_pairs" -> (minhashPairs _),
+    "ngram_jaccard" -> (ngramJaccard _),
+    "simhash"       -> (simhash _),
+    "embed_neardup" -> (embedNearDup _))
+
+  /** DuckDB shingle expression mirroring `shingles`. */
+  private val duckShingles =
+    """CASE WHEN len(toks) >= 3
+      |  THEN list_transform(generate_series(1, len(toks) - 2),
+      |       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      |  ELSE [text] END""".stripMargin
+
+  private val duckSigCte =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest($duckShingles) AS sh FROM d),
+       |sig AS (
+       |  SELECT doc_id,
+       |    min(md5('s0|' || sh)) AS mh_s0,
+       |    min(md5('s1|' || sh)) AS mh_s1,
+       |    min(md5('s2|' || sh)) AS mh_s2,
+       |    min(md5('s3|' || sh)) AS mh_s3
+       |  FROM sh GROUP BY doc_id)
+       |""".stripMargin
+
+  private val duckSimhashBits = (1 to 16).map { i =>
+    s"""(CASE WHEN list_sum(list_transform(hs,
+       | h -> ((strpos('0123456789abcdef', substring(h, $i, 1)) - 1) % 2) * 2 - 1
+       |)) > 0 THEN ${1L << (i - 1)} ELSE 0 END)""".stripMargin
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "minhash_sig" ->
+      (duckSigCte + "SELECT * FROM sig ORDER BY doc_id"),
+    "minhash_pairs" ->
+      (duckSigCte +
+        """, bands AS (
+          |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
+          |                         md5(mh_s2 || mh_s3)]) AS band
+          |  FROM sig)
+          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM bands a JOIN bands b ON a.band = b.band
+          |WHERE a.doc_id < b.doc_id
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "ngram_jaccard" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source, text,
+         |         string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |         list_distinct($duckShingles) AS sh
+         |  FROM d0)
+         |SELECT * FROM (
+         |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |          len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 4)
+         |      AS jacc
+         |  FROM d a JOIN d b ON a.source = b.source
+         |  WHERE a.doc_id < b.doc_id)
+         |WHERE jacc >= 0.05
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split_regex(text, '\\s+'),
+         |                   t -> md5(t)) AS hs
+         |  FROM documents)
+         |SELECT doc_id, CAST($duckSimhashBits AS BIGINT) AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "embed_neardup" -> {
+      val bucket = (1 to 8).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+        .mkString("(", " || ", ")")
+      def cos(a: String, b: String): String =
+        s"ROUND(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+          s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+          s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${cos("a.embedding", "b.embedding")} AS sim
+         |FROM e a JOIN e b ON a.bucket = b.bucket
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${cos("a.embedding", "b.embedding")} >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+    })
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time windowing over the `events` table (SURVEY.md §2.10/X6):
+  * tumbling + sliding time windows, sessionization, and JSON property
+  * extraction (X5). Batch here; the same aggregations run under Structured
+  * Streaming in graft.streaming.EventStream (watermark + append mode).
+  *
+  * Scale notes: all three window queries shuffle once on
+  * (window-bucket, key) or (user) — event-time bucketing is computed
+  * map-side so the shuffle key space is bounded. Sliding windows fan each
+  * row out window/slide = 4× before the shuffle (same as Spark's native
+  * window() expansion).
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type: count / sum / avg. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour")("start").as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"),
+           // +1e-9: deterministic decimal-tie break, see Relational.q1Agg
+           round(avg(col("value")) + 1e-9, 4).as("avg_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding 1-hour windows advancing every 15 minutes. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes")("start")
+                 .as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sessionization, 30-minute inactivity gap, per user. Expressed as the
+    * classic lag→gap-flag→cumulative-sum pattern (one window pass, one
+    * shuffle on user_id); the streaming twin uses session_window. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("is_new")).over(cum).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** X5/P1/C7: JSON property extraction from events.props via from_json —
+    * the reference's nested-JSON flatten applied to a real JSON column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+              from_json(col("props"),
+                org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k")
+                .as("k"))
+      .filter(col("k").isNotNull)
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> (tumbling _),
+    "events_sliding"  -> (sliding _),
+    "events_session"  -> (sessionize _),
+    "events_json"     -> (jsonExtract _))
+
+  // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
+  // Spark's `ts div 1000`) and use the truncated value throughout.
+  val oracle: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS window_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value,
+        |       ROUND(AVG(value) + 1e-9, 4) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (SELECT ts::TIMESTAMP AS ts_us, event_type, value FROM events)
+        |SELECT time_bucket(INTERVAL 15 MINUTES, ts_us)
+        |         - k * INTERVAL 15 MINUTES AS window_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) u
+        |WHERE ts_us < time_bucket(INTERVAL 15 MINUTES, ts_us)
+        |        - k * INTERVAL 15 MINUTES + INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, ts::TIMESTAMP AS ts_us FROM events),
+        |l AS (
+        |  SELECT *, LAG(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts_us) - epoch_us(prev_ts) > 1800000000
+        |            THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |       MIN(ts_us) AS session_start,
+        |       MAX(ts_us) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_json" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events
+        |WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+        |ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Decoded media metadata row (the output shape of a real image/audio
+  * decode stage). */
+case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+                     frames: Long, chunk_id: String)
+
+/** Multimodal-column plumbing (task brief: treat image/audio/video as
+  * opaque binary columns with typed metadata). No media libraries exist in
+  * this container, so the *decode* step is a clearly-marked deterministic
+  * stub; everything around it — binary column handling, schema, batch
+  * shape, partition-parallel decode — is real Spark plumbing.
+  *
+  * Two paths:
+  *  - `meta` (oracle-checked): pure Column expressions over the binary
+  *    payload — the metadata-extraction shape (size, fake dimensions,
+  *    content chunk id). Codegen'd, no shuffle.
+  *  - `decodeBatch` (unit-tested): the typed mapPartitions path a real
+  *    decoder would use — one decoder init per partition, row-at-a-time
+  *    decode inside. At 100 TB this is the only per-row imperative stage
+  *    in the engine, and it is embarrassingly parallel.
+  */
+object Multimodal {
+
+  /** Metadata extraction over an opaque binary payload column. The fixture
+    * has no binary table, so the payload is the utf8 encoding of
+    * documents.text — the operator only sees bytes. */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        (lit(64) + octet_length(col("payload")).cast("long") * 7 % 512)
+          .as("width"),
+        (lit(64) + octet_length(col("payload")).cast("long") * 13 % 512)
+          .as("height"),
+        (floor(octet_length(col("payload")) / lit(4096.0)).cast("long") + 1)
+          .as("frames"),
+        substring(md5(col("payload")), 1, 8).as("chunk_id"))
+      .orderBy(col("doc_id"))
+
+  /** STUB: a real implementation would decode the payload with an image /
+    * audio library here (one decoder instance per partition). This
+    * deterministic fake derives the same fields as `meta` so the plumbing
+    * is testable; swap the body for e.g. javax.imageio when available. */
+  private def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).take(4).map("%02x".format(_)).mkString
+    MediaMeta(docId, n, 64 + n * 7 % 512, 64 + n * 13 % 512,
+      n / 4096 + 1, hex)
+  }
+
+  /** Partition-parallel typed decode: the batch shape a real decoder
+    * needs — `mapPartitions` so decoder init happens once per partition,
+    * not per row. */
+  def decodeBatch(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // decoder init would go here, once per partition
+        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> (meta _))
+
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      """WITH t AS (
+        |  SELECT doc_id, encode(text) AS payload FROM documents)
+        |SELECT doc_id,
+        |  octet_length(payload)::BIGINT AS n_bytes,
+        |  64 + octet_length(payload)::BIGINT * 7 % 512 AS width,
+        |  64 + octet_length(payload)::BIGINT * 13 % 512 AS height,
+        |  CAST(FLOOR(octet_length(payload) / 4096.0) AS BIGINT) + 1 AS frames,
+        |  substring(md5(decode(payload)), 1, 8) AS chunk_id
+        |FROM t ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Panel / window-feature operators — the analytical heart of the reference
+  * (transformer.py:84-119): per-entity, per-time lag + min-periods rolling
+  * means over a joined two-measure panel.
+  *
+  * Reference semantics re-expressed (SURVEY.md §2.7):
+  *  - W1 lag1: positional previous row within entity (transformer.py:99)
+  *  - W2/W3 roll5: mean over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW,
+  *    NULL unless >= 3 non-null values in frame (transformer.py:101-105)
+  *  - C1 round to 4 dp (transformer.py:104-113)
+  *  - F1 null-drop before windowing (transformer.py:70-71) — order matters:
+  *    the lag is over the post-filter sequence.
+  *
+  * Scale notes: one shuffle per aggregation (partial/map-side combine is
+  * automatic under groupBy) + one shuffle for the join + one for the window
+  * partition. At 100 TB the entity key (suppkey) partitions the window
+  * evenly (no single entity dominates); AQE coalesces the tail. All three
+  * window features share one WindowSpec, so Catalyst computes them in a
+  * single WindowExec pass over one sort.
+  */
+object Panel {
+
+  /** Generic panel aggregation: measure per (entity, year(time)). */
+  private def yearlyPanel(li: DataFrame, entity: String, time: String,
+                          measure: Column, name: String): DataFrame =
+    li.groupBy(col(entity).as("suppkey"),
+               year(col(time)).cast("long").as("year"))
+      .agg(sum(measure).as(name))
+
+  private def revenueExpr(d: DataFrame): Column =
+    d("l_extendedprice") * (lit(1) - d("l_discount"))
+
+  /** The flagship query (SURVEY.md §7.2 step 2, FIXTURES.md §B): rebuild the
+    * reference's (entity, time, measure) panel from lineitem — panel A =
+    * yearly revenue per supplier, panel B = yearly quantity — then the full
+    * E2 pipeline: inner join on the composite key (J1), null-drop (F1),
+    * lag1 + two roll5 features (W1-W3, G3), 4-dp round (C1), ordered
+    * output (O1). Mirrors transformer.py:58-119 end to end.
+    */
+  def pipelineCleaned(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+    val a = yearlyPanel(li, "l_suppkey", "l_shipdate", revenueExpr(li), "revenue")
+    val b = yearlyPanel(li, "l_suppkey", "l_shipdate", li("l_quantity"), "qty")
+    // 1:1 join on the composite key, like transformer.py:66-69. Both sides
+    // are already aggregated small relative to the fact table; at scale this
+    // is a co-partitioned sort-merge join (same key, same shuffle).
+    // Measures are rounded to 4 dp BEFORE feature computation — the
+    // reference's raw layer is NUMERIC(10,4) (database.py:37), so the
+    // transformer likewise sees 4-dp inputs.
+    val j = a.join(b, Seq("suppkey", "year"), "inner")
+      .filter(col("revenue").isNotNull && col("qty").isNotNull)
+      .select(col("suppkey"), col("year"),
+              round(col("revenue"), 4).as("revenue"),
+              round(col("qty"), 4).as("qty"))
+    val w = Window.partitionBy(col("suppkey")).orderBy(col("year"))
+    // roll5 as an explicit lag-chain rather than avg().over(rowsBetween):
+    // same single WindowExec pass, but the summation order is fixed
+    // left-to-right, so results are bit-identical across engines (window
+    // AVG implementations differ in accumulation order — e.g. segment
+    // trees). Rounded at 6 dp, not the reference's display 4 dp: a mean of
+    // 4-dp inputs over n ≤ 5 is an exact ≤6-dp decimal, so 4-dp rounding
+    // hits true decimal ties (…5 at the 5th digit) where engines'
+    // tie-break rules legitimately differ (SURVEY.md §2.9 C1); 6-dp is
+    // provably tie-free for these inputs. After the null-drop,
+    // "count >= 3 non-null in frame" ≡ "row_number >= 3" (§2.7 W2 note).
+    val rn = row_number().over(w)
+    def roll5(c: Column): Column =
+      when(rn >= 3, round(
+        (c + coalesce(lag(c, 1).over(w), lit(0.0))
+           + coalesce(lag(c, 2).over(w), lit(0.0))
+           + coalesce(lag(c, 3).over(w), lit(0.0))
+           + coalesce(lag(c, 4).over(w), lit(0.0)))
+          / least(rn.cast("double"), lit(5.0)), 6))
+    j.select(
+        col("suppkey"), col("year"), col("revenue"), col("qty"),
+        lag(col("revenue"), 1).over(w).as("revenue_lag1"),
+        roll5(col("revenue")).as("revenue_roll5"),
+        roll5(col("qty")).as("qty_roll5"))
+      .orderBy(col("suppkey"), col("year"))
+  }
+
+  /** S5 fan-out-and-concatenate (api_fetcher.py:86-113): per-indicator
+    * result sets concatenated = UNION ALL of tagged panels. */
+  def unionPanels(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+    val a = yearlyPanel(li, "l_suppkey", "l_shipdate", revenueExpr(li), "value")
+      .withColumn("indicator", lit("revenue"))
+    val b = yearlyPanel(li, "l_suppkey", "l_shipdate", li("l_quantity"), "value")
+      .withColumn("indicator", lit("qty"))
+    a.unionByName(b)
+      .select(col("indicator"), col("suppkey"), col("year"),
+              round(col("value"), 4).as("value"))
+      .orderBy(col("indicator"), col("suppkey"), col("year"))
+  }
+
+  /** K4 console preview (transformer.py:157-182): top-10 ordered rows with
+    * fixed 3-dp formatting and literal NULL rendering (C6, O3). The
+    * sorted-limit compiles to TakeOrderedAndProject (top-k, no full sort). */
+  def previewFormat(spark: SparkSession, dir: String): DataFrame = {
+    // Format each value at its own storage precision (4 dp measures, 6 dp
+    // roll features) — formatting BELOW the stored precision would re-round
+    // and hit the same decimal-tie hazard as C1.
+    def fmt(c: Column, spec: String): Column =
+      when(c.isNull, lit("NULL")).otherwise(format_string(spec, c))
+    pipelineCleaned(spark, dir)
+      .orderBy(col("suppkey"), col("year")).limit(10)
+      .select(col("suppkey"), col("year"),
+              fmt(col("revenue"), "%.4f").as("revenue_s"),
+              fmt(col("revenue_lag1"), "%.4f").as("revenue_lag1_s"),
+              fmt(col("revenue_roll5"), "%.6f").as("revenue_roll5_s"))
+      .orderBy(col("suppkey"), col("year"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_cleaned" -> (pipelineCleaned _),
+    "union_panels"     -> (unionPanels _),
+    "preview_format"   -> (previewFormat _))
+
+  private val panelCte =
+    """WITH a AS (
+      |  SELECT l_suppkey AS suppkey, EXTRACT(year FROM l_shipdate) AS year,
+      |         SUM(l_extendedprice * (1 - l_discount)) AS revenue
+      |  FROM lineitem GROUP BY 1, 2),
+      |b AS (
+      |  SELECT l_suppkey AS suppkey, EXTRACT(year FROM l_shipdate) AS year,
+      |         SUM(l_quantity) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.suppkey, a.year,
+      |         ROUND(a.revenue, 4) AS revenue, ROUND(b.qty, 4) AS qty
+      |  FROM a JOIN b ON a.suppkey = b.suppkey AND a.year = b.year
+      |  WHERE a.revenue IS NOT NULL AND b.qty IS NOT NULL),
+      |cleaned AS (
+      |  SELECT suppkey, year, revenue, qty,
+      |    LAG(revenue) OVER w AS revenue_lag1,
+      |    CASE WHEN ROW_NUMBER() OVER w >= 3 THEN ROUND(
+      |      (revenue + COALESCE(LAG(revenue, 1) OVER w, 0.0)
+      |               + COALESCE(LAG(revenue, 2) OVER w, 0.0)
+      |               + COALESCE(LAG(revenue, 3) OVER w, 0.0)
+      |               + COALESCE(LAG(revenue, 4) OVER w, 0.0))
+      |      / LEAST(CAST(ROW_NUMBER() OVER w AS DOUBLE), 5.0), 6)
+      |      END AS revenue_roll5,
+      |    CASE WHEN ROW_NUMBER() OVER w >= 3 THEN ROUND(
+      |      (qty + COALESCE(LAG(qty, 1) OVER w, 0.0)
+      |           + COALESCE(LAG(qty, 2) OVER w, 0.0)
+      |           + COALESCE(LAG(qty, 3) OVER w, 0.0)
+      |           + COALESCE(LAG(qty, 4) OVER w, 0.0))
+      |      / LEAST(CAST(ROW_NUMBER() OVER w AS DOUBLE), 5.0), 6)
+      |      END AS qty_roll5
+      |  FROM j
+      |  WINDOW w AS (PARTITION BY suppkey ORDER BY year))
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_cleaned" ->
+      (panelCte + "SELECT * FROM cleaned ORDER BY suppkey, year"),
+    "union_panels" ->
+      """SELECT 'revenue' AS indicator, l_suppkey AS suppkey,
+        |       EXTRACT(year FROM l_shipdate) AS year,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS value
+        |FROM lineitem GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'qty' AS indicator, l_suppkey AS suppkey,
+        |       EXTRACT(year FROM l_shipdate) AS year,
+        |       ROUND(SUM(l_quantity), 4) AS value
+        |FROM lineitem GROUP BY 2, 3
+        |ORDER BY indicator, suppkey, year""".stripMargin,
+    "preview_format" ->
+      (panelCte +
+        """, top10 AS (
+          |  SELECT * FROM cleaned ORDER BY suppkey, year LIMIT 10)
+          |SELECT suppkey, year,
+          |  CASE WHEN revenue IS NULL THEN 'NULL'
+          |       ELSE printf('%.4f', revenue) END AS revenue_s,
+          |  CASE WHEN revenue_lag1 IS NULL THEN 'NULL'
+          |       ELSE printf('%.4f', revenue_lag1) END AS revenue_lag1_s,
+          |  CASE WHEN revenue_roll5 IS NULL THEN 'NULL'
+          |       ELSE printf('%.6f', revenue_roll5) END AS revenue_roll5_s
+          |FROM top10 ORDER BY suppkey, year""".stripMargin))
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core: scans, aggregation, joins, sorts/limits, counts and the
+  * reference's keyed-upsert semantics (SURVEY.md §2.1-§2.8).
+  *
+  * Scale notes per query are inline; the common theme: aggregations rely on
+  * Catalyst's automatic partial (map-side) aggregation, small dimension
+  * sides are broadcast explicitly, and every sorted-limit is a top-k
+  * (TakeOrderedAndProject), never a global sort.
+  */
+object Relational {
+
+  /** G2/G3-style full-table aggregation (TPC-H Q1 flavor): one wide scan →
+    * map-side partial agg → 6-group final agg. At 100 TB this is the
+    * canonical scan-bound query; only l_* columns named here are read
+    * (column pruning) and the shipdate predicate reaches the parquet
+    * row-group filter (predicate pushdown). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        // +1e-9 before rounding: averages of fixed-precision decimals hit
+        // true decimal ties (….xxxx5) where engines' tie-break rules
+        // differ; the nudge breaks ties upward identically in both engines
+        // and provably cannot move any non-tie value across a boundary
+        // (non-tie ratios sit >= 1/(2·count·10^4) >= 2.5e-9 away).
+        round(avg(col("l_quantity")) + 1e-9, 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")) + 1e-9, 4).as("avg_price"),
+        round(avg(col("l_discount")) + 1e-9, 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J1 + O3: 3-way join, group, top-10 by revenue (TPC-H Q3 flavor).
+    * customer is tiny → broadcast; orders⋈lineitem shuffles on orderkey.
+    * Ranking is on the ROUNDED revenue with an orderkey tie-break so the
+    * top-k cutoff is deterministic across engines. */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** S6/O1: full ordered scan (database.py:143-157's SELECT * ORDER BY). */
+  def scanOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "customer").orderBy(col("c_custkey"))
+
+  /** G2: row-count reconciliation across all tables (database.py:161-169,
+    * transformer.py:160-161). count() is a partial-agg scan per table. */
+  def rowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.names.map { n =>
+      Tables.t(spark, dir, n)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("tbl"), col("n_rows"))
+    }.reduce(_.unionByName(_)).orderBy(col("tbl"))
+
+  /** K2/K3 keyed upsert as a query: last-writer-wins per key
+    * (database.py:119-138's ON CONFLICT DO UPDATE). Spark-first
+    * re-expression: row_number over (key ORDER BY recency DESC) = 1 —
+    * one shuffle on the key; at 100 TB identical to the dedup-then-
+    * overwrite MERGE pattern. Tie-broken on event_id for determinism. */
+  def upsertLww(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"     -> (q1Agg _),
+    "q3_topk"    -> (q3TopK _),
+    "scan_order" -> (scanOrder _),
+    "row_counts" -> (rowCounts _),
+    "upsert_lww" -> (upsertLww _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
+        |  ROUND(AVG(l_discount) + 1e-9, 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "scan_order" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "row_counts" ->
+      Tables.names.map(n => s"SELECT '$n' AS tbl, COUNT(*) AS n_rows FROM $n")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl"),
+    "upsert_lww" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin)
+}

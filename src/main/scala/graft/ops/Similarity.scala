@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.11 X3):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * approximate variant as the scale path.
+  *
+  * Scale notes: brute force broadcasts the (small) query side so the big
+  * side streams through a BroadcastNestedLoopJoin with no shuffle of the
+  * corpus; cost is |Q|×|C| dot products — fine for |Q| ≤ thousands, which
+  * is the realistic "score a probe set" shape. For all-pairs ANN the LSH
+  * variant buckets both sides on sign-bit hashes so candidates meet
+  * through a hash join on the bucket key (|C|²/2^bits work instead of
+  * |C|²). Similarity is ranked on a 6-dp-rounded value with an id
+  * tie-break so rankings are reproducible across engines and runs.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * via codegen'd higher-order functions (no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
+                        lit(0.0), (s, x) => s + x)
+    val na = aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x)
+    val nb = aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Sign-bit LSH bucket over the first `bits` vector components. With
+    * zero-centered components each bit splits ~50/50, giving 2^bits
+    * buckets. (A production variant would use `bits` random hyperplanes;
+    * fixed axes keep the oracle SQL-expressible and the semantics equal.) */
+  def signBucket(c: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(c, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Exact brute-force cosine top-k: probe set = vec_id < 10, k = 5. */
+  def topKBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rnk", row_number().over(byQuery).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Approximate all-pairs top-k: candidates must share an 8-bit sign
+    * bucket (hash join on the bucket), then exact cosine + rank within
+    * candidates, k = 3. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+              signBucket(col("embedding"), 8).as("bucket"))
+    val q = e.select(col("bucket"), col("vec_id").as("query_id"),
+                     col("embedding").as("q_emb"))
+    val c = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+                     col("embedding").as("n_emb"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rnk", row_number().over(byQuery).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> (topKBrute _),
+    "sim_ann_lsh"    -> (annLsh _))
+
+  /** DuckDB cosine written out explicitly (dot/(|a||b|) in double) so the
+    * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
+    * order ulps. */
+  private def duckCosine(a: String, b: String): String =
+    s"ROUND(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+
+  private val duckBucket =
+    (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString("(", " || ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 10),
+         |p AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         ${duckCosine("q_emb", "embedding")} AS sim
+         |  FROM q CROSS JOIN embeddings
+         |  WHERE vec_id <> query_id),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |    AS BIGINT) AS rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |  WHERE a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |    AS BIGINT) AS rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)
+}

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.11 X4 + the
+  * training-data-pipeline surface): token statistics, quality scoring,
+  * n-gram-heuristic language ID, regex (BPE-ish) token counting, and
+  * document fingerprinting.
+  *
+  * Everything is per-row Column expressions (higher-order array functions,
+  * no UDFs) — embarrassingly parallel, zero shuffles except the final
+  * presentation sort, so it scales linearly with input splits at 100 TB.
+  */
+object Text {
+
+  /** Whitespace tokenization shared by all operators. */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Token statistics: counts, distinct counts, type-token ratio, mean
+    * token length. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        // +1e-9: integer-ratio outputs hit true decimal ties where engine
+        // tie-break rules differ — deterministic upward break, see
+        // Relational.q1Agg for the safety argument.
+        round(size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")) + 1e-9, 4).as("ttr"),
+        round(aggregate(transform(col("toks"), t => length(t)),
+                        lit(0), (a, x) => a + x).cast("double") /
+              size(col("toks")) + 1e-9, 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: stopword ratio, punctuation ratio, and a composite
+    * quality score in [0,1] — the usual cheap pre-LLM filter features. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_ratio",
+        round(size(filter(col("toks"), t => t.isin("the", "a", "of", "and")))
+          .cast("double") / col("n_tokens") + 1e-9, 4))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+          .cast("double") / length(col("text")) + 1e-9, 4))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+              col("punct_ratio"),
+        round((lit(1.0) - col("punct_ratio")) *
+              least(lit(1.0), col("n_tokens") / lit(100.0)) + 1e-9, 4)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram/stopword-heuristic language ID: per-language marker-token hit
+    * counts, argmax with a fixed priority order (deterministic, SQL-
+    * expressible in the oracle). Marker lists are tiny — the operator shape
+    * (score fan-out + argmax) is what scales, not the lists. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "es" -> Seq("el", "la", "los", "que"),
+      "fr" -> Seq("le", "les", "des", "est"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+    val base = Tables.t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+    val scored = markers.foldLeft(base) { case (d, (l, ws)) =>
+      d.withColumn(s"hits_$l",
+        size(filter(col("toks"), t => t.isin(ws.map(lit(_)): _*)))
+          .cast("long"))
+    }
+    val Seq(en, de, es, fr, zh) =
+      markers.map { case (l, _) => col(s"hits_$l") }
+    scored.select(col("doc_id"), col("lang"),
+        en.as("hits_en"), de.as("hits_de"), es.as("hits_es"),
+        fr.as("hits_fr"), zh.as("hits_zh"),
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE-ish regex token counting: alpha runs, digit runs, other symbols —
+    * the shape of a byte-pair pre-tokenizer's word splitter. */
+  def tokenRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_alpha"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_num"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_other"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
+    * the exact-dedup key (X1's hash) exposed as its own operator. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary"))
+          .as("fp"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"   -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "lang_id"      -> (langId _),
+    "token_regex"  -> (tokenRegex _),
+    "fingerprint"  -> (fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_distinct,
+        |  ROUND(len(list_distinct(toks))::DOUBLE / len(toks) + 1e-9, 4) AS ttr,
+        |  ROUND(CAST(list_sum(list_transform(toks, t -> length(t)))
+        |        AS DOUBLE) / len(toks) + 1e-9, 4) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    ROUND(len(list_filter(toks,
+        |      t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE / len(toks)
+        |      + 1e-9, 4) AS stop_ratio,
+        |    ROUND(length(regexp_replace(text, '[a-z0-9\s]', '', 'g'))::DOUBLE
+        |      / length(text) + 1e-9, 4) AS punct_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+        |  ROUND((1.0 - punct_ratio) *
+        |        LEAST(1.0, n_tokens / 100.0) + 1e-9, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and')))::BIGINT AS hits_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','ist')))::BIGINT AS hits_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','que')))::BIGINT AS hits_es,
+        |    len(list_filter(toks, t -> t IN ('le','les','des','est')))::BIGINT AS hits_fr,
+        |    len(list_filter(toks, t -> t IN ('de5','shi4','le5','zai4')))::BIGINT AS hits_zh
+        |  FROM t)
+        |SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |  CASE
+        |    WHEN hits_en >= hits_de AND hits_en >= hits_es
+        |     AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |    WHEN hits_de >= hits_es AND hits_de >= hits_fr
+        |     AND hits_de >= hits_zh THEN 'de'
+        |    WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |    WHEN hits_fr >= hits_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "token_regex" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_alpha,
+        |  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_num,
+        |  len(regexp_extract_all(text, '[^a-z0-9\s]'))::BIGINT AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

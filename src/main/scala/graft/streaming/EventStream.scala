@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of graft.ops.Events (SURVEY.md §2.10): the
+  * same event-time aggregations under readStream with watermarks. The
+  * reference is strictly batch; this is the scale path for the `events`
+  * table as an unbounded source (Kafka/files at 100 TB — the query shape
+  * is identical, only the source changes).
+  *
+  * Local testing drives these with the parquet fixture as a file stream +
+  * a memory sink (see EventStreamSpec); processAllAvailable() makes that
+  * synchronous and deterministic.
+  */
+object EventStream {
+
+  /** The events schema as stored (ts is INT64 nanos — see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded read of the events fixture (file-stream source). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark:
+    * late rows beyond the watermark are dropped, finalized windows emit
+    * exactly once in append mode. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour")("start").as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+
+  /** Session windows (30-minute gap) per user via the native
+    * session_window — the streaming-stateful form of Events.sessionize. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .select(col("session_window")("start").as("session_start"),
+              col("user_id"), col("n_events"), col("sum_value"))
+}
