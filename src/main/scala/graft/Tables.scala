@@ -34,11 +34,27 @@ object Tables {
     * identically, so oracle parity holds. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => df // already a timestamp (e.g. test fixtures)
+    }
   }
 
   // --- Reference-shaped schemas (FIXTURES.md §A), used by unit tests ------
+
+  /** Spread a small scan across all cores for CPU-bound per-row work.
+    *
+    * Locally the fixture tables are single-row-group parquet files, so the
+    * scan yields ONE input split and expression-heavy operators (md5
+    * shingling, regex token stats, cosine math) run single-threaded. A
+    * round-robin repartition of the raw rows is a few MB of shuffle and
+    * unlocks full parallelism. At 100 TB the source is many splits and the
+    * file scan parallelizes naturally — this helper is then a cheap no-op
+    * to drop, and it never changes results (no keyed semantics attached).
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Mirrors raw_gdp_growth / raw_unemployment (database.py:31-55). */
   val rawIndicatorSchema: StructType = StructType(Seq(

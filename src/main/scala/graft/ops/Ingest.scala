@@ -39,7 +39,7 @@ object Ingest {
       lit("}"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "countryiso3code STRING, country STRUCT<id: STRING>, date STRING, value DOUBLE")
-    Tables.events(spark, dir)
+    Tables.spread(Tables.events(spark, dir))
       .select(col("event_id"), from_json(rec, schema).as("r"))
       .select(
         col("event_id"),

@@ -30,7 +30,7 @@ object Multimodal {
     * has no binary table, so the payload is the utf8 encoding of
     * documents.text — the operator only sees bytes. */
   def meta(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents")
+    Tables.spread(Tables.t(spark, dir, "documents"))
       .withColumn("payload", col("text").cast("binary"))
       .select(
         col("doc_id"),

@@ -43,6 +43,43 @@ object Panel {
     * lag1 + two roll5 features (W1-W3, G3), 4-dp round (C1), ordered
     * output (O1). Mirrors transformer.py:58-119 end to end.
     */
+  /** X7 generic panel features over any (entity, time, measures...) panel:
+    * positional lag-1 of the first measure + min-periods-3 trailing-5
+    * means of every measure — the reference's compute_features
+    * (transformer.py:84-119) parameterized over schema.
+    *
+    * roll5 is an explicit lag-chain rather than avg().over(rowsBetween):
+    * same single WindowExec pass (all features share one WindowSpec), but
+    * the summation order is fixed left-to-right, so results are
+    * bit-identical across engines (window AVG implementations differ in
+    * accumulation order — e.g. segment trees). Rounded at 6 dp, not the
+    * reference's display 4 dp: a mean of 4-dp inputs over n ≤ 5 is an
+    * exact ≤6-dp decimal, so 4-dp rounding hits true decimal ties (…5 at
+    * the 5th digit) where engines' tie-break rules legitimately differ
+    * (SURVEY.md §2.9 C1); 6-dp is provably tie-free for these inputs.
+    * Assumes null rows are already dropped (F1 runs first — order
+    * matters, the lag is positional over the post-filter sequence), so
+    * "count >= 3 non-null in frame" ≡ "row_number >= 3" (§2.7 W2 note).
+    */
+  def features(panel: DataFrame, entity: String, time: String,
+               measures: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(time))
+    val rn = row_number().over(w)
+    def roll5(c: Column): Column =
+      when(rn >= 3, round(
+        (c + coalesce(lag(c, 1).over(w), lit(0.0))
+           + coalesce(lag(c, 2).over(w), lit(0.0))
+           + coalesce(lag(c, 3).over(w), lit(0.0))
+           + coalesce(lag(c, 4).over(w), lit(0.0)))
+          / least(rn.cast("double"), lit(5.0)), 6))
+    val base = Seq(col(entity), col(time)) ++ measures.map(col)
+    val lag1 = lag(col(measures.head), 1).over(w)
+      .as(measures.head + "_lag1")
+    val rolls = measures.map(m => roll5(col(m)).as(m + "_roll5"))
+    panel.select(base ++ (lag1 +: rolls): _*)
+      .orderBy(col(entity), col(time))
+  }
+
   def pipelineCleaned(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(spark, dir, "lineitem")
     val a = yearlyPanel(li, "l_suppkey", "l_shipdate", revenueExpr(li), "revenue")
@@ -58,31 +95,7 @@ object Panel {
       .select(col("suppkey"), col("year"),
               round(col("revenue"), 4).as("revenue"),
               round(col("qty"), 4).as("qty"))
-    val w = Window.partitionBy(col("suppkey")).orderBy(col("year"))
-    // roll5 as an explicit lag-chain rather than avg().over(rowsBetween):
-    // same single WindowExec pass, but the summation order is fixed
-    // left-to-right, so results are bit-identical across engines (window
-    // AVG implementations differ in accumulation order — e.g. segment
-    // trees). Rounded at 6 dp, not the reference's display 4 dp: a mean of
-    // 4-dp inputs over n ≤ 5 is an exact ≤6-dp decimal, so 4-dp rounding
-    // hits true decimal ties (…5 at the 5th digit) where engines'
-    // tie-break rules legitimately differ (SURVEY.md §2.9 C1); 6-dp is
-    // provably tie-free for these inputs. After the null-drop,
-    // "count >= 3 non-null in frame" ≡ "row_number >= 3" (§2.7 W2 note).
-    val rn = row_number().over(w)
-    def roll5(c: Column): Column =
-      when(rn >= 3, round(
-        (c + coalesce(lag(c, 1).over(w), lit(0.0))
-           + coalesce(lag(c, 2).over(w), lit(0.0))
-           + coalesce(lag(c, 3).over(w), lit(0.0))
-           + coalesce(lag(c, 4).over(w), lit(0.0)))
-          / least(rn.cast("double"), lit(5.0)), 6))
-    j.select(
-        col("suppkey"), col("year"), col("revenue"), col("qty"),
-        lag(col("revenue"), 1).over(w).as("revenue_lag1"),
-        roll5(col("revenue")).as("revenue_roll5"),
-        roll5(col("qty")).as("qty_roll5"))
-      .orderBy(col("suppkey"), col("year"))
+    features(j, "suppkey", "year", Seq("revenue", "qty"))
   }
 
   /** S5 fan-out-and-concatenate (api_fetcher.py:86-113): per-indicator

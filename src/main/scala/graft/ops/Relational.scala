@@ -80,14 +80,23 @@ object Relational {
     * re-expression: row_number over (key ORDER BY recency DESC) = 1 —
     * one shuffle on the key; at 100 TB identical to the dedup-then-
     * overwrite MERGE pattern. Tie-broken on event_id for determinism. */
-  def upsertLww(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.t(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def upsertLww(spark: SparkSession, dir: String): DataFrame =
+    lastWriterWins(Tables.t(spark, dir, "events"),
+        Seq("user_id", "event_type"),
+        Seq(col("ts").desc, col("event_id").desc))
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
       .orderBy(col("user_id"), col("event_type"))
+
+  /** Generic keyed-upsert core: keep the most recent row per key. Applying
+    * it to `existing.unionByName(incoming)` IS the reference's
+    * ON CONFLICT DO UPDATE merge; it is idempotent by construction
+    * (applying the same batch twice converges — see UpsertSpec). */
+  def lastWriterWins(df: DataFrame, keys: Seq[String],
+                     recency: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(recency: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

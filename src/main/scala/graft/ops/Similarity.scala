@@ -42,7 +42,7 @@ object Similarity {
 
   /** Exact brute-force cosine top-k: probe set = vec_id < 10, k = 5. */
   def topKBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(spark, dir, "embeddings")
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
@@ -61,7 +61,7 @@ object Similarity {
     * bucket (hash join on the bucket), then exact cosine + rank within
     * candidates, k = 3. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(spark, dir, "embeddings")
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
               signBucket(col("embedding"), 8).as("bucket"))
     val q = e.select(col("bucket"), col("vec_id").as("query_id"),

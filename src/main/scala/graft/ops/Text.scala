@@ -21,7 +21,7 @@ object Text {
   /** Token statistics: counts, distinct counts, type-token ratio, mean
     * token length. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents")
+    Tables.spread(Tables.t(spark, dir, "documents"))
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
@@ -40,7 +40,7 @@ object Text {
   /** Quality scoring: stopword ratio, punctuation ratio, and a composite
     * quality score in [0,1] — the usual cheap pre-LLM filter features. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents")
+    Tables.spread(Tables.t(spark, dir, "documents"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("stop_ratio",
@@ -67,7 +67,7 @@ object Text {
       "es" -> Seq("el", "la", "los", "que"),
       "fr" -> Seq("le", "les", "des", "est"),
       "zh" -> Seq("de5", "shi4", "le5", "zai4"))
-    val base = Tables.t(spark, dir, "documents")
+    val base = Tables.spread(Tables.t(spark, dir, "documents"))
       .withColumn("toks", tokens(col("text")))
     val scored = markers.foldLeft(base) { case (d, (l, ws)) =>
       d.withColumn(s"hits_$l",
@@ -90,7 +90,7 @@ object Text {
   /** BPE-ish regex token counting: alpha runs, digit runs, other symbols —
     * the shape of a byte-pair pre-tokenizer's word splitter. */
   def tokenRegex(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents")
+    Tables.spread(Tables.t(spark, dir, "documents"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
           .cast("long").as("n_alpha"),
@@ -103,7 +103,7 @@ object Text {
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key (X1's hash) exposed as its own operator. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents")
+    Tables.spread(Tables.t(spark, dir, "documents"))
       .select(col("doc_id"),
         md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary"))
           .as("fp"))

@@ -25,11 +25,22 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Unbounded read of the events fixture (file-stream source). */
+  /** Unbounded read of the events fixture (file-stream source). The file
+    * source only accepts directories (a real deployment streams a
+    * directory of arriving files); a single-file fixture is staged into a
+    * temp dir via symlink. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"), p)
+        d.toString
+      } else p.toString
     spark.readStream.schema(rawSchema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(streamDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -39,10 +50,11 @@ object EventStream {
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour")("start").as("window_start"),
-               col("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w")("start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
 
   /** Session windows (30-minute gap) per user via the native
     * session_window — the streaming-stateful form of Events.sessionize. */

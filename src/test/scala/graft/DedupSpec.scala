@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+/** Dedup family on planted duplicates — runs the REAL (spark, dir) query
+  * functions on a hand-built documents fixture dir. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  // 0 & 1: exact dups; 5 & 6: near-dups (one word changed);
+  // others: unrelated
+  private lazy val dir = TestFixtures.writeDir(Map(
+    "documents" -> Seq(
+      (0L, base, "en", "src0"),
+      (1L, base, "en", "src0"),
+      (2L, "one two three four five six seven eight nine ten", "en", "src0"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve", "es", "src0"),
+      (4L, "un deux trois quatre cinq six sept huit neuf", "fr", "src0"),
+      (5L, base + " omega", "en", "src0"),
+      (6L, base.replace("delta", "DELTA") + " omega", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")))
+
+  test("exact dedup keeps the first writer of identical text") {
+    val ids = Dedup.exact(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids.contains(0L) && !ids.contains(1L))
+    assert(ids === Set(0L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("minhash signatures are equal iff shingle sets are equal") {
+    val sig = Dedup.minhashSig(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getString).mkString).toMap
+    assert(sig(0L) === sig(1L))   // identical docs
+    assert(sig(0L) !== sig(2L))   // unrelated docs
+  }
+
+  test("minhash LSH pairs surface exact and near duplicates, not strangers") {
+    val pairs = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard finds the high-overlap pairs with jacc in (0,1]") {
+    val got = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    assert(got((0L, 1L)) === 1.0)          // identical
+    assert(got.contains((5L, 6L)))         // near-dup pair above threshold
+    assert(got((5L, 6L)) < 1.0 && got((5L, 6L)) > 0.5)
+    assert(!got.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs agree; near-dups are close in hamming") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sh = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    assert(ham(sh(5L), sh(6L)) <= 6)   // near-dups: few bits differ
+  }
+
+  test("embedding near-dup finds planted almost-identical vectors") {
+    val v  = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val v2 = v.clone(); v2(7) = v2(7) + 0.001f        // near-dup of v
+    val w  = Array.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val edir = TestFixtures.writeDir(Map(
+      "embeddings" -> Seq((0L, v.toSeq, 0), (1L, v2.toSeq, 0),
+                          (2L, w.toSeq, 1))
+        .toDF("vec_id", "embedding", "label")))
+    val pairs = Dedup.embedNearDup(spark, edir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

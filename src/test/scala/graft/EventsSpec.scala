@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.ops.Events
+
+/** Sessionization + windowing semantics on hand-built event streams. */
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: two sessions split by a 31-min gap (30-min threshold);
+  // user 2: one session, gap exactly 30:00 does NOT split (> means strict)
+  private lazy val dir = TestFixtures.writeDir(Map(
+    "events" -> Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{\"k\": 1}"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "view",  2.0, "{\"k\": 2}"),
+      (3L, ts("2024-01-01 10:41:00"), 1L, "click", 3.0, "{\"k\": 3}"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view",  4.0, "{\"k\": 4}"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view",  5.0, "bad json"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+
+  test("sessionize: 31-min gap splits, exactly-30-min gap does not") {
+    val r = Events.sessionize(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(4)).toMap
+    assert(r === Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 2L))
+  }
+
+  test("session bounds are min/max event time") {
+    val s11 = Events.sessionize(spark, dir)
+      .filter($"user_id" === 1 && $"session_id" === 1).head()
+    assert(s11.getTimestamp(2) === ts("2024-01-01 10:00:00"))
+    assert(s11.getTimestamp(3) === ts("2024-01-01 10:10:00"))
+  }
+
+  test("tumbling 1h windows bucket by event time per type") {
+    val r = Events.tumbling(spark, dir).collect()
+      .map(x => (x.getTimestamp(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r((ts("2024-01-01 10:00:00"), "click")) === 2L)
+    assert(r((ts("2024-01-01 09:00:00"), "view")) === 2L)
+  }
+
+  test("sliding 1h/15min windows: each event lands in 4 windows") {
+    val n = Events.sliding(spark, dir).collect().map(_.getLong(2)).sum
+    assert(n === 5L * 4)
+  }
+
+  test("json extraction parses valid props and rejects malformed rows") {
+    val r = Events.jsonExtract(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)) // id 5 rejected
+  }
+}

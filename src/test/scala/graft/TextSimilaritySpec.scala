@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity, Text, Multimodal}
+
+/** Text-analysis + similarity-search + multimodal semantics. */
+class TextSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docsDir = TestFixtures.writeDir(Map(
+    "documents" -> Seq(
+      (0L, "the cat and the hat", "en", "src0"),
+      (1L, "aaa bbb aaa bbb aaa", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")))
+
+  test("text stats: token counts, distinct counts, ttr") {
+    val r = Text.textStats(spark, docsDir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(1) === 5)             // n_tokens
+    assert(r(0L).getLong(2) === 4)             // n_distinct ("the" twice)
+    assert(r(1L).getLong(2) === 2)
+    assert(r(1L).getDouble(3) === 0.4)         // ttr 2/5
+  }
+
+  test("quality: stopword ratio counts marker tokens") {
+    val r = Text.textQuality(spark, docsDir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(0L) === 0.6)  // the, and, the of 5
+    assert(r(1L) === 0.0)
+  }
+
+  test("regex token classes split alpha/digit/symbol runs") {
+    val d = TestFixtures.writeDir(Map("documents" ->
+      Seq((0L, "abc 123 x9! ?", "en", "s")).toDF("doc_id", "text", "lang", "source")))
+    val r = Text.tokenRegex(spark, d).head()
+    assert(r.getLong(1) === 2) // abc, x
+    assert(r.getLong(2) === 2) // 123, 9
+    assert(r.getLong(3) === 2) // !, ?
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      round(Similarity.cosine(col("a"), col("b")), 6).as("same"),
+      round(Similarity.cosine(col("a"), col("c")), 6).as("orth")).head()
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
+  }
+
+  test("brute-force top-k on the real fixture: k rows per query, " +
+       "descending sim, no self-matches") {
+    val r = Similarity.topKBrute(spark, "/root/testdata/sf0.001")
+    val rows = r.collect()
+    assert(rows.length === 10 * 5)
+    assert(rows.forall(x => x.getLong(0) != x.getLong(1)))
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.forall { case (_, g) =>
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      sims.zip(sims.tail).forall { case (a, b) => a >= b }
+    })
+  }
+
+  test("LSH ANN candidates are a subset of brute-force scoring " +
+       "(same sim for same pair)") {
+    val brute = Similarity.topKBrute(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annLsh(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = brute.keySet.intersect(ann.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(brute(k) === ann(k)))
+  }
+
+  test("multimodal decodeBatch (typed mapPartitions stub) agrees with the " +
+       "columnar meta query") {
+    val cols = Multimodal.meta(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val typed = Multimodal.decodeBatch(spark, docsDir).collect()
+      .map(m => m.doc_id -> (m.n_bytes, m.width, m.height, m.frames)).toMap
+    assert(cols === typed)
+  }
+}
