@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import graft.ops.{Panel, Relational}
+
+/** The reference's end-to-end pipeline orchestration (README1.md run
+  * order): E1 ingest → raw layer (keyed upsert, audit column) then E2
+  * transform → cleaned layer (join + features), re-expressed as two Spark
+  * jobs over parquet layers.
+  *
+  * Layer layout under a work dir:
+  *   raw_revenue/ raw_qty/   — the two indicator panels (raw layer,
+  *                             database.py:31-55)
+  *   cleaned/                — joined feature panel (transformer.py:37-51)
+  *
+  * Upsert without MERGE (SURVEY.md §7.4): union existing+incoming, keep
+  * the freshest row per key (row_number over fetched_at DESC), then an
+  * atomic write-to-temp-and-swap — the two-phase commit every overwrite-
+  * based lake write needs, since Spark cannot overwrite a path it is
+  * reading. Re-runs converge (idempotency by construction,
+  * README1.md:128-132). At 100 TB the swap becomes a partition-level
+  * replaceWhere / table-format commit; the dataflow is identical.
+  */
+object Pipeline {
+
+  private val keys = Seq("suppkey", "year")
+
+  /** Atomic overwrite: write to `<path>.tmp`, then swap directories. */
+  private def atomicWrite(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = Paths.get(path)
+    if (Files.exists(target)) deleteRec(target)
+    Files.move(Paths.get(tmp), target)
+  }
+
+  private def deleteRec(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+
+  /** K2: keyed batch upsert into a raw layer path (ON CONFLICT DO UPDATE
+    * semantics — database.py:119-138). */
+  def upsertRaw(spark: SparkSession, incoming: DataFrame, path: String): Long = {
+    val merged =
+      if (Files.exists(Paths.get(path))) {
+        val existing = spark.read.parquet(path)
+        Relational.lastWriterWins(existing.unionByName(incoming),
+          keys, Seq(col("fetched_at").desc))
+      } else incoming
+    atomicWrite(merged, path)
+    spark.read.parquet(path).count()
+  }
+
+  /** E1 ingest: derive the two indicator panels from lineitem (the
+    * fixture's stand-in for the HTTP fetch) and upsert each into its raw
+    * layer. `batchTs` is the per-batch audit instant (P5: one timestamp
+    * per batch, captured once — database.py:93). */
+  def ingest(spark: SparkSession, sfDir: String, workDir: String,
+             batchTs: java.sql.Timestamp): Map[String, Long] = {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    def panel(measure: org.apache.spark.sql.Column, name: String) =
+      li.groupBy(col("l_suppkey").as("suppkey"),
+                 year(col("l_shipdate")).cast("long").as("year"))
+        .agg(round(sum(measure), 4).as(name))
+        .withColumn("fetched_at", lit(batchTs))
+    Map(
+      "raw_revenue" -> upsertRaw(spark,
+        panel(li("l_extendedprice") * (lit(1) - li("l_discount")), "revenue"),
+        s"$workDir/raw_revenue"),
+      "raw_qty" -> upsertRaw(spark,
+        panel(li("l_quantity"), "qty"), s"$workDir/raw_qty"))
+  }
+
+  /** E2 transform: join the raw layers, drop incomplete rows, compute the
+    * window features, stamp cleaned_at, write the cleaned layer
+    * (transformer.py:58-154). The cleaned layer is a pure recomputation of
+    * its inputs, so idempotency = deterministic transform + overwrite. */
+  def transform(spark: SparkSession, workDir: String,
+                batchTs: java.sql.Timestamp): Long = {
+    val rev = spark.read.parquet(s"$workDir/raw_revenue")
+      .select(col("suppkey"), col("year"), col("revenue"))
+    val qty = spark.read.parquet(s"$workDir/raw_qty")
+      .select(col("suppkey"), col("year"), col("qty"))
+    val j = rev.join(qty, keys, "inner")
+      .filter(col("revenue").isNotNull && col("qty").isNotNull)
+    val cleaned = Panel.features(j, "suppkey", "year", Seq("revenue", "qty"))
+      .withColumn("cleaned_at", lit(batchTs))
+    atomicWrite(cleaned, s"$workDir/cleaned")
+    spark.read.parquet(s"$workDir/cleaned").count()
+  }
+
+  /** Full run: ingest + transform + row-count reconciliation summary
+    * (the reference's __main__ flows, database.py:185-207 +
+    * transformer.py:185-197). */
+  def run(spark: SparkSession, sfDir: String, workDir: String,
+          batchTs: java.sql.Timestamp): Map[String, Long] = {
+    val rawCounts = ingest(spark, sfDir, workDir, batchTs)
+    rawCounts + ("cleaned" -> transform(spark, workDir, batchTs))
+  }
+}

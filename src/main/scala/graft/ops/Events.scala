@@ -72,11 +72,66 @@ object Events {
       .filter(col("k").isNotNull)
       .orderBy(col("event_id"))
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user value totals spread across event-type columns — the
+    * reference's two-indicator-tables→one-wide-row reshape (transformer
+    * E2) generalized to N categories. One shuffle on user_id; the pivot
+    * columns are a map-side CASE fan-out. */
+  def pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(round(sum(col("value")), 4))
+      .orderBy(col("user_id"))
+
+  /** As-of join (the canonical operator Spark lacks natively): attach to
+    * every event the most recent prior purchase of the same user.
+    * Spark-first composition — no custom plan node needed: a conditional
+    * projection + last(ignoreNulls) over an unbounded-preceding window
+    * gives exactly ASOF-backward semantics in ONE window pass over one
+    * shuffle on the entity key. This is the scalable form: no range
+    * cross-join, no per-row probe. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("p_ts",
+        when(col("event_type") === "purchase", col("ts")))
+      .withColumn("p_value",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("last_purchase_ts", last(col("p_ts"), true).over(w))
+      .withColumn("last_purchase_value", last(col("p_value"), true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("last_purchase_ts"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Skew-resistant two-phase aggregation (salting): partial aggregate on
+    * (key, salt), then final aggregate on key. With a hot key (one
+    * event_type dominating), the salt spreads the partial agg across
+    * 16 reducers instead of one; results are salt-independent, so the
+    * oracle is the plain GROUP BY. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(hash(col("user_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+           round(sum(col("pv")), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (tumbling _),
     "events_sliding"  -> (sliding _),
     "events_session"  -> (sessionize _),
-    "events_json"     -> (jsonExtract _))
+    "events_json"     -> (jsonExtract _),
+    "events_pivot"    -> (pivot _),
+    "asof_join"       -> (asofJoin _),
+    "events_heavy"    -> (heavyHitters _))
 
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
@@ -128,5 +183,35 @@ object Events {
         |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |FROM events
         |WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |  ROUND(SUM(value) FILTER (event_type = 'click'), 4) AS click,
+        |  ROUND(SUM(value) FILTER (event_type = 'error'), 4) AS error,
+        |  ROUND(SUM(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+        |  ROUND(SUM(value) FILTER (event_type = 'signup'), 4) AS signup,
+        |  ROUND(SUM(value) FILTER (event_type = 'view'), 4) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         ts::TIMESTAMP AS ts_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN ts_us END
+        |               IGNORE NULLS) OVER w AS last_purchase_ts,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |               IGNORE NULLS) OVER w AS last_purchase_value
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, ts_us AS ts,
+        |       last_purchase_ts, last_purchase_value
+        |FROM m WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "events_heavy" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -99,12 +99,62 @@ object Relational {
       .drop("rn")
   }
 
+  /** Multi-way dimension join (TPC-H Q5 flavor): fact table joined through
+    * supplier/customer up the nation→region snowflake with a co-nation
+    * constraint. All dimension sides are broadcast (region 5 rows → nation
+    * 25 → supplier/customer small); the only shuffle is lineitem⋈orders on
+    * orderkey + the final 5-group agg. At 100 TB this is exactly the plan
+    * you want: one fact shuffle, everything else map-side. */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.t(spark, dir, "nation")
+    val s = Tables.t(spark, dir, "supplier")
+    val c = Tables.t(spark, dir, "customer")
+    val o = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val l = Tables.t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+                          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Rollup aggregation: per-(flag,status) revenue with subtotal and
+    * grand-total rows (NULL-marked) — the grouping-sets family. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Distinct aggregation: per-supplier distinct part/order counts —
+    * Catalyst expands this to a two-phase distinct-then-count plan. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_orderkey")).as("n_orders"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("l_suppkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg"     -> (q1Agg _),
-    "q3_topk"    -> (q3TopK _),
-    "scan_order" -> (scanOrder _),
-    "row_counts" -> (rowCounts _),
-    "upsert_lww" -> (upsertLww _))
+    "q1_agg"         -> (q1Agg _),
+    "q3_topk"        -> (q3TopK _),
+    "q5_join"        -> (q5Join _),
+    "rollup_revenue" -> (rollupRevenue _),
+    "distinct_agg"   -> (distinctAgg _),
+    "scan_order"     -> (scanOrder _),
+    "row_counts"     -> (rowCounts _),
+    "upsert_lww"     -> (upsertLww _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -133,6 +183,34 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "distinct_agg" ->
+      """SELECT l_suppkey,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "scan_order" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     "row_counts" ->

@@ -20,9 +20,16 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in double
-    * via codegen'd higher-order functions (no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two float-array columns: the native
+    * codegen'd expression (graft.functions.CosineSimilarity) — one fused
+    * loop, no per-row array allocation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
+
+  /** Composable reference formulation via higher-order functions — kept as
+    * the executable spec of `cosine` (bit-identical accumulation order;
+    * equivalence asserted in TextSimilaritySpec). */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),

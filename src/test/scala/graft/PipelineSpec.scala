@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** End-to-end pipeline orchestration: ingest → raw upsert → transform →
+  * cleaned, idempotent re-runs, update-wins merge. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("full run materializes raw + cleaned layers with reconciled counts") {
+    val work = Files.createTempDirectory("graft_pipe").toString
+    val counts = Pipeline.run(spark, sf, work, ts("2026-01-01 00:00:00"))
+    assert(counts("raw_revenue") > 0)
+    assert(counts("raw_revenue") === counts("raw_qty"))
+    assert(counts("cleaned") === counts("raw_revenue")) // 1:1 join, no nulls
+    val cleaned = spark.read.parquet(s"$work/cleaned")
+    assert(cleaned.columns.toSet === Set("suppkey", "year", "revenue", "qty",
+      "revenue_lag1", "revenue_roll5", "qty_roll5", "cleaned_at"))
+  }
+
+  test("re-running the same batch converges (idempotent upsert)") {
+    val work = Files.createTempDirectory("graft_pipe").toString
+    Pipeline.run(spark, sf, work, ts("2026-01-01 00:00:00"))
+    val first = spark.read.parquet(s"$work/cleaned")
+      .drop("cleaned_at").orderBy("suppkey", "year").collect().toSeq
+    Pipeline.run(spark, sf, work, ts("2026-01-02 00:00:00"))
+    val second = spark.read.parquet(s"$work/cleaned")
+      .drop("cleaned_at").orderBy("suppkey", "year").collect().toSeq
+    assert(first === second)
+  }
+
+  test("a fresher batch updates conflicting keys and keeps the rest") {
+    val work = Files.createTempDirectory("graft_pipe").toString
+    Pipeline.run(spark, sf, work, ts("2026-01-01 00:00:00"))
+    // hand-crafted second batch for one existing key and one new key
+    val patch = Seq((0L, 1995L, 123.4567), (9999L, 1995L, 1.0))
+      .toDF("suppkey", "year", "revenue")
+      .withColumn("fetched_at",
+        org.apache.spark.sql.functions.lit(ts("2026-02-01 00:00:00")))
+    Pipeline.upsertRaw(spark, patch, s"$work/raw_revenue")
+    val raw = spark.read.parquet(s"$work/raw_revenue")
+    assert(raw.filter($"suppkey" === 0 && $"year" === 1995)
+      .head().getAs[Double]("revenue") === 123.4567)
+    assert(raw.filter($"suppkey" === 9999).count() === 1)
+    // stale batch does NOT win
+    val stale = Seq((0L, 1995L, 9.9)).toDF("suppkey", "year", "revenue")
+      .withColumn("fetched_at",
+        org.apache.spark.sql.functions.lit(ts("2025-01-01 00:00:00")))
+    Pipeline.upsertRaw(spark, stale, s"$work/raw_revenue")
+    assert(spark.read.parquet(s"$work/raw_revenue")
+      .filter($"suppkey" === 0 && $"year" === 1995)
+      .head().getAs[Double]("revenue") === 123.4567)
+  }
+}

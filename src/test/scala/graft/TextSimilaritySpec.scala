@@ -40,6 +40,26 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(r.getLong(3) === 2) // !, ?
   }
 
+  test("native codegen cosine == higher-order-function cosine, bitwise, " +
+       "on the real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.limit(20).select(col("vec_id").as("qid"),
+                               col("embedding").as("qe"))
+    val diff = q.crossJoin(e)
+      .select(Similarity.cosine(col("qe"), col("embedding")).as("nat"),
+              Similarity.cosineHof(col("qe"), col("embedding")).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("cosine_sim is registered for SQL text") {
+    graft.functions.GraftFunctions.register(spark)
+    val one = spark.sql(
+      "SELECT cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS s")
+      .head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
       .toDF("a", "b", "c")
