@@ -70,8 +70,23 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: expand each media payload into per-frame rows
+    * (frame index, byte offset, timestamp) — the generator shape a video
+    * pipeline needs before per-frame feature extraction. posexplode over
+    * a sequence; fan-out happens map-side before any shuffle. */
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    meta(spark, dir)
+      .select(col("doc_id"), col("frames"),
+        posexplode(sequence(lit(0L), col("frames") - 1)))
+      .select(col("doc_id"),
+              col("col").as("frame_idx"),
+              (col("col") * 4096).as("byte_offset"),
+              round(col("col") / lit(24.0) + 1e-9, 4).as("frame_ts"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> (meta _))
+    "mm_meta"   -> (meta _),
+    "mm_frames" -> (frames _))
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
@@ -83,5 +98,16 @@ object Multimodal {
         |  64 + octet_length(payload)::BIGINT * 13 % 512 AS height,
         |  CAST(FLOOR(octet_length(payload) / 4096.0) AS BIGINT) + 1 AS frames,
         |  substring(md5(decode(payload)), 1, 8) AS chunk_id
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(octet_length(encode(text)) / 4096.0) AS BIGINT) + 1
+        |      AS frames
+        |  FROM documents)
+        |SELECT doc_id, f AS frame_idx, f * 4096 AS byte_offset,
+        |       ROUND(f / 24.0 + 1e-9, 4) AS frame_ts
+        |FROM t CROSS JOIN LATERAL (
+        |  SELECT unnest(generate_series(0, frames - 1)) AS f) u
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

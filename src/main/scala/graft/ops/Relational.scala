@@ -126,6 +126,19 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Pure scan-filter-aggregate (TPC-H Q6 flavor): the pushdown showcase —
+    * every predicate reaches the parquet reader, the aggregate is a single
+    * map-side partial + scalar final. */
+  def q6Filter(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.02, 0.04) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_rows"))
+
   /** Rollup aggregation: per-(flag,status) revenue with subtotal and
     * grand-total rows (NULL-marked) — the grouping-sets family. */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -150,6 +163,7 @@ object Relational {
     "q1_agg"         -> (q1Agg _),
     "q3_topk"        -> (q3TopK _),
     "q5_join"        -> (q5Join _),
+    "q6_filter"      -> (q6Filter _),
     "rollup_revenue" -> (rollupRevenue _),
     "distinct_agg"   -> (distinctAgg _),
     "scan_order"     -> (scanOrder _),
@@ -197,6 +211,14 @@ object Relational {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_filter" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,

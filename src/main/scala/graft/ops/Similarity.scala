@@ -86,9 +86,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * of C=16 centroid cells (inverted lists); search only probes the
+    * query's own cell. Centroids here are the 16 lowest-id vectors — a
+    * deterministic stand-in for a k-means codebook (training the codebook
+    * is offline work; the SEARCH dataflow is what must scale). Shape at
+    * 100 TB: centroids broadcast (assignment is map-side), corpus shuffles
+    * once on cell id, per-cell candidate scoring via hash join — work is
+    * |corpus|²/C instead of |corpus|². */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("embedding"), col("cent")), 6))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
+    val q = assigned.select(col("cell"), col("vec_id").as("query_id"),
+                            col("embedding").as("q_emb"))
+    val c = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+                            col("embedding").as("n_emb"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rnk", row_number().over(byQuery).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> (topKBrute _),
-    "sim_ann_lsh"    -> (annLsh _))
+    "sim_ann_lsh"    -> (annLsh _),
+    "sim_ann_ivf"    -> (annIvf _))
 
   /** DuckDB cosine written out explicitly (dot/(|a||b|) in double) so the
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
@@ -120,6 +155,30 @@ object Similarity {
          |  FROM p)
          |SELECT query_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT cell, vec_id, embedding FROM (
+         |    SELECT c.cent_id AS cell, e.vec_id, e.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
+         |        AS crn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE crn = 1),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM asg a JOIN asg b ON a.cell = b.cell
+         |  WHERE a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |    AS BIGINT) AS rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $duckBucket AS bucket
