@@ -20,14 +20,21 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word 3-shingles of a text column (distinct-ness handled by callers). */
-  def shingles(text: Column): Column = {
-    val toks = split(text, "\\s+")
+  /** Composable 3-shingle formulation over a MATERIALIZED token-array
+    * column — kept as the executable spec of the native
+    * graft.functions.Shingles expression (equivalence asserted in
+    * DedupSpec). `toks` must be a bound attribute: higher-order lambdas
+    * get no subexpression elimination, so an inline split() would re-run
+    * the regex per emitted shingle. */
+  def shinglesHof(text: Column, toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2),
         i => array_join(slice(toks, i, lit(3)), " ")))
       .otherwise(array(text))
-  }
+
+  /** Distinct word 3-shingles — native single-pass expression. */
+  def shingles(text: Column): Column =
+    graft.functions.Shingles.shingles(text, 3)
 
   private val seeds = Seq("s0", "s1", "s2", "s3")
 
@@ -100,9 +107,9 @@ object Dedup {
     * overwhelming majority — never exist). Threshold > 0 makes the
     * zero-overlap exclusion semantics-preserving vs the oracle. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Shingles() emits the distinct set directly — no array_distinct pass.
     val d = Tables.spread(Tables.t(spark, dir, "documents"))
-      .select(col("doc_id"), col("source"),
-              array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
     val ex = d.select(col("doc_id"), col("source"),
                       size(col("sh")).as("n"), explode(col("sh")).as("s"))
     // Group-then-emit instead of a self-join: one shuffle on

@@ -26,6 +26,20 @@ class DedupSpec extends AnyFunSuite {
       (6L, base.replace("delta", "DELTA") + " omega", "en", "src0"))
       .toDF("doc_id", "text", "lang", "source")))
 
+  test("native Shingles expression == composable HOF shingle chain " +
+       "(as sets) on the real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("toks", split(col("text"), "\\s+"))
+    val diff = docs.select(
+        array_sort(Dedup.shingles(col("text"))).as("nat"),
+        array_sort(array_distinct(
+          Dedup.shinglesHof(col("text"), col("toks")))).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("exact dedup keeps the first writer of identical text") {
     val ids = Dedup.exact(spark, dir).collect().map(_.getLong(0)).toSet
     assert(ids.contains(0L) && !ids.contains(1L))
