@@ -35,6 +35,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState running totals equal the batch aggregate") {
+    val q = EventStream.runningUserStats(spark, "/root/testdata/sf0.001")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_state").start()
+    try {
+      q.processAllAvailable()
+      // last emitted row per user = final running total
+      val got = spark.table("stream_state")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy(col("user_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming session windows cover every event exactly once") {
     val q = EventStream.sessions(spark, "/root/testdata/sf0.001")
       .writeStream.outputMode("append")
