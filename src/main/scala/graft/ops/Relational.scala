@@ -159,7 +159,25 @@ object Relational {
            count(lit(1)).as("n_lines"))
       .orderBy(col("l_suppkey"))
 
+  /** Exact ordered-set aggregation: linear-interpolated percentiles per
+    * group (+1e-9 decimal-tie break, see q1Agg). Exact percentile sorts
+    * within each group — for 100 TB hot paths approx_percentile's
+    * mergeable sketch is the swap-in; the exact form is what the oracle
+    * can check. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)) + 1e-9, 4)
+          .as("p50_price"),
+        round(percentile(col("l_extendedprice"), lit(0.9)) + 1e-9, 4)
+          .as("p90_price"),
+        round(percentile(col("l_quantity"), lit(0.5)) + 1e-9, 4)
+          .as("p50_qty"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "percentiles"    -> (percentiles _),
     "q1_agg"         -> (q1Agg _),
     "q3_topk"        -> (q3TopK _),
     "q5_join"        -> (q5Join _),
@@ -211,6 +229,13 @@ object Relational {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS p50_price,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4) AS p90_price,
+        |  ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS p50_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q6_filter" ->
       """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
         |       COUNT(*) AS n_rows

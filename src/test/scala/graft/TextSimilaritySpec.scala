@@ -93,6 +93,34 @@ class TextSimilaritySpec extends AnyFunSuite {
     shared.foreach(k => assert(brute(k) === ann(k)))
   }
 
+  test("TopKAggregator (bounded-heap partial agg) == window row_number " +
+       "top-k on the real fixture") {
+    import graft.functions.TopKAggregator
+    val window = Similarity.topKBrute(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val agg = q.crossJoin(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        round(Similarity.cosine(col("q_emb"), col("n_emb")), 6).as("sim"),
+        col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(5)(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+              col("col").getField("_2").as("neighbor_id"),
+              col("col").getField("_1").as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(agg === window)
+  }
+
   test("multimodal decodeBatch (typed mapPartitions stub) agrees with the " +
        "columnar meta query") {
     val cols = Multimodal.meta(spark, docsDir).collect()
