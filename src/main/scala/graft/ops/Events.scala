@@ -124,7 +124,38 @@ object Events {
            round(sum(col("pv")), 4).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Range (interval) join: ordered event pairs of the same user within a
+    * 5-minute horizon. Spark-first scalable form: band-bucket the time
+    * axis (bucket = ts div 300s), explode the probe side into its two
+    * candidate buckets, hash-join on (user, bucket), then apply the exact
+    * range predicate — turns an O(n²) theta join into an equi-join whose
+    * cost is Σ bucket-pair sizes. The oracle states the same relation as
+    * the naive non-equi join. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              unix_micros(col("ts")).as("us"))
+    val horizon = 300000000L // 5 min in µs
+    val a = e.select(col("event_id").as("id_a"), col("user_id"),
+                     col("us").as("us_a"),
+        explode(array(expr(s"us div $horizon"),
+                      expr(s"us div $horizon") + 1)).as("bucket"))
+    val b = e.select(col("event_id").as("id_b"), col("user_id"),
+                     col("us").as("us_b"),
+        expr(s"us div $horizon").as("bucket"))
+    // each build row owns exactly one bucket, so a pair matches through
+    // exactly one of the probe's two candidate buckets — no dedup needed
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("us_b") >= col("us_a") &&
+              col("us_b") <= col("us_a") + horizon &&
+              col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("user_id"),
+              (col("us_b") - col("us_a")).as("gap_us"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join"      -> (rangeJoin _),
     "events_tumbling" -> (tumbling _),
     "events_sliding"  -> (sliding _),
     "events_session"  -> (sessionize _),
@@ -213,5 +244,15 @@ object Events {
     "events_heavy" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts_us FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id,
+        |       epoch_us(b.ts_us) - epoch_us(a.ts_us) AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts_us >= a.ts_us
+        |  AND epoch_us(b.ts_us) - epoch_us(a.ts_us) <= 300000000
+        |  AND a.event_id <> b.event_id
+        |ORDER BY id_a, id_b""".stripMargin)
 }

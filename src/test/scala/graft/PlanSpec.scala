@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Panel, Relational, Similarity}
+
+/** Physical-plan regression checks: the properties that make these
+  * queries scale are asserted, not assumed — a refactor that silently
+  * drops a pushdown or broadcasts nothing fails here. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate predicate reaches the parquet scan; unused " +
+       "columns pruned") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "q1 reads columns it never uses")
+  }
+
+  test("q3_topk: dimension side broadcast, top-k via TakeOrderedAndProject " +
+       "(no global sort)") {
+    val p = plan(Relational.q3TopK(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.split("TakeOrderedAndProject")(0).contains("Sort "),
+      "top-k should not globally sort")
+  }
+
+  test("q5_join: every dimension joins as broadcast — only the fact " +
+       "table shuffles") {
+    val p = plan(Relational.q5Join(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 3, s"too many shuffles for a snowflake join: $shuffles")
+  }
+
+  test("pipeline_cleaned: all window features compute in ONE Window pass") {
+    val p = plan(Panel.pipelineCleaned(spark, sf))
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows === 1, s"expected 1 WindowExec, got $windows:\n$p")
+  }
+
+  test("sim_topk_brute: probe side broadcast (nested-loop), corpus never " +
+       "shuffles before scoring") {
+    val p = plan(Similarity.topKBrute(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q6_filter: all three predicates pushed") {
+    // plan toString truncates PushedFilters — read the scan metadata
+    val pushed = Relational.q6Filter(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata("PushedFilters")
+      }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"))
+    assert(pushed.contains("LessThan(l_quantity"))
+  }
+}
