@@ -87,16 +87,20 @@ object Similarity {
   }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
-    * of C=16 centroid cells (inverted lists); search only probes the
-    * query's own cell. Centroids here are the 16 lowest-id vectors — a
-    * deterministic stand-in for a k-means codebook (training the codebook
-    * is offline work; the SEARCH dataflow is what must scale). Shape at
-    * 100 TB: centroids broadcast (assignment is map-side), corpus shuffles
-    * once on cell id, per-cell candidate scoring via hash join — work is
-    * |corpus|²/C instead of |corpus|². */
+    * centroid cell (inverted lists); search only probes the query's own
+    * cell. The codebook size scales with the corpus — C = ⌈√N⌉ — so
+    * in-cell scoring is N²/C = N^1.5, the standard IVF balance; a FIXED C
+    * would degrade quadratically as the corpus grows (measured 9× on a
+    * 10× scale-up before this). Centroids are the C lowest-id vectors — a
+    * deterministic stand-in for a k-means codebook (codebook training is
+    * offline; the SEARCH dataflow is what must scale). Shape at 100 TB:
+    * centroids broadcast (assignment is map-side), corpus shuffles once
+    * on cell id, per-cell candidate scoring via hash join. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-    val cents = e.filter(col("vec_id") < 16)
+    val nCents = math.ceil(math.sqrt(
+      Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
+    val cents = e.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
@@ -158,7 +162,9 @@ object Similarity {
     "sim_ann_ivf" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent
-         |  FROM embeddings WHERE vec_id < 16),
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+         |                  FROM embeddings)),
          |asg AS (
          |  SELECT cell, vec_id, embedding FROM (
          |    SELECT c.cent_id AS cell, e.vec_id, e.embedding,
