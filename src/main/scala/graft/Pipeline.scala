@@ -28,8 +28,9 @@ object Pipeline {
 
   private val keys = Seq("suppkey", "year")
 
-  /** Atomic overwrite: write to `<path>.tmp`, then swap directories. */
-  private def atomicWrite(df: DataFrame, path: String): Unit = {
+  /** Atomic overwrite: write to `<path>.tmp`, then swap directories.
+    * Public — also the commit step for streaming foreachBatch sinks. */
+  def atomicWrite(df: DataFrame, path: String): Unit = {
     val tmp = path + ".tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = Paths.get(path)

@@ -176,7 +176,68 @@ object Relational {
           .as("p50_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Semi/anti join family (EXISTS / NOT EXISTS): segment customers by
+    * whether they have an urgent order. Semi/anti never materialize the
+    * probe side's columns — at scale the build side ships only its key. */
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+    val urgent = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val has = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+        "left_semi")
+      .select(lit("has_urgent").as("segment"), col("c_custkey"))
+    val not = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+        "left_anti")
+      .select(lit("no_urgent").as("segment"), col("c_custkey"))
+    has.unionByName(not).orderBy(col("segment"), col("c_custkey"))
+  }
+
+  /** Outer join with null-fill: per-customer order stats keeping
+    * order-less customers (LEFT JOIN + coalesce-to-zero). */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+    val o = Tables.t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("t"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"),
+              coalesce(col("n"), lit(0L)).as("n_orders"),
+              round(coalesce(col("t"), lit(0.0)), 4).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Scalar string-function family over customer/part attributes. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_brand")).cast("long").as("brand_len"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_last_word"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(lower(col("p_name"))).as("name_norm"))
+      .orderBy(col("p_partkey"))
+
+  /** Scalar date/time-function family over orders. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-01-01").cast("date"),
+                 col("o_orderdate").cast("date")).cast("long")
+          .as("days_to_1998"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_semi_anti" -> (joinSemiAnti _),
+    "join_outer"     -> (joinOuter _),
+    "string_funcs"   -> (stringFuncs _),
+    "date_funcs"     -> (dateFuncs _),
     "percentiles"    -> (percentiles _),
     "q1_agg"         -> (q1Agg _),
     "q3_topk"        -> (q3TopK _),
@@ -229,6 +290,43 @@ object Relational {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT 'has_urgent' AS segment, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'no_urgent' AS segment, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY segment, c_custkey""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey,
+        |  COALESCE(n, 0) AS n_orders,
+        |  ROUND(COALESCE(t, 0.0), 4) AS total_spend
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS t
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  CAST(length(p_brand) AS BIGINT) AS brand_len,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last_word,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  trim(lower(p_name)) AS name_norm
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  EXTRACT(year FROM o_orderdate) AS y,
+        |  EXTRACT(month FROM o_orderdate) AS m,
+        |  EXTRACT(day FROM o_orderdate) AS d,
+        |  EXTRACT(quarter FROM o_orderdate) AS q,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS days_to_1998
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS p50_price,

@@ -29,7 +29,8 @@ object EventStream {
     * source only accepts directories (a real deployment streams a
     * directory of arriving files); a single-file fixture is staged into a
     * temp dir via symlink. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 filesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = java.nio.file.Paths.get(dir, "events.parquet")
     val streamDir =
@@ -39,8 +40,10 @@ object EventStream {
           d.resolve("events.parquet"), p)
         d.toString
       } else p.toString
-    spark.readStream.schema(rawSchema)
-      .parquet(streamDir)
+    val reader = spark.readStream.schema(rawSchema)
+    filesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(streamDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
