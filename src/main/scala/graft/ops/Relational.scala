@@ -233,7 +233,36 @@ object Relational {
           .as("days_to_1998"))
       .orderBy(col("o_orderkey"))
 
+  /** Set-operation family: customers active in 1996 INTERSECT/EXCEPT
+    * those active in 1997 (both compile to aggregate/join shapes — no
+    * dedicated shuffle machinery needed). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    def active(y: Int) = Tables.t(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("c"))
+    val both = active(1996).intersect(active(1997))
+      .select(lit("both_years").as("segment"), col("c"))
+    val only96 = active(1996).except(active(1997))
+      .select(lit("only_1996").as("segment"), col("c"))
+    both.unionByName(only96).orderBy(col("segment"), col("c"))
+  }
+
+  /** Sketch aggregates (HLL distinct + quantile sketch): rows-only check —
+    * sketch estimates are engine-specific, so no DuckDB hash parity; the
+    * exact twins (distinct_agg, percentiles) are the oracle-checked
+    * versions. At 100 TB these mergeable sketches replace their exact
+    * twins on hot paths. */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("nd_parts"),
+           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+             .as("p50_price_approx"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_ops"        -> (setOps _),
+    "approx_sketch"  -> (approxSketches _),
     "join_semi_anti" -> (joinSemiAnti _),
     "join_outer"     -> (joinOuter _),
     "string_funcs"   -> (stringFuncs _),
@@ -290,6 +319,22 @@ object Relational {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "set_ops" ->
+      """SELECT 'both_years' AS segment, c FROM (
+        |  SELECT DISTINCT o_custkey AS c FROM orders
+        |  WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey AS c FROM orders
+        |  WHERE EXTRACT(year FROM o_orderdate) = 1997)
+        |UNION ALL
+        |SELECT 'only_1996' AS segment, c FROM (
+        |  SELECT DISTINCT o_custkey AS c FROM orders
+        |  WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey AS c FROM orders
+        |  WHERE EXTRACT(year FROM o_orderdate) = 1997)
+        |ORDER BY segment, c""".stripMargin,
+    // approx_sketch: intentionally no oracle — engine-specific sketches
     "join_semi_anti" ->
       """SELECT 'has_urgent' AS segment, c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
