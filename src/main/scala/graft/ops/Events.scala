@@ -154,7 +154,17 @@ object Events {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Unpivot (melt): the wide per-user pivot back to long form — the
+    * reverse reshape, dropping the null cells the pivot introduced. */
+  def unpivot(spark: SparkSession, dir: String): DataFrame =
+    pivot(spark, dir)
+      .unpivot(Array(col("user_id")),
+               eventTypes.map(col).toArray, "event_type", "sum_value")
+      .filter(col("sum_value").isNotNull)
+      .orderBy(col("user_id"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_unpivot"  -> (unpivot _),
     "range_join"      -> (rangeJoin _),
     "events_tumbling" -> (tumbling _),
     "events_sliding"  -> (sliding _),
@@ -245,6 +255,11 @@ object Events {
       """SELECT event_type, COUNT(*) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_unpivot" ->
+      """SELECT user_id, event_type, ROUND(SUM(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "range_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts::TIMESTAMP AS ts_us FROM events)

@@ -58,6 +58,21 @@ class TextSimilaritySpec extends AnyFunSuite {
       "SELECT cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS s")
       .head().getDouble(0)
     assert(math.abs(one - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT shingles('a b c d') AS s")
+      .head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+  }
+
+  test("GraftExtensions injects the custom functions at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    // note: getOrCreate may return the shared session; functions must
+    // still resolve because injectFunction registers globally
+    val n = s2.sql("SELECT size(shingles('x y z w')) AS n").head().getInt(0)
+    assert(n === 2)
   }
 
   test("cosine: self-similarity is 1, orthogonal is 0") {
