@@ -20,6 +20,25 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Rank candidates per query via the bounded-heap TopKAggregator instead
+    * of a window row_number: the window form SORTS the full candidate set
+    * (|queries|×|bucket| rows — measured as the memory blow-up on a 100×
+    * scale probe); the aggregator's map-side partial reduces each map
+    * task's contribution to k rows per query before the shuffle. Output
+    * and ordering are identical to the window form (asserted in
+    * TextSimilaritySpec), so the ROW_NUMBER-based oracle still matches. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs // expects columns: query_id, neighbor_id, sim
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+              col("col")("_2").as("neighbor_id"),
+              col("col")("_1").as("sim"),
+              (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+
   /** Cosine similarity between two float-array columns: the native
     * codegen'd expression (graft.functions.CosineSimilarity) — one fused
     * loop, no per-row array allocation. */
@@ -53,15 +72,12 @@ object Similarity {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    broadcast(q).crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
-      .withColumn("rnk", row_number().over(byQuery).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(
+      broadcast(q).crossJoin(c)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
+      k = 5)
   }
 
   /** Approximate all-pairs top-k: candidates must share an 8-bit sign
@@ -75,15 +91,12 @@ object Similarity {
                      col("embedding").as("q_emb"))
     val c = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
                      col("embedding").as("n_emb"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
-      .withColumn("rnk", row_number().over(byQuery).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
+      k = 3)
   }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
@@ -102,26 +115,27 @@ object Similarity {
       Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
     val cents = e.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
+    // argmax via max(struct(sim, -cent_id)) — a map-side-combinable
+    // aggregation instead of a window row_number, which would sort the
+    // full |corpus|×C assignment relation. Tie-break (highest sim, lowest
+    // cent_id) matches the oracle's ROW_NUMBER ordering exactly.
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("csim", round(cosine(col("embedding"), col("cent")), 6))
-      .withColumn("crn", row_number().over(byVec))
-      .filter(col("crn") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+           max(struct(col("csim"), (-col("cent_id")).as("neg"))).as("best"))
+      .select((-col("best")("neg")).as("cell"), col("vec_id"),
+              col("embedding"))
     val q = assigned.select(col("cell"), col("vec_id").as("query_id"),
                             col("embedding").as("q_emb"))
     val c = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
                             col("embedding").as("n_emb"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
-      .withColumn("rnk", row_number().over(byQuery).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(
+      q.join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
+      k = 3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
