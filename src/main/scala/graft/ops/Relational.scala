@@ -260,7 +260,26 @@ object Relational {
              .as("p50_price_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** SQL-text front: the same engine consumed as SQL over registered
+    * views (plus the custom cosine_sim/shingles functions registered in
+    * the session) — identical Catalyst plans to the DataFrame API. */
+  def sqlText(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    Tables.t(spark, dir, "documents").createOrReplaceTempView("documents_v")
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(
+      """SELECT l.l_returnflag,
+        |       ROUND(SUM(l.l_quantity), 4) AS sum_qty,
+        |       COUNT(*) AS n_rows,
+        |       (SELECT CAST(SUM(size(shingles(text))) AS BIGINT)
+        |        FROM documents_v) AS total_shingles
+        |FROM lineitem_v l
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_text"       -> (sqlText _),
     "set_ops"        -> (setOps _),
     "approx_sketch"  -> (approxSketches _),
     "join_semi_anti" -> (joinSemiAnti _),
@@ -319,6 +338,21 @@ object Relational {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "sql_text" -> {
+      val duckShingleCount =
+        """SELECT CAST(SUM(len(list_distinct(CASE WHEN len(toks) >= 3
+          |  THEN list_transform(generate_series(1, len(toks) - 2),
+          |       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+          |  ELSE [text] END))) AS BIGINT)
+          |FROM (SELECT text, string_split_regex(text, '\s+') AS toks
+          |      FROM documents)""".stripMargin
+      s"""SELECT l_returnflag,
+         |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+         |  COUNT(*) AS n_rows,
+         |  ($duckShingleCount) AS total_shingles
+         |FROM lineitem
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
     "set_ops" ->
       """SELECT 'both_years' AS segment, c FROM (
         |  SELECT DISTINCT o_custkey AS c FROM orders
