@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Shingles}
+import graft.functions.{CosineSimilarity, GraftFunctions, Shingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions at session build time —
@@ -20,10 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => GraftFunctions.buildCosine(args)))
     e.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
-      (args: Seq[Expression]) => Shingles(args.head, 3)))
+      (args: Seq[Expression]) => GraftFunctions.buildShingles(args)))
   }
 }

@@ -28,14 +28,32 @@ object Pipeline {
 
   private val keys = Seq("suppkey", "year")
 
-  /** Atomic overwrite: write to `<path>.tmp`, then swap directories.
+  /** Atomic overwrite: write to `<path>.tmp`, rename the live dir aside to
+    * `<path>.old`, move tmp into place, then delete the old copy. At no
+    * point is the live path absent together with its data: a crash before
+    * the tmp→live move leaves `<path>.old` holding the prior dataset,
+    * which `restoreIfCrashed` rolls back on the next read — so a partial
+    * swap can never make upsertRaw treat incoming as the full dataset.
     * Public — also the commit step for streaming foreachBatch sinks. */
   def atomicWrite(df: DataFrame, path: String): Unit = {
-    val tmp = path + ".tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val tmp = Paths.get(path + ".tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val target = Paths.get(path)
-    if (Files.exists(target)) deleteRec(target)
-    Files.move(Paths.get(tmp), target)
+    val old = Paths.get(path + ".old")
+    if (Files.exists(old)) deleteRec(old) // leftover from a prior crash
+    val hadTarget = Files.exists(target)
+    if (hadTarget) Files.move(target, old)
+    Files.move(tmp, target)
+    if (hadTarget) deleteRec(old)
+  }
+
+  /** Crash recovery for atomicWrite: if a crash happened between the
+    * aside-rename and the tmp→live move, the live path is missing but
+    * `<path>.old` still holds the last committed dataset — restore it. */
+  def restoreIfCrashed(path: String): Unit = {
+    val target = Paths.get(path)
+    val old = Paths.get(path + ".old")
+    if (!Files.exists(target) && Files.exists(old)) Files.move(old, target)
   }
 
   private def deleteRec(p: Path): Unit =
@@ -45,6 +63,7 @@ object Pipeline {
   /** K2: keyed batch upsert into a raw layer path (ON CONFLICT DO UPDATE
     * semantics — database.py:119-138). */
   def upsertRaw(spark: SparkSession, incoming: DataFrame, path: String): Long = {
+    restoreIfCrashed(path)
     val merged =
       if (Files.exists(Paths.get(path))) {
         val existing = spark.read.parquet(path)

@@ -27,13 +27,24 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Conf that lets Spark's parquet reader accept INT64 TIMESTAMP(NANOS)
+    * columns (as raw longs). Set at session build (Verify/Bench/TestSpark
+    * all do); `ensureNanosAsLong` is the guarded fallback for externally
+    * built sessions — it mutates only when the flag is absent, never as a
+    * routine side effect of building a query. */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(NanosAsLongKey).contains("true"))
+      spark.conf.set(NanosAsLongKey, "true")
+
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
     * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Sanctioned path: read
     * nanos as long (spark.sql.legacy.parquet.nanosAsLong) and floor-convert
     * to microseconds — DuckDB's TIMESTAMP_NS→TIMESTAMP cast floors
     * identically, so oracle parity holds. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

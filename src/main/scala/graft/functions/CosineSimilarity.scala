@@ -74,20 +74,53 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.graft.ColumnBridge
+  import org.apache.spark.sql.types.IntegerType
 
   /** Column-level handle on the native expression. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** SQL registration: makes cosine_sim(a, b) / shingles(t) usable in
+  private def wrongArgs(fn: String, expected: String, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$fn`", "expectedNum" -> expected,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Arity-validated SQL builders, shared by the per-session registration
+    * below and the session-build GraftExtensions route — a wrong argument
+    * count is a parse-time AnalysisException, never a silent drop. */
+  private[graft] def buildCosine(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case _         => wrongArgs("cosine_sim", "2", args.length)
+    }
+
+  /** shingles(text) → k=3; shingles(text, k) with an integer literal k. */
+  private[graft] def buildShingles(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(text) => Shingles(text, 3)
+      case Seq(text, Literal(k: Int, IntegerType)) => Shingles(text, k)
+      case Seq(_, other) =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> "`shingles`", "paramName" -> "`k`",
+            "paramType" -> "\"INT\""))
+      case _ => wrongArgs("shingles", "[1, 2]", args.length)
+    }
+
+  /** SQL registration: makes cosine_sim(a, b) / shingles(t[, k]) usable in
     * spark.sql text on an existing session (GraftExtensions is the
     * build-time route). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "cosine_sim", buildCosine _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles", exprs => Shingles(exprs.head, 3), "scala_udf")
+      "shingles", buildShingles _, "scala_udf")
   }
 }

@@ -35,7 +35,10 @@ object Ingest {
       when(col("event_id") % 11 === 0, lit("xx"))
         .otherwise((lit(2000) + col("user_id") % 24).cast("string")),
       lit("""","value":"""),
-      col("value").cast("string"),
+      // A null measure must survive as JSON null — the reference keeps
+      // value=None rows (database.py:96-113); a bare null here would null
+      // the whole concat and silently drop the record.
+      coalesce(col("value").cast("string"), lit("null")),
       lit("}"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "countryiso3code STRING, country STRUCT<id: STRING>, date STRING, value DOUBLE")

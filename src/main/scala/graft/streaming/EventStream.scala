@@ -25,20 +25,37 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Staged stream dirs, one per source file — repeated readEvents calls
+    * on the same fixture reuse a single symlink dir instead of leaking a
+    * temp dir per call; all are removed on JVM exit. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  sys.addShutdownHook {
+    stagedDirs.values.forEach { d =>
+      val dir = java.nio.file.Paths.get(d)
+      try {
+        java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(dir)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Unbounded read of the events fixture (file-stream source). The file
     * source only accepts directories (a real deployment streams a
     * directory of arriving files); a single-file fixture is staged into a
-    * temp dir via symlink. */
+    * temp dir via symlink (cached, cleaned up at exit). */
   def readEvents(spark: SparkSession, dir: String,
                  filesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark)
     val p = java.nio.file.Paths.get(dir, "events.parquet")
     val streamDir =
       if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve("events.parquet"), p)
-        d.toString
+        stagedDirs.computeIfAbsent(p.toString, { _ =>
+          val d = java.nio.file.Files.createTempDirectory("graft_stream")
+          java.nio.file.Files.createSymbolicLink(
+            d.resolve("events.parquet"), p)
+          d.toString
+        })
       } else p.toString
     val reader = spark.readStream.schema(rawSchema)
     filesPerTrigger.foreach(n =>

@@ -57,4 +57,23 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"suppkey" === 0 && $"year" === 1995)
       .head().getAs[Double]("revenue") === 123.4567)
   }
+
+  test("a crash between swap steps never loses the committed dataset") {
+    val work = Files.createTempDirectory("graft_pipe").toString
+    val path = s"$work/raw_revenue"
+    val batch = Seq((1L, 2000L, 10.0)).toDF("suppkey", "year", "revenue")
+      .withColumn("fetched_at",
+        org.apache.spark.sql.functions.lit(ts("2026-01-01 00:00:00")))
+    Pipeline.upsertRaw(spark, batch, path)
+    // simulate a crash after the aside-rename, before tmp→live: the live
+    // dir is gone but <path>.old still holds the committed data
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".old"))
+    val next = Seq((2L, 2000L, 20.0)).toDF("suppkey", "year", "revenue")
+      .withColumn("fetched_at",
+        org.apache.spark.sql.functions.lit(ts("2026-01-02 00:00:00")))
+    Pipeline.upsertRaw(spark, next, path)
+    // prior rows were restored and merged — not silently dropped
+    assert(spark.read.parquet(path).count() === 2)
+  }
 }

@@ -63,6 +63,21 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(sh === Seq("a b c", "b c d"))
   }
 
+  test("shingles SQL arity: k argument is honored, bad arity fails at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    val sh2 = spark.sql("SELECT shingles('a b c d', 2) AS s")
+      .head().getSeq[String](0)
+    assert(sh2 === Seq("a b", "b c", "c d"))
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingles('a', 2, 3)").collect()
+    }
+    assert(e1.getMessage.contains("shingles"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1.0f))").collect()
+    }
+    assert(e2.getMessage.contains("cosine_sim"))
+  }
+
   test("GraftExtensions injects the custom functions at session build") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
