@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level retrieval / curation operators over `documents` — the
+  * term-statistics family a training-data pipeline needs beyond per-row
+  * text features (ops.Text): TF-IDF term extraction, BM25 retrieval
+  * scoring, inverted-index construction, deterministic stratified
+  * sampling, and quantile-based filtering.
+  *
+  * Scale shape: everything routes through the classic explode→aggregate
+  * term pipeline — one shuffle keyed on (doc, term) or (term), fully
+  * partial-aggregatable (map-side combine ships one (key, count) per
+  * partition, not one row per token). Corpus-level scalars (N, avgdl)
+  * are single aggregate rows broadcast back into the per-term join, so
+  * no stage ever depends on driver-side iteration over data.
+  */
+object Corpus {
+
+  /** Exploded (doc_id, term) stream — the shared front of every operator
+    * here. One row per token occurrence. */
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+
+  /** Top-3 TF-IDF terms per document: tf(doc,term) × ln(N/df(term)),
+    * row_number ≤ 3 per doc ordered (score desc, term asc — the term
+    * tie-break makes equal-score prefixes deterministic).
+    *
+    * The df side is |vocab| rows — tiny relative to the corpus at any
+    * scale, so Catalyst broadcasts it into the tf stream; N is a
+    * metadata-only parquet count. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenStream(spark, dir)
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.t(spark, dir, "documents").count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")) + 1e-9, 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
+  /** BM25 top-20 documents for a query made of the corpus's 3 highest-df
+    * terms (deterministic, fixture-independent). k1 = 1.2, b = 0.75; idf
+    * is the +1-smoothed Robertson form, always positive.
+    *
+    * Corpus stats (N, avgdl) are one aggregate row cross-joined back in
+    * (a 1-row broadcast); the query-term set is a 3-row broadcast semi
+    * join — so the scored stream stays a single shuffle on (doc, term)
+    * plus a final top-k (TakeOrderedAndProject, no global sort). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenStream(spark, dir)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl").cast("double")).as("avgdl"),
+                       count(lit(1)).as("n"))
+    val df = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(3)
+      .select(col("term"), col("df"))
+    val tf = tok.join(broadcast(q.select("term")), "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(sum(col("part")).as("s"))
+      .select(col("doc_id"), round(col("s") + 1e-9, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Inverted index: per term, document frequency + the first 5 postings
+    * (sorted doc ids, comma-joined).
+    *
+    * Real posting lists are the textbook hot-key hazard (a stopword's
+    * list is O(corpus)); this operator caps the materialized prefix at 5
+    * and keeps df exact, which is the metadata a retrieval planner needs.
+    * The full-list variant would bucket postings by (term, doc_id range)
+    * into fixed-size segments. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir).distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          slice(sort_array(collect_list(col("doc_id"))), 1, 5)
+            .cast("array<string>"), ",").as("head_postings"))
+      .orderBy(col("term"))
+
+  /** Deterministic ~20% stratified sample keyed on (lang, doc_id): keep
+    * rows whose md5 prefix is lexicographically below '33' (0x33/0x100 ≈
+    * 19.9%). Hash-threshold sampling is reproducible across engines and
+    * runs, needs no count pass, samples uniformly within every stratum,
+    * and composes with partition pruning — unlike rand()-based sampling,
+    * which is neither deterministic nor oracle-checkable. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .filter(substring(
+        md5(concat(col("lang"), lit("|"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2) < "33")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Quantile filter: keep documents at or above their language's median
+    * token count — the per-stratum percentile-cut shape used for quality
+    * flooring. Exact interpolated percentile per group (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`); the per-lang median table is
+    * a handful of rows, broadcast back into the scan. */
+  def quantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.spread(Tables.t(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val m = t.groupBy(col("lang"))
+      .agg(expr("percentile(n_tokens, 0.5)").as("med"))
+    t.join(broadcast(m), "lang")
+      .filter(col("n_tokens") >= col("med"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+              round(col("med") + 1e-9, 4).as("lang_median"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_topterms"    -> (tfidfTopTerms _),
+    "bm25_topk"         -> (bm25TopK _),
+    "inverted_index"    -> (invertedIndex _),
+    "stratified_sample" -> (stratifiedSample _),
+    "quantile_filter"   -> (quantileFilter _))
+
+  val oracle: Map[String, String] = Map(
+    "tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         ROUND(tf.tf * ln(n.n::DOUBLE / df.df) + 1e-9, 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, term) AS rn FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+    "bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT AVG(dl::DOUBLE) AS avgdl, COUNT(*) AS n FROM dl),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |q AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 3),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |        (tf.tf * 2.2) /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats GROUP BY tf.doc_id)
+        |SELECT doc_id, ROUND(s + 1e-9, 4) AS bm25 FROM scored
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "inverted_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, COUNT(*) AS df,
+        |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',')
+        |    AS head_postings
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(lang || '|' || doc_id::VARCHAR), 1, 2) < '33'
+        |ORDER BY doc_id""".stripMargin,
+    "quantile_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS med
+        |      FROM t GROUP BY lang)
+        |SELECT t.doc_id, t.lang, t.n_tokens,
+        |       ROUND(m.med + 1e-9, 4) AS lang_median
+        |FROM t JOIN m USING (lang)
+        |WHERE t.n_tokens >= m.med ORDER BY doc_id""".stripMargin)
+}

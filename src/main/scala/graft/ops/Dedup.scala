@@ -179,13 +179,63 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** X2f near-dup cluster assignment: connected components over the
+    * MinHash candidate pairs, every document labeled with the minimum
+    * doc_id reachable in its component (singletons label themselves);
+    * `is_canonical` marks the one survivor per cluster — the row a
+    * dedup-and-keep-one pipeline would retain.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes min(own label, neighbors' labels) via one join + one
+    * map-side-combinable min aggregation, converging in O(component
+    * diameter) rounds (here 1–2; near-dup clusters are shallow by
+    * nature). The loop is DRIVER CONTROL ONLY — per round the data moves
+    * through two shuffles and a scalar convergence count; no row ever
+    * reaches the driver. Edges and the current labels are persisted so a
+    * round costs exactly one pass. At adversarial diameters the
+    * production upgrade is alternating large-star/small-star contraction
+    * (O(log n) rounds); the per-round dataflow below is unchanged. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"),
+                            col("cluster_id").as("nl")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min(col("nl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+                coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_exact"   -> (exact _),
-    "minhash_sig"   -> (minhashSig _),
-    "minhash_pairs" -> (minhashPairs _),
-    "ngram_jaccard" -> (ngramJaccard _),
-    "simhash"       -> (simhash _),
-    "embed_neardup" -> (embedNearDup _))
+    "dedup_exact"    -> (exact _),
+    "minhash_sig"    -> (minhashSig _),
+    "minhash_pairs"  -> (minhashPairs _),
+    "ngram_jaccard"  -> (ngramJaccard _),
+    "simhash"        -> (simhash _),
+    "embed_neardup"  -> (embedNearDup _),
+    "dedup_clusters" -> (dedupClusters _))
 
   /** DuckDB shingle expression mirroring `shingles`. */
   private val duckShingles =
@@ -270,6 +320,26 @@ object Dedup {
          |  FROM documents)
          |SELECT doc_id, CAST($duckSimhashBits AS BIGINT) AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" ->
+      (duckSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, bands AS (
+          |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
+          |                         md5(mh_s2 || mh_s3)]) AS band
+          |  FROM sig),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.band = b.band
+          |  WHERE a.doc_id < b.doc_id),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+          |SELECT id AS doc_id, min(r) AS cluster_id,
+          |       (min(r) = id) AS is_canonical
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "embed_neardup" -> {
       val bucket = (1 to 8).map(i =>
         s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")

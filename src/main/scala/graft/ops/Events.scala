@@ -163,7 +163,52 @@ object Events {
       .filter(col("sum_value").isNotNull)
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Cohort retention: users bucketed by first-seen date, activity
+    * counted per (cohort, day offset) — the engagement matrix behind any
+    * retention curve. Two shuffles: min-date per user (map-side
+    * combinable), then the cohort join back (user-keyed, co-partitioned
+    * with the first aggregate so AQE can reuse the exchange). */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val c = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    e.join(c, "user_id")
+      .groupBy(col("cohort"),
+               datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  /** Ordered funnel (signup → view → click → purchase): per user the
+    * first timestamp of each stage, a user advances only while each
+    * stage's first touch is strictly after the previous stage's. One
+    * user-keyed shuffle with conditional-min partial aggregation, then a
+    * 4-row conditional count — the stage table never leaves the
+    * executors until the final 4-row result. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val m = Tables.t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(firstTs("signup"), firstTs("view"), firstTs("click"),
+           firstTs("purchase"))
+    val s1 = col("t_signup").isNotNull
+    val s2 = s1 && col("t_view") > col("t_signup")
+    val s3 = s2 && col("t_click") > col("t_view")
+    val s4 = s3 && col("t_purchase") > col("t_click")
+    m.agg(count(when(s1, 1)).as("signup"), count(when(s2, 1)).as("view"),
+          count(when(s3, 1)).as("click"), count(when(s4, 1)).as("purchase"))
+      .select(expr(
+        """stack(4, 1, 'signup', signup, 2, 'view', view,
+          |         3, 'click', click, 4, 'purchase', purchase)
+          |  AS (ord, stage, users)""".stripMargin))
+      .orderBy(col("ord"))
+      .select(col("stage"), col("users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (retentionCohort _),
+    "events_funnel"   -> (funnelStages _),
     "events_unpivot"  -> (unpivot _),
     "range_join"      -> (rangeJoin _),
     "events_tumbling" -> (tumbling _),
@@ -177,6 +222,36 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id)
+        |SELECT c.cohort, date_diff('day', c.cohort, e.d) AS day_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts
+        |           FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+        |  FROM e GROUP BY user_id)
+        |SELECT s.stage, s.users FROM (
+        |  SELECT 1 AS ord, 'signup' AS stage,
+        |         COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END) AS users FROM m
+        |  UNION ALL SELECT 2, 'view',
+        |         COUNT(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 END) FROM m
+        |  UNION ALL SELECT 3, 'click',
+        |         COUNT(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+        |               THEN 1 END) FROM m
+        |  UNION ALL SELECT 4, 'purchase',
+        |         COUNT(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+        |               AND t4 > t3 THEN 1 END) FROM m) s
+        |ORDER BY s.ord""".stripMargin,
     "events_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS window_start,
         |       event_type,

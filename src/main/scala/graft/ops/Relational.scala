@@ -278,8 +278,78 @@ object Relational {
         |ORDER BY l.l_returnflag""".stripMargin)
   }
 
+  /** Full CUBE over (returnflag, linestatus) with an explicit grouping id
+    * — completes the grouping-sets family next to rollup_revenue. Cube is
+    * a single shuffle: Catalyst expands the grouping sets map-side and
+    * partial-aggregates each, so the fact table is still read once. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n"),
+           round(sum(col("l_quantity")) + 1e-9, 2).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+              col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** Ranking-window family over orders per customer: rank / dense_rank /
+    * percent_rank on a coarse key (order year — real ties), plus
+    * row_number / ntile / lead on a total order (price desc, key — the
+    * unique tie-break is what makes positional functions deterministic).
+    * Both specs share the o_custkey partition, so Catalyst computes them
+    * in one shuffle and two in-partition sorts. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              year(col("o_orderdate")).cast("int").as("oyear"))
+    val wy = Window.partitionBy(col("o_custkey")).orderBy(col("oyear"))
+    val wp = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_custkey"),
+        rank().over(wy).cast("long").as("rnk"),
+        dense_rank().over(wy).cast("long").as("drnk"),
+        round(percent_rank().over(wy) + 1e-9, 4).as("prank"),
+        row_number().over(wp).cast("long").as("rn"),
+        ntile(4).over(wp).cast("long").as("quartile"),
+        lead(col("o_totalprice"), 1).over(wp).as("next_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CDC-style snapshot diff: two deterministic snapshots of `orders`
+    * (A = pre-1999 bookings; B = post-1996 with a flat 1000.00 surcharge
+    * on open orders — an exact double op, so no engine-specific rounding
+    * enters the compared values) full-outer-joined on the key and
+    * classified added / removed / changed, unchanged rows dropped. The
+    * shape of incremental-refresh reconciliation: one co-partitioned
+    * join on the snapshot key — both sides shuffle once on o_orderkey;
+    * at 100 TB both snapshots would be bucketed on the key and the
+    * shuffle disappears. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.t(spark, dir, "orders")
+    val a = orders.filter(col("o_orderdate") < "1999-01-01")
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+    val b = orders.filter(col("o_orderdate") >= "1996-01-01")
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O", col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("new_price"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("o_orderkey"), col("change_type"),
+              col("old_price"), col("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_text"       -> (sqlText _),
+    "cube_agg"       -> (cubeAgg _),
+    "window_rank"    -> (windowRank _),
+    "snapshot_diff"  -> (snapshotDiff _),
     "set_ops"        -> (setOps _),
     "approx_sketch"  -> (approxSketches _),
     "join_semi_anti" -> (joinSemiAnti _),
@@ -298,6 +368,49 @@ object Relational {
     "upsert_lww"     -> (upsertLww _))
 
   val oracle: Map[String, String] = Map(
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n, ROUND(SUM(l_quantity) + 1e-9, 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin,
+    "window_rank" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         EXTRACT(year FROM o_orderdate)::INT AS oyear FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  RANK() OVER wy AS rnk, DENSE_RANK() OVER wy AS drnk,
+        |  ROUND(PERCENT_RANK() OVER wy + 1e-9, 4) AS prank,
+        |  ROW_NUMBER() OVER wp AS rn, NTILE(4) OVER wp AS quartile,
+        |  LEAD(o_totalprice) OVER wp AS next_price
+        |FROM o
+        |WINDOW wy AS (PARTITION BY o_custkey ORDER BY oyear),
+        |       wp AS (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice AS old_price FROM orders
+        |  WHERE o_orderdate < '1999-01-01'),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'O'
+        |         THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderdate >= '1996-01-01'),
+        |j AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |         a.old_price, b.new_price
+        |  FROM a FULL OUTER JOIN b USING (o_orderkey))
+        |SELECT o_orderkey,
+        |  CASE WHEN old_price IS NULL THEN 'added'
+        |       WHEN new_price IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type, old_price, new_price
+        |FROM j
+        |WHERE old_price IS NULL OR new_price IS NULL
+        |   OR old_price <> new_price
+        |ORDER BY o_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,

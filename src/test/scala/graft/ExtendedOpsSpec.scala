@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Corpus, Dedup, Events, Relational}
+
+/** Round-2 operator families on the real sf0.001 fixtures: corpus
+  * retrieval/curation (Corpus), near-dup clustering (Dedup), grouping
+  * sets / ranking windows / snapshot diff (Relational), retention and
+  * funnel (Events). */
+class ExtendedOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tfidf_topterms: exactly 3 terms per doc, scores non-increasing") {
+    val rows = Corpus.tfidfTopTerms(spark, dir).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.length == 3))
+    perDoc.values.foreach { g =>
+      val scores = g.map(_.getDouble(2)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
+  test("bm25_topk: 20 rows, scores strictly ordered desc with id tiebreak") {
+    val rows = Corpus.bm25TopK(spark, dir).collect()
+    assert(rows.length === 20)
+    val pairs = rows.map(r => (-r.getDouble(1), r.getLong(0))).toSeq
+    assert(pairs === pairs.sorted)
+  }
+
+  test("inverted_index df agrees with an independent distinct count") {
+    val idx = Corpus.invertedIndex(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.t(spark, dir, "documents")
+      .select(explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx === expected)
+  }
+
+  test("stratified_sample is deterministic and a ~20% subset") {
+    val a = Corpus.stratifiedSample(spark, dir).collect().map(_.getLong(0))
+    val b = Corpus.stratifiedSample(spark, dir).collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq)
+    val total = Tables.t(spark, dir, "documents").count()
+    assert(a.length > total * 0.08 && a.length < total * 0.35)
+  }
+
+  test("quantile_filter keeps only docs at/above their lang median") {
+    val kept = Corpus.quantileFilter(spark, dir).collect()
+    assert(kept.forall(r => r.getLong(2) >= r.getDouble(3) - 0.5))
+    // median cut keeps at least half of each stratum's upper tail
+    val perLang = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = Tables.t(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (l, n) => assert(n >= totals(l) / 2) }
+  }
+
+  test("dedup_clusters: labels are component minima, transitive, canonical-marked") {
+    val labels = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every edge's endpoints share a label, and labels point at cluster minima
+    pairs.foreach { case (a, b) => assert(labels(a) === labels(b)) }
+    labels.foreach { case (id, c) => assert(c <= id && labels(c) === c) }
+    val canon = Dedup.dedupClusters(spark, dir).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(canon === labels.values.toSet)
+  }
+
+  test("cube_agg: grand-total row equals table count; 4 grouping ids") {
+    val rows = Relational.cubeAgg(spark, dir).collect()
+    val total = Tables.t(spark, dir, "lineitem").count()
+    assert(rows.map(_.getInt(2)).toSet === Set(0, 1, 2, 3))
+    val grand = rows.filter(_.getInt(2) == 3)
+    assert(grand.length === 1 && grand.head.getLong(3) === total)
+    // each grouping set partitions the same rows
+    Seq(0, 1, 2).foreach { gid =>
+      assert(rows.filter(_.getInt(2) == gid).map(_.getLong(3)).sum === total)
+    }
+  }
+
+  test("window_rank: row_number is a permutation per customer; ranks bounded") {
+    val rows = Relational.windowRank(spark, dir).collect()
+    rows.groupBy(_.getLong(1)).values.foreach { g =>
+      val rns = g.map(_.getLong(5)).sorted
+      assert(rns.toSeq === (1L to g.length.toLong))
+      assert(g.forall(r => r.getLong(2) <= g.length && r.getLong(3) <= g.length))
+    }
+  }
+
+  test("snapshot_diff classes are consistent with their null pattern") {
+    val rows = Relational.snapshotDiff(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (r.getString(1): @unchecked) match {
+        case "added"   => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "removed" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "changed" =>
+          assert(math.abs(r.getDouble(3) - r.getDouble(2) - 1000.0) < 1e-6)
+      }
+    }
+  }
+
+  test("events_retention: offsets non-negative; day-0 covers every cohort user") {
+    val rows = Events.retentionCohort(spark, dir).collect()
+    assert(rows.forall(_.getLong(1) >= 0))
+    val day0 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getDate(0) -> r.getLong(2)).toMap
+    val cohortSizes = Tables.t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(min("d").as("cohort"))
+      .groupBy("cohort").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getDate(0) -> r.getLong(1)).toMap
+    assert(day0 === cohortSizes)
+  }
+
+  test("events_funnel: stage counts are monotonically non-increasing") {
+    val users = Events.funnelStages(spark, dir).collect().map(_.getLong(1))
+    assert(users.length === 4)
+    assert(users.toSeq === users.sorted.reverse)
+  }
+}
