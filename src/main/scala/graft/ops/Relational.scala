@@ -67,13 +67,17 @@ object Relational {
     Tables.t(spark, dir, "customer").orderBy(col("c_custkey"))
 
   /** G2: row-count reconciliation across all tables (database.py:161-169,
-    * transformer.py:160-161). count() is a partial-agg scan per table. */
-  def rowCounts(spark: SparkSession, dir: String): DataFrame =
+    * transformer.py:160-161). Reads every table RAW (no ts conversion for
+    * events — a count is column-independent), so each count collapses to
+    * the parquet footer row counts instead of a data scan. */
+  def rowCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensureNanosAsLong(spark)
     Tables.names.map { n =>
-      Tables.t(spark, dir, n)
+      spark.read.parquet(s"$dir/$n.parquet")
         .agg(count(lit(1)).as("n_rows"))
         .select(lit(n).as("tbl"), col("n_rows"))
     }.reduce(_.unionByName(_)).orderBy(col("tbl"))
+  }
 
   /** K2/K3 keyed upsert as a query: last-writer-wins per key
     * (database.py:119-138's ON CONFLICT DO UPDATE). Spark-first

@@ -113,19 +113,24 @@ object Similarity {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
     val nCents = math.ceil(math.sqrt(
       Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
-    val cents = e.filter(col("vec_id") < nCents)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    // argmax via max(struct(sim, -cent_id)) — a map-side-combinable
-    // aggregation instead of a window row_number, which would sort the
-    // full |corpus|×C assignment relation. Tie-break (highest sim, lowest
-    // cent_id) matches the oracle's ROW_NUMBER ordering exactly.
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("embedding"), col("cent")), 6))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-           max(struct(col("csim"), (-col("cent_id")).as("neg"))).as("best"))
-      .select((-col("best")("neg")).as("cell"), col("vec_id"),
-              col("embedding"))
+    // The codebook is a MODEL PARAMETER (C = ⌈√N⌉ rows, KBs even at
+    // 10⁹ vectors), collected once and shipped to executors inside the
+    // codegen'd CentroidArgmax expression — exactly how a trained
+    // quantizer deploys. Assignment is then a pure map-side projection
+    // in one fused loop: no crossJoin against a centroid relation, no
+    // argmax aggregation, no shuffle, and whole-stage codegen stays
+    // intact (a greatest() over C struct comparisons breaks codegen past
+    // a few dozen centroids — measured as a full interpreted fallback).
+    val centRows = Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") < nCents)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+    val assigned = e
+      .withColumn("cell", graft.functions.CentroidArgmax.assign(
+        col("embedding"),
+        centRows.map(_.getSeq[Float](1).toArray),
+        centRows.map(_.getLong(0))))
+      .select(col("cell"), col("vec_id"), col("embedding"))
     val q = assigned.select(col("cell"), col("vec_id").as("query_id"),
                             col("embedding").as("q_emb"))
     val c = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -147,9 +152,14 @@ object Similarity {
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
     * order ulps. */
   private def duckCosine(a: String, b: String): String =
-    s"ROUND(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+    s"ROUND(${duckCosineRaw(a, b)}, 6)"
+
+  /** Unrounded cosine — used where the Spark side also compares raw
+    * doubles (IVF cell assignment inside CentroidArgmax). */
+  private def duckCosineRaw(a: String, b: String): String =
+    s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
 
   private val duckBucket =
     (1 to 8).map(i =>
@@ -183,7 +193,7 @@ object Similarity {
          |  SELECT cell, vec_id, embedding FROM (
          |    SELECT c.cent_id AS cell, e.vec_id, e.embedding,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
+         |        ${duckCosineRaw("e.embedding", "c.cent")} DESC, c.cent_id)
          |        AS crn
          |    FROM embeddings e CROSS JOIN cents c)
          |  WHERE crn = 1),

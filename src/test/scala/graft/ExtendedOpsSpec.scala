@@ -71,6 +71,12 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(canon === labels.values.toSet)
   }
 
+  test("dedup_clusters: GraphX Pregel and the DataFrame loop agree exactly") {
+    val a = Dedup.dedupClusters(spark, dir).collect().toSeq
+    val b = Dedup.dedupClustersDF(spark, dir).collect().toSeq
+    assert(a === b)
+  }
+
   test("cube_agg: grand-total row equals table count; 4 grouping ids") {
     val rows = Relational.cubeAgg(spark, dir).collect()
     val total = Tables.t(spark, dir, "lineitem").count()
