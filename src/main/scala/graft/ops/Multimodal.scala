@@ -84,9 +84,26 @@ object Multimodal {
               round(col("col") / lit(24.0) + 1e-9, 4).as("frame_ts"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Resize / downsample: a fixed-width "thumbnail" of each payload by
+    * stride-sampling 16 evenly spaced bytes (rendered as characters here —
+    * the fixture payload is utf8 text). The shape of any media resize:
+    * output size is constant per row regardless of input size, and the
+    * whole pass is a map-side projection (array-index sampling, no
+    * shuffle). */
+  def resize(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("stride", greatest(lit(1L), expr("n_chars div 16")))
+      .select(col("doc_id"), col("n_chars"), col("stride"),
+        expr("""array_join(transform(sequence(0, 15),
+               |  i -> substr(text, CAST(i * stride + 1 AS INT), 1)), '')"""
+          .stripMargin).as("thumb"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"   -> (meta _),
-    "mm_frames" -> (frames _))
+    "mm_frames" -> (frames _),
+    "mm_resize" -> (resize _))
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
@@ -98,6 +115,15 @@ object Multimodal {
         |  64 + octet_length(payload)::BIGINT * 13 % 512 AS height,
         |  CAST(FLOOR(octet_length(payload) / 4096.0) AS BIGINT) + 1 AS frames,
         |  substring(md5(decode(payload)), 1, 8) AS chunk_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+        |         GREATEST(1, length(text)::BIGINT // 16) AS stride
+        |  FROM documents)
+        |SELECT doc_id, n_chars, stride,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    i -> substr(text, CAST(i * stride + 1 AS INT), 1)), '') AS thumb
         |FROM t ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH t AS (

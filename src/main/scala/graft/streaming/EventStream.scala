@@ -102,6 +102,37 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Stream-stream interval join (attribution shape): purchases joined to
+    * the user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join predicate bounds event time on both ends, so state for
+    * either side is dropped once the watermark passes the interval —
+    * bounded state at any scale; join state is partitioned by user_id. */
+  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+              col("value"))
+  }
+
+  /** Streaming exact-dedup: first event per (user, type) survives, state
+    * expiring with the watermark (dropDuplicatesWithinWatermark) — the
+    * streaming twin of batch exact dedup, with bounded key state. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Session windows (30-minute gap) per user via the native
     * session_window — the streaming-stateful form of Events.sessionize. */
   def sessions(spark: SparkSession, dir: String): DataFrame =

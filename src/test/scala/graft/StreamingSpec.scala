@@ -53,6 +53,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val q = EventStream.clickPurchaseJoin(spark, "/root/testdata/sf0.001")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_join").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_join").count()
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      val want = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .count()
+      // append-mode emits only watermark-finalized matches; a single-file
+      // source processes everything, so counts must agree
+      assert(got === want && want > 0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps exactly one row per (user, type)") {
+    val q = EventStream.dedupStream(spark, "/root/testdata/sf0.001")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_dedup")
+      val distinctKeys = Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), col("event_type")).distinct().count()
+      assert(got.count() === distinctKeys)
+      assert(got.select(col("user_id"), col("event_type"))
+        .distinct().count() === distinctKeys)
+    } finally q.stop()
+  }
+
   test("streaming session windows cover every event exactly once") {
     val q = EventStream.sessions(spark, "/root/testdata/sf0.001")
       .writeStream.outputMode("append")
