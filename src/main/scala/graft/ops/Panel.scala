@@ -130,9 +130,39 @@ object Panel {
       .orderBy(col("suppkey"), col("year"))
   }
 
+  /** Gap-fill + forward-fill: rebuild each entity's full year spine
+    * (sequence from its first to last observed year), left-join the
+    * observed panel onto it, and carry the last observation forward
+    * (`last(_, ignoreNulls)` over an unbounded-preceding frame) — the
+    * standard time-series densification step before any rolling feature.
+    * Gaps are planted deterministically ((suppkey+year) % 5 == 0) since
+    * the fixture panel is dense. One shuffle for the panel aggregation,
+    * one for the spine join (both keyed on the entity), one window sort —
+    * the spine explode is map-side and per-entity bounded. */
+  def panelFill(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+    val base = yearlyPanel(li, "l_suppkey", "l_shipdate",
+        revenueExpr(li), "rev")
+      .filter((col("suppkey") + col("year")) % 5 =!= 0)
+      .select(col("suppkey"), col("year"), round(col("rev"), 4).as("revenue"))
+    val spine = base.groupBy(col("suppkey"))
+      .agg(min(col("year")).as("y0"), max(col("year")).as("y1"))
+      .select(col("suppkey"),
+              explode(sequence(col("y0"), col("y1"))).as("year"))
+    val w = Window.partitionBy(col("suppkey")).orderBy(col("year"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(base, Seq("suppkey", "year"), "left")
+      .select(col("suppkey"), col("year"),
+        last(col("revenue"), ignoreNulls = true).over(w)
+          .as("revenue_filled"),
+        col("revenue").isNull.as("is_filled"))
+      .orderBy(col("suppkey"), col("year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_cleaned" -> (pipelineCleaned _),
     "union_panels"     -> (unionPanels _),
+    "panel_fill"       -> (panelFill _),
     "preview_format"   -> (previewFormat _))
 
   private val panelCte =
@@ -171,6 +201,29 @@ object Panel {
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "panel_fill" ->
+      """WITH base AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         EXTRACT(year FROM l_shipdate)::BIGINT AS year,
+        |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  FROM lineitem
+        |  GROUP BY 1, 2
+        |  HAVING (l_suppkey + EXTRACT(year FROM l_shipdate)::BIGINT)
+        |         % 5 <> 0),
+        |rng AS (
+        |  SELECT suppkey, unnest(generate_series(min(year), max(year)))
+        |         AS year
+        |  FROM base GROUP BY suppkey),
+        |j AS (
+        |  SELECT r.suppkey, r.year, b.revenue
+        |  FROM rng r LEFT JOIN base b USING (suppkey, year))
+        |SELECT suppkey, year,
+        |  last_value(revenue IGNORE NULLS) OVER (
+        |    PARTITION BY suppkey ORDER BY year
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS revenue_filled,
+        |  (revenue IS NULL) AS is_filled
+        |FROM j ORDER BY suppkey, year""".stripMargin,
     "pipeline_cleaned" ->
       (panelCte + "SELECT * FROM cleaned ORDER BY suppkey, year"),
     "union_panels" ->

@@ -124,6 +124,23 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(day0 === cohortSizes)
   }
 
+  test("panel_fill: every gap is filled with the last prior observation") {
+    val rows = ops.Panel.panelFill(spark, dir).collect()
+    val byKey = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getDouble(2), r.getBoolean(3))).toMap
+    // spine is dense per entity
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val ys = g.map(_.getLong(1)).sorted
+      assert(ys.toSeq === (ys.min to ys.max))
+    }
+    // a filled row repeats the previous year's value
+    rows.filter(_.getBoolean(3)).foreach { r =>
+      val prev = byKey((r.getLong(0), r.getLong(1) - 1))
+      assert(r.getDouble(2) === prev._1)
+    }
+    assert(rows.exists(_.getBoolean(3)), "fixture must contain gaps")
+  }
+
   test("events_funnel: stage counts are monotonically non-increasing") {
     val users = Events.funnelStages(spark, dir).collect().map(_.getLong(1))
     assert(users.length === 4)

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Panel, Relational, Similarity}
+import graft.ops.{Corpus, Panel, Relational, Similarity}
 
 /** Physical-plan regression checks: the properties that make these
   * queries scale are asserted, not assumed — a refactor that silently
@@ -50,6 +50,46 @@ class PlanSpec extends AnyFunSuite {
        "shuffles before scoring") {
     val p = plan(Similarity.topKBrute(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tfidf_topterms: single lineage — the corpus is scanned exactly once") {
+    val p = plan(Corpus.tfidfTopTerms(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected 1 documents scan, got $scans")
+  }
+
+  test("bm25_topk: ends in a top-k, never a global sort of scores") {
+    val p = plan(Corpus.bm25TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("stratified_sample: the hash-threshold filter runs at the scan " +
+       "(no prior shuffle)") {
+    val p = plan(Corpus.stratifiedSample(spark, sf))
+    assert(!p.split("FileScan")(0).contains("Exchange hashpartitioning"),
+      "sample filter should be map-side over the scan")
+  }
+
+  test("sim_ann_ivf: assignment is map-side — no shuffle before the " +
+       "cell join, codegen'd CentroidArgmax in the plan") {
+    val p = plan(Similarity.annIvf(spark, sf))
+    assert(p.contains("centroid_argmax"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "codebook must not be joined as a relation")
+  }
+
+  test("cube_agg: cube expands in a single aggregate pass (one shuffle)") {
+    val p = plan(Relational.cubeAgg(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"cube should shuffle once, got $shuffles")
+  }
+
+  test("window_rank: both window specs share one o_custkey exchange") {
+    val p = plan(Relational.windowRank(spark, sf))
+    val shuffles =
+      "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"expected 1 custkey exchange for both window specs, got $shuffles")
   }
 
   test("q6_filter: all three predicates pushed") {
