@@ -349,8 +349,28 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Statistical aggregate family: sample stddev/variance, correlation
+    * and covariance per group — all mergeable moment sketches (Spark
+    * partial-aggregates the (n, Σx, Σx²; Σxy) moments map-side, so the
+    * shuffle carries one moment tuple per group per task at any scale).
+    * Outputs round with the +1e-9 tie guard: moment merges are
+    * partition-order-sensitive at the ulp level (SCALE.md, determinism
+    * section). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")) + 1e-9, 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")) + 1e-9, 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")) + 1e-9, 6)
+          .as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")) + 1e-9, 2)
+          .as("covar_qp"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_text"       -> (sqlText _),
+    "stats_agg"      -> (statsAgg _),
     "cube_agg"       -> (cubeAgg _),
     "window_rank"    -> (windowRank _),
     "snapshot_diff"  -> (snapshotDiff _),
@@ -372,6 +392,14 @@ object Relational {
     "upsert_lww"     -> (upsertLww _))
 
   val oracle: Map[String, String] = Map(
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity) + 1e-9, 4) AS sd_qty,
+        |  ROUND(var_samp(l_quantity) + 1e-9, 4) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice) + 1e-9, 2)
+        |    AS covar_qp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,

@@ -146,4 +146,24 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(users.length === 4)
     assert(users.toSeq === users.sorted.reverse)
   }
+
+  test("approx_sketch estimates stay within bounds of their exact twins") {
+    val approx = Relational.approxSketches(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"),
+           expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    exact.foreach { case (k, (nd, p50)) =>
+      val (andv, ap50) = approx(k)
+      // HLL++ default rsd is 5%; allow 3 sigma. percentile_approx with
+      // accuracy=1000 is rank-exact within n/1000.
+      assert(math.abs(andv - nd).toDouble / nd < 0.15,
+        s"$k: approx distinct $andv vs exact $nd")
+      assert(math.abs(ap50 - p50) / math.abs(p50) < 0.05,
+        s"$k: approx p50 $ap50 vs exact $p50")
+    }
+  }
 }
