@@ -40,7 +40,14 @@ object Pipeline {
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val target = Paths.get(path)
     val old = Paths.get(path + ".old")
-    if (Files.exists(old)) deleteRec(old) // leftover from a prior crash
+    // If a prior swap crashed between the aside-rename and the tmp→live
+    // move, `.old` is the ONLY copy of the committed dataset — restore it
+    // before anything else. Only then is a still-present `.old` (crash
+    // between tmp-move and cleanup) safe to delete. This guard must live
+    // HERE, not only in upsertRaw: foreachBatch sinks call atomicWrite
+    // directly.
+    restoreIfCrashed(path)
+    if (Files.exists(old)) deleteRec(old) // target exists too → leftover
     val hadTarget = Files.exists(target)
     if (hadTarget) Files.move(target, old)
     Files.move(tmp, target)
@@ -100,6 +107,8 @@ object Pipeline {
     * its inputs, so idempotency = deterministic transform + overwrite. */
   def transform(spark: SparkSession, workDir: String,
                 batchTs: java.sql.Timestamp): Long = {
+    restoreIfCrashed(s"$workDir/raw_revenue") // reader-side crash recovery
+    restoreIfCrashed(s"$workDir/raw_qty")
     val rev = spark.read.parquet(s"$workDir/raw_revenue")
       .select(col("suppkey"), col("year"), col("revenue"))
     val qty = spark.read.parquet(s"$workDir/raw_qty")

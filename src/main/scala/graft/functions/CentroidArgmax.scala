@@ -8,8 +8,13 @@ import org.apache.spark.sql.types._
 
 /** Codegen'd nearest-centroid assignment for IVF-style ANN: returns the
   * id of the codebook centroid with the highest cosine similarity to the
-  * input vector (ties → lowest centroid id, matching a
-  * ROW_NUMBER(ORDER BY sim DESC, id) oracle).
+  * input vector. Similarities are quantized to 6 dp before comparison
+  * and ties break to the LOWEST centroid id — the repo's ranking
+  * doctrine (SCALE.md, determinism section: rank on ROUNDED measures
+  * with id tie-breaks), matching a
+  * ROW_NUMBER(ORDER BY round(sim, 6) DESC, id) oracle exactly; raw-ulp
+  * comparison would let engine-level arithmetic differences flip
+  * near-tied assignments.
   *
   * The codebook is a model parameter (C = ⌈√N⌉ rows), baked into the
   * expression as reference objects — the natural Spark shape for a
@@ -19,10 +24,6 @@ import org.apache.spark.sql.types._
   * the same thing declaratively but breaks whole-stage codegen past a
   * few dozen centroids (measured: the whole stage falls back to
   * interpreted eval); this expression is one fused loop regardless of C.
-  *
-  * Scoring skips the input-vector norm: argmax over dot/‖c‖ equals
-  * argmax over full cosine (the input norm is a positive constant per
-  * row), including exact ties. Centroid norms are precomputed once.
   */
 case class CentroidArgmax(child: Expression,
                           cents: Array[Array[Float]],
@@ -44,12 +45,21 @@ case class CentroidArgmax(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
+    var en = 0.0
+    var j = 0
+    val ne = e.numElements()
+    while (j < ne) {
+      val x = if (e.isNullAt(j)) 0.0 else e.getFloat(j).toDouble
+      en += x * x
+      j += 1
+    }
+    val enorm = math.sqrt(en)
     var best = 0
     var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
-      val n = math.min(e.numElements(), cv.length)
+      val n = math.min(ne, cv.length)
       var dot = 0.0
       var i = 0
       while (i < n) {
@@ -57,7 +67,10 @@ case class CentroidArgmax(child: Expression,
           cv(i).toDouble
         i += 1
       }
-      val s = dot / norms(c)
+      // full cosine, then 6-dp half-up (away from zero) quantization —
+      // identical formula in doGenCode below
+      val raw = dot / (enorm * norms(c))
+      val s = math.signum(raw) * math.floor(math.abs(raw) * 1e6 + 0.5) / 1e6
       if (s > bestScore) { bestScore = s; best = c }
       c += 1
     }
@@ -70,6 +83,11 @@ case class CentroidArgmax(child: Expression,
       val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
       val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
       val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+      val en = ctx.freshName("en")
+      val ne = ctx.freshName("ne")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val enorm = ctx.freshName("enorm")
       val best = ctx.freshName("best")
       val bestScore = ctx.freshName("bestScore")
       val c = ctx.freshName("c")
@@ -77,19 +95,30 @@ case class CentroidArgmax(child: Expression,
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
+      val raw = ctx.freshName("raw")
       val s = ctx.freshName("s")
       s"""
+         |int $ne = $a.numElements();
+         |double $en = 0.0;
+         |for (int $j = 0; $j < $ne; $j++) {
+         |  double $x = $a.isNullAt($j) ? 0.0 : (double) $a.getFloat($j);
+         |  $en += $x * $x;
+         |}
+         |double $enorm = java.lang.Math.sqrt($en);
          |int $best = 0;
          |double $bestScore = Double.NEGATIVE_INFINITY;
          |for (int $c = 0; $c < $centsRef.length; $c++) {
          |  float[] $cv = $centsRef[$c];
-         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  int $n = java.lang.Math.min($ne, $cv.length);
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $dot += ($a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i))
          |            * (double) $cv[$i];
          |  }
-         |  double $s = $dot / $normsRef[$c];
+         |  double $raw = $dot / ($enorm * $normsRef[$c]);
+         |  double $s = java.lang.Math.signum($raw)
+         |    * java.lang.Math.floor(java.lang.Math.abs($raw) * 1e6 + 0.5)
+         |    / 1e6;
          |  if ($s > $bestScore) { $bestScore = $s; $best = $c; }
          |}
          |${ev.value} = $idsRef[$best];

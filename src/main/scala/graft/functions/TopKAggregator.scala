@@ -63,3 +63,45 @@ object TopKAggregator {
   def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKAggregator(k))
 }
+
+/** Exact k-SMALLEST ids per group with a bounded buffer — the posting-
+  * list-prefix shape (inverted_index keeps the first k doc ids per term).
+  * Same partial-aggregation argument as TopKAggregator: a stopword term
+  * whose posting list is O(corpus) still costs O(k) buffer per map task,
+  * never a full collect_list of the hot key. */
+class MinKAggregator(k: Int)
+    extends Aggregator[Long, mutable.ArrayBuffer[Long], Seq[Long]] {
+
+  override def zero: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty
+
+  private def insert(buf: mutable.ArrayBuffer[Long],
+                     v: Long): mutable.ArrayBuffer[Long] = {
+    if (buf.size < k) { buf += v }
+    else {
+      var worst = 0
+      var i = 1
+      while (i < buf.size) { if (buf(i) > buf(worst)) worst = i; i += 1 }
+      if (v < buf(worst)) buf(worst) = v
+    }
+    buf
+  }
+
+  override def reduce(buf: mutable.ArrayBuffer[Long], v: Long) = insert(buf, v)
+  override def merge(a: mutable.ArrayBuffer[Long],
+                     b: mutable.ArrayBuffer[Long]) = {
+    b.foreach(insert(a, _))
+    a
+  }
+  override def finish(buf: mutable.ArrayBuffer[Long]): Seq[Long] =
+    buf.sorted.toSeq
+
+  override def bufferEncoder: Encoder[mutable.ArrayBuffer[Long]] =
+    Encoders.kryo[mutable.ArrayBuffer[Long]]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object MinKAggregator {
+  def minK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MinKAggregator(k))
+}

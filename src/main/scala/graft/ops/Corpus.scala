@@ -78,7 +78,10 @@ object Corpus {
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_tok"))
     val q = aux.orderBy(col("df").desc, col("term")).limit(3)
       .select(col("term"), col("df"))
-    val n = Tables.t(spark, dir, "documents").count()
+    // N = docs that tokenize (text non-null) — the oracle derives N and
+    // avgdl from the dl relation, which a NULL-text doc never enters.
+    val n = Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull).count()
     val stats = aux.agg((sum(col("n_tok")) / lit(n.toDouble)).as("avgdl"))
     val wd = Window.partitionBy(col("doc_id"))
     termFreq(spark, dir)
@@ -99,16 +102,18 @@ object Corpus {
     * (sorted doc ids, comma-joined).
     *
     * Real posting lists are the textbook hot-key hazard (a stopword's
-    * list is O(corpus)); this operator caps the materialized prefix at 5
-    * and keeps df exact, which is the metadata a retrieval planner needs.
-    * The full-list variant would bucket postings by (term, doc_id range)
-    * into fixed-size segments. */
+    * list is O(corpus)); the prefix is built with the bounded-buffer
+    * MinKAggregator, so even a term present in every document costs O(5)
+    * aggregation state per task (a collect_list-then-slice would buffer
+    * the whole hot posting list before capping). df stays exact — the
+    * metadata a retrieval planner needs. The full-list variant would
+    * bucket postings by (term, doc_id range) into fixed-size segments. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     termFreq(spark, dir).select(col("doc_id"), col("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         array_join(
-          slice(sort_array(collect_list(col("doc_id"))), 1, 5)
+          graft.functions.MinKAggregator.minK(5)(col("doc_id"))
             .cast("array<string>"), ",").as("head_postings"))
       .orderBy(col("term"))
 

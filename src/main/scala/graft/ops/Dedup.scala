@@ -197,12 +197,25 @@ object Dedup {
     val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edgeRdd = pairs.rdd.map(r => (r.getLong(0), r.getLong(1)))
     val g = Graph.fromEdgeTuples(edgeRdd, 1)
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
-      .vertices.map { case (v, c) => (v, c) }
+    val ccGraph = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
     // The label table is |V(candidate pairs)| — a vanishing fraction of
-    // the corpus — so it broadcasts into the final left join; singletons
-    // rejoin as their own cluster.
-    val labels = spark.createDataFrame(cc).toDF("doc_id", "cluster_id")
+    // the corpus, and ALREADY assumed broadcast-sized by the final join
+    // below — so materialize it to the driver under that same bound and
+    // release Pregel's internal RDD caches immediately (spark.catalog
+    // .clearCache() cannot reach RDD-level persists, so without this the
+    // query would strand graph partitions in executor storage).
+    val labelRows = ccGraph.vertices.map { case (v, c) =>
+      org.apache.spark.sql.Row(v, c)
+    }.collect().toSeq
+    ccGraph.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType))))
     Tables.t(spark, dir, "documents").select(col("doc_id"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -265,9 +278,22 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // Wrong labels are worse than a loud failure: a component whose
+    // diameter exceeds the round budget would silently mark several
+    // "canonical" survivors inside one cluster.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClustersDF: label propagation did not converge in $iter rounds" +
+        " — component diameter exceeds the budget; raise the cap or use" +
+        " the GraphX path (dedupClusters)")
+    // Same broadcast-size bound as dedupClusters: materialize the small
+    // label table and release every cached iteration handle.
+    val labelRows = labels.collect().toSeq
     edgesWide.unpersist()
+    cached.unpersist()
+    val labelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows, 1), labels.schema)
     Tables.t(spark, dir, "documents").select(col("doc_id"))
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(broadcast(labelDf), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("cluster_id") === col("doc_id"))

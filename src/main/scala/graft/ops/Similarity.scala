@@ -152,14 +152,9 @@ object Similarity {
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
     * order ulps. */
   private def duckCosine(a: String, b: String): String =
-    s"ROUND(${duckCosineRaw(a, b)}, 6)"
-
-  /** Unrounded cosine — used where the Spark side also compares raw
-    * doubles (IVF cell assignment inside CentroidArgmax). */
-  private def duckCosineRaw(a: String, b: String): String =
-    s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+    s"ROUND(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
 
   private val duckBucket =
     (1 to 8).map(i =>
@@ -193,7 +188,7 @@ object Similarity {
          |  SELECT cell, vec_id, embedding FROM (
          |    SELECT c.cent_id AS cell, e.vec_id, e.embedding,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${duckCosineRaw("e.embedding", "c.cent")} DESC, c.cent_id)
+         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
          |        AS crn
          |    FROM embeddings e CROSS JOIN cents c)
          |  WHERE crn = 1),
