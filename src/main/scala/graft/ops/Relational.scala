@@ -368,8 +368,23 @@ object Relational {
           .as("covar_qp"))
       .orderBy(col("l_returnflag"))
 
+  /** Correlated scalar subquery through the SQL front: orders more than
+    * twice their customer's average — Catalyst DECORRELATES this into an
+    * aggregate + join (no per-row subquery execution), the optimizer
+    * behavior that makes correlated SQL usable at scale. */
+  def sqlCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+        |WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+        |                          FROM orders_v o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_text"       -> (sqlText _),
+    "sql_correlated" -> (sqlCorrelated _),
     "stats_agg"      -> (statsAgg _),
     "cube_agg"       -> (cubeAgg _),
     "window_rank"    -> (windowRank _),
@@ -392,6 +407,11 @@ object Relational {
     "upsert_lww"     -> (upsertLww _))
 
   val oracle: Map[String, String] = Map(
+    "sql_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "stats_agg" ->
       """SELECT l_returnflag,
         |  ROUND(stddev_samp(l_quantity) + 1e-9, 4) AS sd_qty,

@@ -109,7 +109,21 @@ object Text {
           .as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Text normalization (the pre-tokenization cleaner every LLM-data
+    * pipeline runs first): lowercase → strip non-alphanumerics →
+    * collapse whitespace → trim, plus the post-clean token count. Pure
+    * codegen'd string expressions, map-only. */
+  def textClean(spark: SparkSession, dir: String): DataFrame = {
+    val clean = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .select(col("doc_id"), clean.as("clean"),
+              size(split(clean, " ")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_clean"   -> (textClean _),
     "text_stats"   -> (textStats _),
     "text_quality" -> (textQuality _),
     "lang_id"      -> (langId _),
@@ -117,6 +131,15 @@ object Text {
     "fingerprint"  -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean,
+        |       len(string_split(clean, ' '))::BIGINT AS n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -95,6 +95,51 @@ class PropertySpec extends AnyFunSuite {
     } yield (k, y, v.toDouble, b))
   } yield rows
 
+  test("MinKAggregator == sort.take(k) under any insert/merge order") {
+    val xsGen = Gen.listOf(Gen.choose(0L, 1000L))
+    check(Prop.forAll(xsGen, Gen.choose(1, 6), Gen.choose(0, 20)) {
+      (xs, k, cut0) =>
+        val agg = new graft.functions.MinKAggregator(k)
+        val cut = if (xs.isEmpty) 0 else cut0 % (xs.length + 1)
+        val (l, r) = xs.splitAt(cut)
+        val bufL = l.foldLeft(agg.zero)(agg.reduce)
+        val bufR = r.foldLeft(agg.zero)(agg.reduce)
+        agg.finish(agg.merge(bufL, bufR)) == xs.sorted.take(k)
+    })
+  }
+
+  test("CentroidArgmax == brute-force rounded argmax; codegen == eval") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val vecGen = Gen.listOfN(4, Gen.choose(-100, 100).map(_ / 10.0f))
+      .suchThat(_.exists(_ != 0f))
+    check(Prop.forAll(Gen.listOfN(5, vecGen), vecGen) { (cents0, v) =>
+      val cents = cents0.map(_.toArray).toArray
+      val ids = cents.indices.map(_.toLong + 10).toArray
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        dot / (na * nb)
+      }
+      def q6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      val want = ids(cents.zipWithIndex
+        .map { case (c, i) => (q6(cos(v.toArray, c)), i) }
+        .reduceLeft((a, b) => if (b._1 > a._1) b else a)._2)
+      // codegen path through a real projection
+      val got = Seq(Tuple1(v)).toDF("emb")
+        .select(graft.functions.CentroidArgmax.assign(
+          col("emb"), cents, ids).as("cell"))
+        .head().getLong(0)
+      // interpreted eval path
+      val expr = graft.functions.CentroidArgmax(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)), cents, ids)
+      val evald = expr.eval(null).asInstanceOf[Long]
+      got == want && evald == want
+    })
+  }
+
   test("upsert is idempotent and keeps exactly one row per key") {
     check(Prop.forAll(batchGen, batchGen) { (t, b) =>
       Prop.propBoolean(t.nonEmpty && b.nonEmpty) ==> {
