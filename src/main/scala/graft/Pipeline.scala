@@ -121,6 +121,41 @@ object Pipeline {
     spark.read.parquet(s"$workDir/cleaned").count()
   }
 
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `parts`. At 100 TB this is what turns an equality predicate on the
+    * partition key into DIRECTORY pruning — the scan never opens
+    * non-matching partitions (PartitionFilters in the plan, asserted in
+    * LayoutSpec). Partition keys must be low-cardinality (event_type,
+    * date, lang) — high-cardinality keys create the small-file problem
+    * `compact` exists to fix. */
+  def writePartitioned(df: DataFrame, path: String,
+                       parts: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(parts: _*).parquet(path)
+
+  /** Small-file compaction: rewrite a partitioned dataset so each
+    * partition directory holds ~one file per `rowsPerFile` rows
+    * (repartitioning BY the partition keys keeps each output task
+    * writing into a single directory — without it every task writes a
+    * sliver into every partition, which is how small files happen in the
+    * first place). The rewrite lands in `<path>.tmp` and swaps in via
+    * the crash-safe atomic protocol. */
+  def compact(spark: SparkSession, path: String, parts: Seq[String],
+              rowsPerFile: Long = 1000000L): Unit = {
+    restoreIfCrashed(path)
+    val df = spark.read.parquet(path)
+    val n = math.max(1, (df.count() / rowsPerFile)).toInt
+    val tmp = path + ".tmp"
+    df.repartition(n, parts.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(tmp)
+    val target = Paths.get(path)
+    val old = Paths.get(path + ".old")
+    if (Files.exists(old)) deleteRec(old)
+    Files.move(target, old)
+    Files.move(Paths.get(tmp), target)
+    deleteRec(old)
+  }
+
   /** Full run: ingest + transform + row-count reconciliation summary
     * (the reference's __main__ flows, database.py:185-207 +
     * transformer.py:185-197). */
