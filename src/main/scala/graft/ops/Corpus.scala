@@ -138,15 +138,39 @@ object Corpus {
 
   /** Quantile filter: keep documents at or above their language's median
     * token count — the per-stratum percentile-cut shape used for quality
-    * flooring. Exact interpolated percentile per group (Spark
-    * `percentile` ≡ DuckDB `quantile_cont`); the per-lang median table is
-    * a handful of rows, broadcast back into the scan. */
+    * flooring.
+    *
+    * The median is EXACT but computed from a value histogram, not a
+    * value buffer: counts per (lang, n_tokens) are map-side-combinable,
+    * and the order statistics come from a cumulative-sum window over the
+    * histogram — whose partitions are |distinct values| rows (bounded by
+    * document length), NOT |documents|. Spark's `percentile` aggregate
+    * would buffer every group member in one task (the same skew class as
+    * a per-term window); this shape is exact at any corpus size. The
+    * interpolation is definitionally identical to DuckDB's
+    * `quantile_cont`: x_lo + frac·(x_hi − x_lo) at positions
+    * floor/ceil((n−1)/2), and frac ∈ {0, 0.5} keeps the arithmetic
+    * exact in doubles. */
   def quantileFilter(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.spread(Tables.t(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-    val m = t.groupBy(col("lang"))
-      .agg(expr("percentile(n_tokens, 0.5)").as("med"))
+    val h = t.groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+    val hh = h
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .withColumn("pos", (col("n") - 1) / 2.0)
+    val m = hh.groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= floor(col("pos")) + 1, col("n_tokens")))
+          .as("x_lo"),
+        min(when(col("cum") >= ceil(col("pos")) + 1, col("n_tokens")))
+          .as("x_hi"),
+        first(col("pos") - floor(col("pos"))).as("frac"))
+      .select(col("lang"),
+        (col("x_lo") + col("frac") * (col("x_hi") - col("x_lo"))).as("med"))
     t.join(broadcast(m), "lang")
       .filter(col("n_tokens") >= col("med"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
