@@ -90,10 +90,17 @@ object Dedup {
     // handler (and run exact dedup FIRST, which collapses identical
     // copies before they can form buckets). Mirrored in the oracle, so
     // semantics match by construction; at the tested SFs no bucket comes
-    // near the cap.
-    bands.groupBy(col("band"))
+    // near the cap. The cap is enforced BEFORE collect_list via a
+    // map-side-combinable count + semi join — filtering the collected
+    // array afterwards would still have buffered the mega-bucket in one
+    // aggregation task.
+    val keepBands = bands.groupBy(col("band"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > 1 && col("bc") <= 256)
+      .select(col("band"))
+    bands.join(keepBands, Seq("band"), "left_semi")
+      .groupBy(col("band"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= 256)
       .select(explode(expr(
         """flatten(transform(ids, a ->
           |  transform(filter(ids, b -> b > a),
@@ -131,10 +138,15 @@ object Dedup {
     // production set-similarity joins. The oracle applies the identical
     // cap, so semantics match by construction (at the tested SFs no group
     // exceeds 3, so results are unchanged; at pathological duplication
-    // scales this bounds the join).
-    ex.groupBy(col("source"), col("s"))
+    // scales this bounds the join). Enforced BEFORE collect_list (count +
+    // semi join) so a stop-shingle's group is never buffered.
+    val keepShingles = ex.groupBy(col("source"), col("s"))
+      .agg(count(lit(1)).as("sc"))
+      .filter(col("sc") > 1 && col("sc") <= 64)
+      .select(col("source"), col("s"))
+    ex.join(keepShingles, Seq("source", "s"), "left_semi")
+      .groupBy(col("source"), col("s"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= 64)
       .select(col("source"), explode(expr(
         """flatten(transform(ds, a ->
           |  transform(filter(ds, b -> b.doc_id > a.doc_id),
