@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosAsLongKey, "true")
+      // typed-Aggregator queries (TopK / BoundedCollect) have bounded
+      // per-group buffers; the default 128-key fallback to sort-based
+      // ObjectHashAggregate costs ~20% on those paths for no memory win
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

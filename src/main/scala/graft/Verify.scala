@@ -12,6 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosAsLongKey, "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              "1000000") // bounded-buffer Aggregators — see Bench.scala
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

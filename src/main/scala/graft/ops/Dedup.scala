@@ -90,17 +90,14 @@ object Dedup {
     // handler (and run exact dedup FIRST, which collapses identical
     // copies before they can form buckets). Mirrored in the oracle, so
     // semantics match by construction; at the tested SFs no bucket comes
-    // near the cap. The cap is enforced BEFORE collect_list via a
-    // map-side-combinable count + semi join — filtering the collected
-    // array afterwards would still have buffered the mega-bucket in one
-    // aggregation task.
-    val keepBands = bands.groupBy(col("band"))
-      .agg(count(lit(1)).as("bc"))
-      .filter(col("bc") > 1 && col("bc") <= 256)
-      .select(col("band"))
-    bands.join(keepBands, Seq("band"), "left_semi")
-      .groupBy(col("band"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    // near the cap. BoundedCollect enforces the cap in a SINGLE pass
+    // with O(cap) buffer: the exact bucket size rides along, and for
+    // surviving (≤ cap) buckets the membership is complete.
+    bands.groupBy(col("band"))
+      .agg(graft.functions.BoundedCollect.collect(256)(
+        col("doc_id"), lit(0L)).as("r"))
+      .filter(col("r._1") > 1 && col("r._1") <= 256)
+      .select(expr("transform(r._2, x -> x._1)").as("ids"))
       .select(explode(expr(
         """flatten(transform(ids, a ->
           |  transform(filter(ids, b -> b > a),
@@ -138,20 +135,17 @@ object Dedup {
     // production set-similarity joins. The oracle applies the identical
     // cap, so semantics match by construction (at the tested SFs no group
     // exceeds 3, so results are unchanged; at pathological duplication
-    // scales this bounds the join). Enforced BEFORE collect_list (count +
-    // semi join) so a stop-shingle's group is never buffered.
-    val keepShingles = ex.groupBy(col("source"), col("s"))
-      .agg(count(lit(1)).as("sc"))
-      .filter(col("sc") > 1 && col("sc") <= 64)
-      .select(col("source"), col("s"))
-    ex.join(keepShingles, Seq("source", "s"), "left_semi")
-      .groupBy(col("source"), col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+    // scales this bounds the join). BoundedCollect enforces it in one
+    // pass with O(cap) buffer — see minhashPairs.
+    ex.groupBy(col("source"), col("s"))
+      .agg(graft.functions.BoundedCollect.collect(64)(
+        col("doc_id"), col("n").cast("long")).as("r"))
+      .filter(col("r._1") > 1 && col("r._1") <= 64)
       .select(col("source"), explode(expr(
-        """flatten(transform(ds, a ->
-          |  transform(filter(ds, b -> b.doc_id > a.doc_id),
-          |    b -> named_struct('doc_a', a.doc_id, 'n_a', a.n,
-          |                      'doc_b', b.doc_id, 'n_b', b.n))))"""
+        """flatten(transform(r._2, a ->
+          |  transform(filter(r._2, b -> b._1 > a._1),
+          |    b -> named_struct('doc_a', a._1, 'n_a', a._2,
+          |                      'doc_b', b._1, 'n_b', b._2))))"""
           .stripMargin)).as("p"))
       .groupBy(col("source"), col("p.doc_a").as("doc_a"),
                col("p.doc_b").as("doc_b"),

@@ -11,6 +11,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosAsLongKey, "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              "1000000") // bounded-buffer Aggregators — see Bench.scala
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
