@@ -43,9 +43,12 @@ object Pipeline {
     // If a prior swap crashed between the aside-rename and the tmp→live
     // move, `.old` is the ONLY copy of the committed dataset — restore it
     // before anything else. Only then is a still-present `.old` (crash
-    // between tmp-move and cleanup) safe to delete. This guard must live
-    // HERE, not only in upsertRaw: foreachBatch sinks call atomicWrite
-    // directly.
+    // between tmp-move and cleanup) safe to delete.
+    // CONTRACT for read-merge-write callers (upsertRaw, foreachBatch
+    // sinks): read the current state via `readCommitted`, which performs
+    // this same restore BEFORE the read — a caller that checks
+    // Files.exists itself after a crash would merge against nothing and
+    // this writer would then faithfully commit that empty merge.
     restoreIfCrashed(path)
     if (Files.exists(old)) deleteRec(old) // target exists too → leftover
     val hadTarget = Files.exists(target)
@@ -63,20 +66,32 @@ object Pipeline {
     if (!Files.exists(target) && Files.exists(old)) Files.move(old, target)
   }
 
-  private def deleteRec(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+  /** Crash-safe read of a layer path: restore a stranded `.old` copy
+    * first, then read — None if the layer has never been written. The
+    * required entry point for every read-merge-write cycle (see
+    * atomicWrite). */
+  def readCommitted(spark: SparkSession, path: String): Option[DataFrame] = {
+    restoreIfCrashed(path)
+    if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
+    else None
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))
+    finally s.close() // Files.walk holds open directory streams
+  }
 
   /** K2: keyed batch upsert into a raw layer path (ON CONFLICT DO UPDATE
     * semantics — database.py:119-138). */
   def upsertRaw(spark: SparkSession, incoming: DataFrame, path: String): Long = {
-    restoreIfCrashed(path)
-    val merged =
-      if (Files.exists(Paths.get(path))) {
-        val existing = spark.read.parquet(path)
+    val merged = readCommitted(spark, path) match {
+      case Some(existing) =>
         Relational.lastWriterWins(existing.unionByName(incoming),
           keys, Seq(col("fetched_at").desc))
-      } else incoming
+      case None => incoming
+    }
     atomicWrite(merged, path)
     spark.read.parquet(path).count()
   }

@@ -22,15 +22,19 @@ object Dedup {
 
   /** Composable 3-shingle formulation over a MATERIALIZED token-array
     * column — kept as the executable spec of the native
-    * graft.functions.Shingles expression (equivalence asserted in
-    * DedupSpec). `toks` must be a bound attribute: higher-order lambdas
-    * get no subexpression elimination, so an inline split() would re-run
-    * the regex per emitted shingle. */
+    * graft.functions.Shingles expression (set equivalence asserted in
+    * DedupSpec). array_distinct matches the native expression's
+    * distinct-set output — without it, a repeated 3-gram would change
+    * size(sh) and every Jaccard denominator downstream. `toks` must be a
+    * bound attribute: higher-order lambdas get no subexpression
+    * elimination, so an inline split() would re-run the regex per
+    * emitted shingle. */
   def shinglesHof(text: Column, toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => array_join(slice(toks, i, lit(3)), " ")))
-      .otherwise(array(text))
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+        .otherwise(array(text)))
 
   /** Distinct word 3-shingles — native single-pass expression. */
   def shingles(text: Column): Column =

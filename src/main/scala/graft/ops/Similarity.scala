@@ -111,6 +111,9 @@ object Similarity {
     * on cell id, per-cell candidate scoring via hash join. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+    // count() is answered from parquet footer metadata (no data scan),
+    // and the centroid collect below prunes to vec_id < C at the scan —
+    // the setup phase reads C rows of data, not 2 extra table passes.
     val nCents = math.ceil(math.sqrt(
       Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
     // The codebook is a MODEL PARAMETER (C = ⌈√N⌉ rows, KBs even at

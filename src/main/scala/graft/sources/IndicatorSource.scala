@@ -38,9 +38,12 @@ object IndicatorTransports {
   *  - S2 pagination: each PartitionReader pages until meta.pages
   *    (api_fetcher.py:62-83).
   *  - S3 retry: per-page attempts with exponential backoff
-  *    (api_fetcher.py:46-57: 3 tries, 2^attempt); a unit that exhausts its
-  *    budget yields no rows (the reference's give-up-→-None), and Spark's
-  *    own task retries remain the outer layer.
+  *    (api_fetcher.py:46-57: 3 tries, 2^attempt). A unit that exhausts a
+  *    page's budget stops paginating but KEEPS the pages already fetched
+  *    — exactly the reference's behavior (fetch_indicator breaks out and
+  *    returns the accumulated records, api_fetcher.py:71-77; a unit whose
+  *    FIRST page fails therefore yields no rows). Spark's own task
+  *    retries remain the outer layer.
   *  - S4 rate limit: configurable sleep between page fetches
   *    (api_fetcher.py:106).
   *

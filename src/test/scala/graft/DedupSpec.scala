@@ -34,8 +34,7 @@ class DedupSpec extends AnyFunSuite {
       .withColumn("toks", split(col("text"), "\\s+"))
     val diff = docs.select(
         array_sort(Dedup.shingles(col("text"))).as("nat"),
-        array_sort(array_distinct(
-          Dedup.shinglesHof(col("text"), col("toks")))).as("hof"))
+        array_sort(Dedup.shinglesHof(col("text"), col("toks"))).as("hof"))
       .filter(col("nat") =!= col("hof"))
     assert(diff.count() === 0)
   }

@@ -58,6 +58,20 @@ class PipelineSpec extends AnyFunSuite {
       .head().getAs[Double]("revenue") === 123.4567)
   }
 
+  test("readCommitted restores a mid-swap crash before the merge decision") {
+    val work = Files.createTempDirectory("graft_pipe").toString
+    val path = s"$work/sink"
+    Pipeline.atomicWrite(
+      Seq((1L, 10.0)).toDF("k", "v"), path)
+    // crash state: live dir renamed aside, tmp never landed
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".old"))
+    val restored = Pipeline.readCommitted(spark, path)
+    assert(restored.isDefined && restored.get.count() === 1)
+    // and the state is actually back on disk for the subsequent write
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+  }
+
   test("a crash between swap steps never loses the committed dataset") {
     val work = Files.createTempDirectory("graft_pipe").toString
     val path = s"$work/raw_revenue"

@@ -85,14 +85,14 @@ class StreamingLateSpec extends AnyFunSuite {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = batch.select("user_id", "event_type", "event_id",
           "ts", "value")
-        val merged =
-          if (Files.exists(Paths.get(sinkPath)))
-            Relational.lastWriterWins(
-              incoming.sparkSession.read.parquet(sinkPath)
-                .unionByName(incoming),
-              Seq("user_id", "event_type"),
-              Seq(col("ts").desc, col("event_id").desc))
-          else incoming
+        // read-merge-write cycles MUST read via readCommitted (crash-safe
+        // restore before the merge decision) — see Pipeline.atomicWrite
+        val merged = Pipeline.readCommitted(incoming.sparkSession, sinkPath)
+          .map(existing => Relational.lastWriterWins(
+            existing.unionByName(incoming),
+            Seq("user_id", "event_type"),
+            Seq(col("ts").desc, col("event_id").desc)))
+          .getOrElse(incoming)
         Pipeline.atomicWrite(merged, sinkPath)
       }
       .start()
