@@ -178,7 +178,31 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** The full curation funnel as ONE operator — the composition a
+    * training-data pipeline actually ships: exact dedup (first writer per
+    * content hash) ∩ near-dup canonical survivors (connected components
+    * over MinHash candidates) ∩ quality floor (per-language median token
+    * count) ∩ deterministic ~20% stratified sample. Every stage is a
+    * per-document predicate, so the funnel is an intersection of doc_id
+    * sets — expressed as four broadcast/shuffle semi joins against the
+    * (small) survivor sets; stage order cannot change the result. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val exactKeep = Dedup.exact(spark, dir).select(col("doc_id"))
+    val canonical = Dedup.dedupClusters(spark, dir)
+      .filter(col("is_canonical")).select(col("doc_id"))
+    val quality = quantileFilter(spark, dir).select(col("doc_id"))
+    val sampled = stratifiedSample(spark, dir).select(col("doc_id"))
+    docs.join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(sampled, Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curate"     -> (curate _),
     "tfidf_topterms"    -> (tfidfTopTerms _),
     "bm25_topk"         -> (bm25TopK _),
     "inverted_index"    -> (invertedIndex _),
@@ -186,6 +210,55 @@ object Corpus {
     "quantile_filter"   -> (quantileFilter _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_curate" ->
+      (Dedup.duckSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, bands AS (
+          |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
+          |                         md5(mh_s2 || mh_s3)]) AS band
+          |  FROM sig),
+          |keep AS (
+          |  SELECT band FROM bands GROUP BY band
+          |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN keep k ON a.band = k.band
+          |  JOIN bands b ON a.band = b.band
+          |  WHERE a.doc_id < b.doc_id),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+          |canon AS (
+          |  SELECT id AS doc_id FROM reach GROUP BY id
+          |  HAVING MIN(r) = id),
+          |exact_keep AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, ROW_NUMBER() OVER (
+          |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |    FROM documents) WHERE rn = 1),
+          |tq AS (
+          |  SELECT doc_id, lang,
+          |         len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+          |  FROM documents),
+          |med AS (
+          |  SELECT lang, quantile_cont(n_tokens, 0.5) AS m
+          |  FROM tq GROUP BY lang),
+          |quality AS (
+          |  SELECT tq.doc_id FROM tq JOIN med USING (lang)
+          |  WHERE tq.n_tokens >= med.m),
+          |samp AS (
+          |  SELECT doc_id FROM documents
+          |  WHERE substring(md5(lang || '|' || doc_id::VARCHAR), 1, 2)
+          |        < '33')
+          |SELECT d.doc_id, d.lang FROM documents d
+          |JOIN exact_keep USING (doc_id)
+          |JOIN canon USING (doc_id)
+          |JOIN quality USING (doc_id)
+          |JOIN samp USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
     "tfidf_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term

@@ -334,7 +334,7 @@ object Dedup {
       |       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
       |  ELSE [text] END""".stripMargin
 
-  private val duckSigCte =
+  private[ops] val duckSigCte =
     s"""WITH d AS (
        |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
        |  FROM documents),

@@ -147,6 +147,18 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(users.toSeq === users.sorted.reverse)
   }
 
+  test("corpus_curate is the exact intersection of its four stage filters") {
+    val out = Corpus.curate(spark, dir).collect().map(_.getLong(0)).toSet
+    val ex = Dedup.exact(spark, dir).collect().map(_.getLong(0)).toSet
+    val canon = Dedup.dedupClusters(spark, dir).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val q = Corpus.quantileFilter(spark, dir).collect().map(_.getLong(0)).toSet
+    val s = Corpus.stratifiedSample(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(out === (ex & canon & q & s))
+    assert(out.nonEmpty && out.size < s.size)
+  }
+
   test("approx_sketch estimates stay within bounds of their exact twins") {
     val approx = Relational.approxSketches(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
