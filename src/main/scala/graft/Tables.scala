@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /** Fixture-table loaders + explicit schemas.
@@ -48,7 +48,13 @@ object Tables {
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => df // already a timestamp (e.g. test fixtures)
+      case TimestampNTZType =>
+        // parquet written without UTC adjustment (e.g. DuckDB TIMESTAMP):
+        // under the session's UTC zone the wall clock IS the instant, so
+        // the cast is value-preserving — and timestamp functions
+        // (unix_micros, window) require the instant type.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already an instant timestamp (e.g. test fixtures)
     }
   }
 

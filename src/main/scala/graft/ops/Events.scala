@@ -206,7 +206,31 @@ object Events {
       .select(col("stage"), col("users"))
   }
 
+  /** Trailing-window anomaly detection: per event type, flag values more
+    * than 2.5 sample standard deviations from the trailing-100 mean
+    * (frame excludes the current row — a spike must not mask itself).
+    * The monitoring shape over any metric stream: one shuffle on the
+    * type key, O(frame) state per row, warm-up guard (≥ 30 trailing
+    * rows) before the detector arms. Deterministic ordering via the
+    * (ts, event_id) tie-break. */
+  def zscoreAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-100, -1)
+    Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .withColumn("mu", avg(col("value")).over(win))
+      .withColumn("sd", stddev_samp(col("value")).over(win))
+      .withColumn("n", count(lit(1)).over(win))
+      .filter(col("n") >= 30 && col("sd") > 0 &&
+        abs((col("value") - col("mu")) / col("sd")) >= 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sd") + 1e-9, 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_zscore"    -> (zscoreAnomalies _),
     "events_retention" -> (retentionCohort _),
     "events_funnel"   -> (funnelStages _),
     "events_unpivot"  -> (unpivot _),
@@ -222,6 +246,23 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "events_zscore" ->
+      """WITH e AS (
+        |  SELECT ts::TIMESTAMP AS ts, event_id, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, event_type, value,
+        |    AVG(value) OVER win AS mu,
+        |    STDDEV_SAMP(value) OVER win AS sd,
+        |    COUNT(*) OVER win AS n
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, value,
+        |       ROUND((value - mu) / sd + 1e-9, 4) AS z
+        |FROM w
+        |WHERE n >= 30 AND sd > 0 AND ABS((value - mu) / sd) >= 2.5
+        |ORDER BY event_id""".stripMargin,
     "events_retention" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS d FROM events),
