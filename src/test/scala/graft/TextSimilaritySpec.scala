@@ -78,6 +78,19 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("cosine_sim"))
   }
 
+  test("GraftSession.builder yields a fully-wired engine session") {
+    // getOrCreate shares the JVM-wide context in tests — do NOT stop it
+    val s = GraftSession.builder(master = "local[2]",
+        shufflePartitions = Some(2)).getOrCreate()
+    assert(s.conf.get("spark.sql.session.timeZone") === "UTC")
+    assert(s.conf.get(Tables.NanosAsLongKey) === "true")
+    // custom SQL functions usable straight away
+    val sim = s.sql(
+      "SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-9)
+  }
+
   test("GraftExtensions injects the custom functions at session build") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
