@@ -4,16 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(Tables.NanosAsLongKey, "true")
-      // typed-Aggregator queries (TopK / BoundedCollect) have bounded
-      // per-group buffers; the default 128-key fallback to sort-based
-      // ObjectHashAggregate costs ~20% on those paths for no memory win
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-              "1000000")
+    val spark = GraftSession
+      .builder(s"local[$cpus]", shufflePartitions = Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
   * determinism rules assume it), nanosecond-parquet acceptance for event
   * tables, and the bounded-buffer aggregate tuning.
   *
-  * `SparkEntry`'s harness mains (Verify/Bench) build their sessions
-  * explicitly with the same settings; this factory is the public API
-  * equivalent.
+  * The harness mains (Verify/Bench) build their sessions THROUGH this
+  * factory, so it is the single source of truth for engine session
+  * settings (TestSpark mirrors it minus the static extensions conf,
+  * which cannot apply to the shared test-JVM session).
   */
 object GraftSession {
 

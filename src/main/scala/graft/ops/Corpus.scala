@@ -211,26 +211,8 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "corpus_curate" ->
-      (Dedup.duckSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, bands AS (
-          |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
-          |                         md5(mh_s2 || mh_s3)]) AS band
-          |  FROM sig),
-          |keep AS (
-          |  SELECT band FROM bands GROUP BY band
-          |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
-          |pairs AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN keep k ON a.band = k.band
-          |  JOIN bands b ON a.band = b.band
-          |  WHERE a.doc_id < b.doc_id),
-          |edges AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-          |reach(id, r) AS (
-          |  SELECT doc_id, doc_id FROM documents
-          |  UNION
-          |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      (Dedup.duckReachCtes +
+        """,
           |canon AS (
           |  SELECT id AS doc_id FROM reach GROUP BY id
           |  HAVING MIN(r) = id),

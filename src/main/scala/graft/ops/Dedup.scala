@@ -349,6 +349,33 @@ object Dedup {
        |  FROM sh GROUP BY doc_id)
        |""".stripMargin
 
+  /** Shared CTE chain: signatures → capped band buckets → candidate
+    * pairs → undirected edges → recursive reachability. Single source for
+    * the dedup_clusters oracle AND Corpus's corpus_curate funnel oracle —
+    * a cap/threshold change edits exactly one string. */
+  private[ops] val duckReachCtes: String =
+    duckSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, bands AS (
+        |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
+        |                         md5(mh_s2 || mh_s3)]) AS band
+        |  FROM sig),
+        |keep AS (
+        |  SELECT band FROM bands GROUP BY band
+        |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN keep k ON a.band = k.band
+        |  JOIN bands b ON a.band = b.band
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)"""
+        .stripMargin
+
   private val duckSimhashBits = (1 to 16).map { i =>
     s"""(CASE WHEN list_sum(list_transform(hs,
        | h -> ((strpos('0123456789abcdef', substring(h, $i, 1)) - 1) % 2) * 2 - 1
@@ -365,19 +392,8 @@ object Dedup {
     "minhash_sig" ->
       (duckSigCte + "SELECT * FROM sig ORDER BY doc_id"),
     "minhash_pairs" ->
-      (duckSigCte +
-        """, bands AS (
-          |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
-          |                         md5(mh_s2 || mh_s3)]) AS band
-          |  FROM sig),
-          |keep AS (
-          |  SELECT band FROM bands GROUP BY band
-          |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256)
-          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |FROM bands a JOIN keep k ON a.band = k.band
-          |JOIN bands b ON a.band = b.band
-          |WHERE a.doc_id < b.doc_id
-          |ORDER BY doc_a, doc_b""".stripMargin),
+      (duckReachCtes +
+        "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
     "ngram_jaccard" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, source, text,
@@ -415,26 +431,8 @@ object Dedup {
          |SELECT doc_id, CAST($duckSimhashBits AS BIGINT) AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
-      (duckSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, bands AS (
-          |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
-          |                         md5(mh_s2 || mh_s3)]) AS band
-          |  FROM sig),
-          |keep AS (
-          |  SELECT band FROM bands GROUP BY band
-          |  HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
-          |pairs AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN keep k ON a.band = k.band
-          |  JOIN bands b ON a.band = b.band
-          |  WHERE a.doc_id < b.doc_id),
-          |edges AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-          |reach(id, r) AS (
-          |  SELECT doc_id, doc_id FROM documents
-          |  UNION
-          |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+      (duckReachCtes +
+        """
           |SELECT id AS doc_id, min(r) AS cluster_id,
           |       (min(r) = id) AS is_canonical
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),

@@ -222,10 +222,13 @@ object Events {
       .withColumn("mu", avg(col("value")).over(win))
       .withColumn("sd", stddev_samp(col("value")).over(win))
       .withColumn("n", count(lit(1)).over(win))
-      .filter(col("n") >= 30 && col("sd") > 0 &&
-        abs((col("value") - col("mu")) / col("sd")) >= 2.5)
-      .select(col("event_id"), col("event_type"), col("value"),
-        round((col("value") - col("mu")) / col("sd") + 1e-9, 4).as("z"))
+      // threshold the ROUNDED z (repo determinism rule): engines
+      // accumulate the frame in different orders, so an unrounded
+      // |z| >= 2.5 could flip membership for boundary rows
+      .withColumn("z",
+        round((col("value") - col("mu")) / col("sd") + 1e-9, 4))
+      .filter(col("n") >= 30 && col("sd") > 0 && abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy(col("event_id"))
   }
 
@@ -258,10 +261,11 @@ object Events {
         |  FROM e
         |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
         |                 ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
-        |SELECT event_id, event_type, value,
-        |       ROUND((value - mu) / sd + 1e-9, 4) AS z
-        |FROM w
-        |WHERE n >= 30 AND sd > 0 AND ABS((value - mu) / sd) >= 2.5
+        |SELECT event_id, event_type, value, z FROM (
+        |  SELECT event_id, event_type, value, n, sd,
+        |         ROUND((value - mu) / sd + 1e-9, 4) AS z
+        |  FROM w)
+        |WHERE n >= 30 AND sd > 0 AND ABS(z) >= 2.5
         |ORDER BY event_id""".stripMargin,
     "events_retention" ->
       """WITH e AS (

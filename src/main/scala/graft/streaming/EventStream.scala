@@ -16,10 +16,12 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as stored (ts is INT64 nanos — see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
+  /** The events schema with ts stored as `tsType` (INT64 nanos in the
+    * driver fixtures, TIMESTAMP or TIMESTAMP_NTZ elsewhere — the stream
+    * must declare what the footer holds; see Tables.events). */
+  def rawSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -57,11 +59,27 @@ object EventStream {
           d.toString
         })
       } else p.toString
-    val reader = spark.readStream.schema(rawSchema)
+    // Match the batch loader's timestamp acceptance (Tables.events): the
+    // stream schema must mirror what the parquet footer actually stores,
+    // so peek it with a batch read (footer-only) and normalize the same
+    // three ways — nanos-as-long, NTZ wall clock (≡ instant under the
+    // UTC session), or already-instant.
+    // (an empty not-yet-populated stream dir can't be peeked — fall back
+    // to the fixture default, INT64 nanos)
+    val storedTs =
+      try spark.read.parquet(streamDir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
+    val reader = spark.readStream.schema(rawSchema(storedTs))
     filesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = reader.parquet(streamDir)
+    storedTs match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour counts per event type with a 2-hour watermark:

@@ -12,7 +12,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosAsLongKey, "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-              "1000000") // bounded-buffer Aggregators — see Bench.scala
+              "1000000") // mirrors GraftSession (extensions omitted: the
+                         // shared test session registers functions
+                         // explicitly where needed)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -79,12 +79,14 @@ class TextSimilaritySpec extends AnyFunSuite {
   }
 
   test("GraftSession.builder yields a fully-wired engine session") {
-    // getOrCreate shares the JVM-wide context in tests — do NOT stop it
-    val s = GraftSession.builder(master = "local[2]",
-        shufflePartitions = Some(2)).getOrCreate()
+    // getOrCreate shares the JVM-wide context in tests — do NOT stop it,
+    // and do NOT pass runtime overrides (they would mutate the shared
+    // session for every later suite). Static confs (extensions) cannot
+    // re-apply to an existing session, so the wiring assertions here are
+    // the runtime ones; the declared conf map is asserted directly.
+    val s = GraftSession.builder(master = "local[2]").getOrCreate()
     assert(s.conf.get("spark.sql.session.timeZone") === "UTC")
     assert(s.conf.get(Tables.NanosAsLongKey) === "true")
-    // custom SQL functions usable straight away
     val sim = s.sql(
       "SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c")
       .head().getDouble(0)
