@@ -159,10 +159,36 @@ object Panel {
       .orderBy(col("suppkey"), col("year"))
   }
 
+  /** Growth + rolling correlation: period-over-period percent change
+    * (lag-based, like W1) and the trailing-5 revenue↔quantity
+    * correlation with the reference's min-periods-3 guard (W2's rule
+    * applied to a second-moment feature). Both specs share the entity
+    * partition, so Catalyst computes them in one shuffle; corr is a
+    * mergeable moment sketch — O(1) state per frame row. */
+  def panelGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+    val a = yearlyPanel(li, "l_suppkey", "l_shipdate",
+        revenueExpr(li), "rev")
+      .join(yearlyPanel(li, "l_suppkey", "l_shipdate",
+        li("l_quantity"), "q"), Seq("suppkey", "year"))
+      .select(col("suppkey"), col("year"),
+        round(col("rev"), 4).as("revenue"), round(col("q"), 4).as("qty"))
+    val w = Window.partitionBy(col("suppkey")).orderBy(col("year"))
+    val f = w.rowsBetween(-4, 0)
+    a.select(col("suppkey"), col("year"),
+        round((col("revenue") - lag(col("revenue"), 1).over(w)) /
+          lag(col("revenue"), 1).over(w) + 1e-9, 6).as("rev_growth"),
+        when(count(lit(1)).over(f) >= 3,
+          round(corr(col("revenue"), col("qty")).over(f) + 1e-9, 6))
+          .as("rev_qty_corr"))
+      .orderBy(col("suppkey"), col("year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_cleaned" -> (pipelineCleaned _),
     "union_panels"     -> (unionPanels _),
     "panel_fill"       -> (panelFill _),
+    "panel_growth"     -> (panelGrowth _),
     "preview_format"   -> (previewFormat _))
 
   private val panelCte =
@@ -201,6 +227,25 @@ object Panel {
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "panel_growth" ->
+      """WITH a AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         EXTRACT(year FROM l_shipdate)::BIGINT AS year,
+        |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+        |           AS revenue,
+        |         ROUND(SUM(l_quantity), 4) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT suppkey, year,
+        |  ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w
+        |        + 1e-9, 6) AS rev_growth,
+        |  CASE WHEN COUNT(*) OVER f >= 3
+        |       THEN ROUND(CORR(revenue, qty) OVER f + 1e-9, 6)
+        |       END AS rev_qty_corr
+        |FROM a
+        |WINDOW w AS (PARTITION BY suppkey ORDER BY year),
+        |       f AS (PARTITION BY suppkey ORDER BY year
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY suppkey, year""".stripMargin,
     "panel_fill" ->
       """WITH base AS (
         |  SELECT l_suppkey AS suppkey,

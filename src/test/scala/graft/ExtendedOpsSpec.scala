@@ -141,6 +141,20 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(3)), "fixture must contain gaps")
   }
 
+  test("panel_growth: first row per entity has null growth; corr in [-1,1] " +
+       "with the min-periods-3 guard") {
+    val rows = ops.Panel.panelGrowth(spark, dir).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.head.isNullAt(2))          // no prior year → no growth
+      assert(sorted.take(2).forall(_.isNullAt(3))) // corr needs ≥ 3 rows
+      sorted.drop(2).foreach { r =>
+        if (!r.isNullAt(3))
+          assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-6)
+      }
+    }
+  }
+
   test("events_funnel: stage counts are monotonically non-increasing") {
     val users = Events.funnelStages(spark, dir).collect().map(_.getLong(1))
     assert(users.length === 4)
