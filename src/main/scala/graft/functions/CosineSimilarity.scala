@@ -118,9 +118,15 @@ object GraftFunctions {
     * spark.sql text on an existing session (GraftExtensions is the
     * build-time route). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", buildCosine _, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles", buildShingles _, "scala_udf")
+    // Idempotent: skip names already present (e.g. injected by
+    // GraftExtensions at build time) — re-registering is harmless but
+    // logs a "replaced a previously registered function" warning per call.
+    val registry = spark.sessionState.functionRegistry
+    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    ensure("cosine_sim", buildCosine _)
+    ensure("shingles", buildShingles _)
   }
 }

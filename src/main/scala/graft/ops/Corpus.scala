@@ -52,8 +52,8 @@ object Corpus {
     * N is a metadata-only count. */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.t(spark, dir, "documents").count()
-    val df = tokenStream(spark, dir)
-      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val df = termFreq(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     termFreq(spark, dir)
@@ -152,7 +152,11 @@ object Corpus {
     * floor/ceil((n−1)/2), and frac ∈ {0, 0.5} keeps the arithmetic
     * exact in doubles. */
   def quantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    // NULL text must not enter the histogram: size(split(NULL)) is -1 (or
+    // NULL under ANSI), which would inflate n and shift the median, while
+    // the DuckDB oracle's quantile ignores NULLs — same defense as bm25TopK.
     val t = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
     val h = t.groupBy(col("lang"), col("n_tokens"))

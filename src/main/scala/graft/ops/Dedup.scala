@@ -216,26 +216,28 @@ object Dedup {
     val edgeRdd = pairs.rdd.map(r => (r.getLong(0), r.getLong(1)))
     val g = Graph.fromEdgeTuples(edgeRdd, 1)
     val ccGraph = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
-    // The label table is |V(candidate pairs)| — a vanishing fraction of
-    // the corpus, and ALREADY assumed broadcast-sized by the final join
-    // below — so materialize it to the driver under that same bound and
-    // release Pregel's internal RDD caches immediately (spark.catalog
-    // .clearCache() cannot reach RDD-level persists, so without this the
-    // query would strand graph partitions in executor storage).
-    val labelRows = ccGraph.vertices.map { case (v, c) =>
-      org.apache.spark.sql.Row(v, c)
-    }.collect().toSeq
-    ccGraph.unpersist(blocking = false)
-    g.unpersist(blocking = false)
+    // The label table is |V(candidate pairs)| — usually a vanishing
+    // fraction of the corpus, but in the regime dedup exists for (heavily
+    // duplicated corpora) it can be a large share of it, so it must NEVER
+    // route through the driver. Materialize it distributed, into the SQL
+    // cache (which spills to disk and which spark.catalog.clearCache()
+    // reaches), then release Pregel's internal RDD caches — the eager
+    // count keeps the label lineage from re-running the whole Pregel
+    // chain after the unpersists. No broadcast hint on the final join:
+    // the planner broadcasts when the cached table is small and falls
+    // back to a shuffle join when it is not.
     val labels = spark.createDataFrame(
-      spark.sparkContext.parallelize(labelRows, 1),
+      ccGraph.vertices.map { case (v, c) => org.apache.spark.sql.Row(v, c) },
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("cluster_id",
-          org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.LongType)))).persist()
+    labels.count()
+    ccGraph.unpersist(blocking = false)
+    g.unpersist(blocking = false)
     Tables.t(spark, dir, "documents").select(col("doc_id"))
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("cluster_id") === col("doc_id"))

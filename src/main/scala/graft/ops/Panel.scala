@@ -175,11 +175,13 @@ object Panel {
         round(col("rev"), 4).as("revenue"), round(col("q"), 4).as("qty"))
     val w = Window.partitionBy(col("suppkey")).orderBy(col("year"))
     val f = w.rowsBetween(-4, 0)
+    // corr over a zero-variance frame is NaN in Spark but NULL in SQL
+    // engines (the DuckDB oracle included) — normalize with nanvl.
     a.select(col("suppkey"), col("year"),
         round((col("revenue") - lag(col("revenue"), 1).over(w)) /
           lag(col("revenue"), 1).over(w) + 1e-9, 6).as("rev_growth"),
         when(count(lit(1)).over(f) >= 3,
-          round(corr(col("revenue"), col("qty")).over(f) + 1e-9, 6))
+          round(nanvl(corr(col("revenue"), col("qty")).over(f), lit(null)) + 1e-9, 6))
           .as("rev_qty_corr"))
       .orderBy(col("suppkey"), col("year"))
   }
