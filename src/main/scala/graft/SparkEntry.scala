@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Panel.queries ++ Relational.queries ++ Ingest.queries ++
       Events.queries ++ Text.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Corpus.queries
+      Similarity.queries ++ Multimodal.queries ++ Corpus.queries ++
+      Curation.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     Panel.oracle ++ Relational.oracle ++ Ingest.oracle ++
       Events.oracle ++ Text.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Multimodal.oracle ++ Corpus.oracle
+      Similarity.oracle ++ Multimodal.oracle ++ Corpus.oracle ++
+      Curation.oracle
 }

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-corpus curation operators beyond the dedup/quality families:
+  * sequence packing, repetition filtering, PII redaction, and benchmark
+  * contamination checks — the remaining standard stages of an LLM
+  * pre-training data pipeline (north-star surface; the reference itself
+  * has no text pipeline — its cleaning analog is the null-drop + feature
+  * stage at transformer.py:70-116).
+  *
+  * Scale stance (same rules as the rest of the engine): per-document work
+  * is map-only Column expressions; cross-document state goes through
+  * map-side-combinable aggregations or bounded windows; nothing collects
+  * to the driver.
+  */
+object Curation {
+
+  /** Sequence packing: assign documents to fixed token-budget packs
+    * (budget = 2048) by contiguous concatenation order — the layout step
+    * that turns a curated corpus into fixed-length training rows.
+    *
+    * Packing is inherently sequential *within* a stream, so the scale
+    * unit is the SHARD: documents are range-bucketed into bounded shards
+    * (≤ 200 docs here; in production a shard = one output file's worth,
+    * sized so a task holds it) and packs never cross a shard boundary —
+    * exactly how distributed packing ships (each writer task packs its
+    * own shard). The cumulative-sum window partitions on (lang, shard),
+    * so per-task state is one bounded shard, never a whole language. */
+  def docPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val t = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        floor(col("doc_id") / 200).cast("long").as("shard"))
+    val wc = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = t.withColumn("tok_offset",
+        sum(col("n_tokens")).over(wc) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("tok_offset") / budget).cast("long"))
+    val wp = Window.partitionBy(col("lang"), col("shard"), col("pack_id"))
+      .orderBy(col("doc_id"))
+    c.select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        col("tok_offset"), col("pack_id"),
+        row_number().over(wp).cast("long").as("pack_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition statistics: per document, the fraction of
+    * all word 2-grams held by the most frequent 2-gram (top_frac) and
+    * the fraction that are repeats of an earlier 2-gram (dup_frac) —
+    * the standard repetitious-text quality filters.
+    *
+    * Shape: bigram explode → count per (doc, gram) → per-doc roll-up.
+    * Both aggregations are map-side combinable and keyed by doc (plus
+    * gram), so the shuffle volume is Θ(distinct bigrams), bounded by
+    * corpus token count — no hot key can exceed one document's grams. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        // bigram i = toks[i] + " " + toks[i+1], i in [1, n-1] (1-based,
+        // mirroring the oracle's list indexing)
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+           max(col("cnt")).as("top_cnt"),
+           count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"),
+        // +1e-9: deterministic decimal-tie break, see Relational.q1Agg
+        round(col("top_cnt").cast("double") / col("n_grams") + 1e-9, 4)
+          .as("top_frac"),
+        round((col("n_grams") - col("n_distinct")).cast("double") /
+              col("n_grams") + 1e-9, 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction: scrub digit-run identifiers from free-text fields and
+    * count the redactions — the masking pass run before text enters a
+    * training corpus. Pattern is pluggable (emails, phones, SSNs are the
+    * same regexp_replace shape); the fixture's PII-shaped content is the
+    * numeric id embedded in customer names. Pure map-only codegen'd
+    * string expressions — linear at any scale. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "customer"))
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("scrubbed"),
+        size(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_redacted"))
+      .orderBy(col("c_custkey"))
+
+  /** Benchmark contamination check: per document, the fraction of its
+    * DISTINCT word 3-grams that also appear in a benchmark set (held-out
+    * eval shards — here the deterministic doc_id % 50 = 0 slice). The
+    * n-gram-overlap decontamination test run before training.
+    *
+    * Shape: distinct (doc, gram) → left join the distinct benchmark gram
+    * set on gram → per-doc hit ratio. The benchmark side is aggregated
+    * to distinct grams before the join, so its size is the benchmark
+    * vocabulary (small); at 100 TB the same join runs as a broadcast or
+    * bloom-filter semi-join — the per-doc side never re-shuffles beyond
+    * the gram key. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("gram"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    grams.join(bench, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"),
+        (col("doc_id") % 50 === 0).as("is_benchmark"),
+        col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams") + 1e-9, 4)
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_pack"         -> (docPack _),
+    "repetition_stats" -> (repetitionStats _),
+    "pii_scrub"        -> (piiScrub _),
+    "contamination"    -> (contamination _))
+
+  val oracle: Map[String, String] = Map(
+    "doc_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens,
+        |    (doc_id // 200)::BIGINT AS shard
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    (SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, lang, shard, n_tokens, tok_offset,
+        |  (tok_offset // 2048)::BIGINT AS pack_id,
+        |  (ROW_NUMBER() OVER (PARTITION BY lang, shard, tok_offset // 2048
+        |     ORDER BY doc_id))::BIGINT AS pack_pos
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, SUM(cnt)::BIGINT AS n_grams,
+        |         MAX(cnt)::BIGINT AS top_cnt, COUNT(*)::BIGINT AS n_distinct
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_grams,
+        |  ROUND(top_cnt::DOUBLE / n_grams + 1e-9, 4) AS top_frac,
+        |  ROUND((n_grams - n_distinct)::DOUBLE / n_grams + 1e-9, 4) AS dup_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS scrubbed,
+        |  len(regexp_extract_all(c_name, '[0-9]+'))::BIGINT AS n_redacted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+        |  FROM t WHERE len(toks) >= 3),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |a AS (
+        |  SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+        |         SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_hit
+        |  FROM g LEFT JOIN b ON g.gram = b.gram
+        |  GROUP BY 1)
+        |SELECT doc_id, doc_id % 50 = 0 AS is_benchmark, n_grams, n_hit,
+        |  ROUND(n_hit::DOUBLE / n_grams + 1e-9, 4) AS contamination
+        |FROM a ORDER BY doc_id""".stripMargin)
+}

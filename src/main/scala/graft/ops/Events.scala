@@ -232,7 +232,36 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Time-series resample: regularize the event stream to a fixed 6-hour
+    * grid per user — aggregate to grid buckets, then densify each user's
+    * [first, last] bucket range with gap rows (n_events = 0, sum_value
+    * NULL). The regularization step before any trailing-window feature
+    * (zscore, roll5) whose frame semantics assume an unbroken grid.
+    *
+    * One shuffle on (user, bucket) for the aggregate; the spine is a
+    * per-user min/max roll-up exploded to Θ(time-range / granularity)
+    * rows and joined back on the same (user, bucket) key. Bucketing is
+    * computed map-side, so no key concentrates beyond one user's grid. */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+               window(col("ts"), "6 hours")("start").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+    val spine = b.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"), expr("interval 6 hours")))
+          .as("bucket"))
+    spine.join(b, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_resample"  -> (resample _),
     "events_zscore"    -> (zscoreAnomalies _),
     "events_retention" -> (retentionCohort _),
     "events_funnel"   -> (funnelStages _),
@@ -249,6 +278,26 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "events_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, time_bucket(INTERVAL 6 HOURS, ts::TIMESTAMP)
+        |           AS bucket, value
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, bucket, COUNT(*) AS n_events,
+        |         ROUND(SUM(value), 4) AS sum_value
+        |  FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |  FROM b GROUP BY 1),
+        |s AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(b0, b1, INTERVAL 6 HOURS)) AS bucket
+        |  FROM m)
+        |SELECT s.user_id, s.bucket,
+        |       COALESCE(b.n_events, 0) AS n_events, b.sum_value
+        |FROM s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+        |ORDER BY 1, 2""".stripMargin,
     "events_zscore" ->
       """WITH e AS (
         |  SELECT ts::TIMESTAMP AS ts, event_id, event_type, value

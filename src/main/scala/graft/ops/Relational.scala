@@ -382,7 +382,100 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** TPC-H q14-shape conditional aggregation: monthly PROMO revenue share
+    * — the CASE-WHEN-inside-SUM pattern (a.k.a. filtered aggregation).
+    * Part is a broadcast dimension; one shuffle on the month key whose
+    * cardinality is the calendar, not the data. */
+  def condAgg(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.t(spark, dir, "lineitem")
+      .join(broadcast(Tables.t(spark, dir, "part")
+              .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 4)
+          .as("promo_rev"),
+        round(sum(rev), 4).as("total_rev"),
+        // +1e-9: deterministic decimal-tie break, see q1Agg
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+          sum(rev) + 1e-9, 4).as("promo_share"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H q18-shape HAVING: orders whose line quantities sum past a
+    * threshold, re-joined to orders + customer for context. The HAVING
+    * filter runs on the aggregate BEFORE the joins, so only qualifying
+    * keys (a tiny set) reach the join — the orders/customer probes
+    * broadcast against it at any scale. */
+  def sqlHaving(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big.join(Tables.t(spark, dir, "orders"),
+             col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.t(spark, dir, "customer")
+              .select(col("c_custkey"), col("c_name"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TPC-H q19-shape disjunctive predicate: OR of three (brand, size,
+    * quantity) bands across the lineitem ⋈ part join. Catalyst extracts
+    * the common join key, pushes the per-side residuals of the
+    * disjunction into both scans (p_brand IN (...) prunes part;
+    * l_quantity bounds prune lineitem row groups), and evaluates the
+    * full OR post-join — the predicate shape that breaks naive
+    * pushdown. */
+  def disjunctiveFilter(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    def band(brand: String, s0: Int, s1: Int, q0: Int, q1: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(s0, s1) && col("l_quantity").between(q0, q1)
+    Tables.t(spark, dir, "lineitem")
+      .join(broadcast(Tables.t(spark, dir, "part")
+              .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#11", 1, 15, 1, 20) ||
+              band("Brand#22", 10, 30, 10, 35) ||
+              band("Brand#19", 20, 50, 20, 50))
+      .agg(round(sum(rev), 4).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** EXISTS / NOT EXISTS through the SQL front: per-segment counts of
+    * customers with a pending ('P') order and of positive-balance
+    * customers with no URGENT order. Catalyst rewrites both into
+    * semi/anti hash joins (no per-row subquery execution) — the
+    * companion to joinSemiAnti's DataFrame formulation. */
+  def sqlExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    Tables.t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |  SUM(CASE WHEN EXISTS (SELECT 1 FROM orders_v o
+        |                        WHERE o.o_custkey = c.c_custkey
+        |                          AND o.o_orderstatus = 'P')
+        |      THEN 1 ELSE 0 END) AS n_pending,
+        |  SUM(CASE WHEN c_acctbal > 0 AND NOT EXISTS (
+        |        SELECT 1 FROM orders_v o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |      THEN 1 ELSE 0 END) AS n_no_urgent
+        |FROM customer_v c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cond_agg"       -> (condAgg _),
+    "sql_having"     -> (sqlHaving _),
+    "disjunctive"    -> (disjunctiveFilter _),
+    "sql_exists"     -> (sqlExists _),
     "sql_text"       -> (sqlText _),
     "sql_correlated" -> (sqlCorrelated _),
     "stats_agg"      -> (statsAgg _),
@@ -407,6 +500,52 @@ object Relational {
     "upsert_lww"     -> (upsertLww _))
 
   val oracle: Map[String, String] = Map(
+    "cond_agg" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4)
+        |    AS promo_rev,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
+        |  ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+        |          THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |        SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+        |    AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_having" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "disjunctive" ->
+      """SELECT
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "sql_exists" ->
+      """SELECT c_mktsegment,
+        |  SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |                        WHERE o.o_custkey = c.c_custkey
+        |                          AND o.o_orderstatus = 'P')
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_pending,
+        |  SUM(CASE WHEN c_acctbal > 0 AND NOT EXISTS (
+        |        SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_no_urgent
+        |FROM customer c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "sql_correlated" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2

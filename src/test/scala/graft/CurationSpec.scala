@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.ops.{Curation, Events}
+
+/** Round-3 curation operators: sequence packing, repetition statistics,
+  * PII scrubbing, contamination checks, and event-grid resampling —
+  * edge semantics on hand-built mini-fixtures plus invariants on the
+  * real sf0.001 fixtures. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String =
+    TestFixtures.writeDir(Map("documents" ->
+      rows.toDF("doc_id", "text", "lang", "source")))
+
+  test("doc_pack: packs split at the 2048-token budget, offsets are prefix sums") {
+    val d = docsDir(Seq(
+      (0L, Seq.fill(1000)("w").mkString(" "), "en", "s"),
+      (1L, Seq.fill(1000)("w").mkString(" "), "en", "s"),
+      (2L, Seq.fill(1000)("w").mkString(" "), "en", "s"),
+      (3L, Seq.fill(100)("w").mkString(" "), "en", "s")))
+    val rows = Curation.docPack(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // offsets 0,1000,2000,3000 → floor(/2048) = packs 0,0,0,1
+    assert(rows.toSeq === Seq(
+      (0L, 0L, 0L, 1L), (1L, 1000L, 0L, 2L),
+      (2L, 2000L, 0L, 3L), (3L, 3000L, 1L, 1L)))
+  }
+
+  test("doc_pack: packs never cross the 200-doc shard boundary") {
+    val rows = Curation.docPack(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) / 200) // shard = doc_id / 200
+    }
+    // within each (lang, shard): offset is the running sum of n_tokens
+    rows.groupBy(r => (r.getString(1), r.getLong(2))).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(0))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) === cum)
+        cum += r.getLong(3)
+      }
+    }
+  }
+
+  test("repetition_stats: fully repetitive vs all-distinct documents") {
+    val d = docsDir(Seq(
+      (0L, "a a a a", "en", "s"),   // 3 bigrams, all "a a"
+      (1L, "a b c", "en", "s"),     // 2 distinct bigrams
+      (2L, "solo", "en", "s")))     // 1 token → no bigrams → absent
+    val out = Curation.repetitionStats(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((3L, 1.0, 0.6667)))
+    assert(out(1L) === ((2L, 0.5, 0.0)))
+    assert(!out.contains(2L))
+  }
+
+  test("contamination: a copy of a benchmark doc scores 1.0, disjoint text 0.0") {
+    val bench = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val d = docsDir(Seq(
+      (0L, bench, "en", "s"),                     // benchmark (0 % 50 == 0)
+      (1L, bench, "en", "s"),                     // exact copy → fully hit
+      (2L, (1 to 20).map(i => s"other$i").mkString(" "), "en", "s")))
+    val out = Curation.contamination(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(4))).toMap
+    assert(out(0L) === ((true, 1.0)))   // benchmark overlaps itself
+    assert(out(1L) === ((false, 1.0)))
+    assert(out(2L) === ((false, 0.0)))
+  }
+
+  test("pii_scrub: every digit run replaced, counts match") {
+    val rows = Curation.piiScrub(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getString(1).exists(_.isDigit))
+      assert(r.getLong(2) >= 1) // Customer#NNNNNN names carry one id run
+    }
+  }
+
+  test("events_resample: contiguous 6h grid per user, counts reconcile, gaps are zero") {
+    val d = TestFixtures.writeDir(Map("events" -> Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 13:00:00"), 7L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    val rows = Events.resample(spark, d).collect()
+    // buckets 00:00 (1 event), 06:00 (gap), 12:00 (1 event)
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(2)).toSeq === Seq(1L, 0L, 1L))
+    assert(rows(1).isNullAt(3)) // gap sum_value is NULL, not 0
+    // real fixture: totals reconcile and each user's grid is contiguous
+    val full = Events.resample(spark, dir).collect()
+    assert(full.map(_.getLong(2)).sum ===
+      Tables.t(spark, dir, "events").count())
+    full.groupBy(_.getLong(0)).values.foreach { g =>
+      val ts = g.map(_.getTimestamp(1).getTime).sorted.toSeq
+      ts.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a === 6L * 3600 * 1000)
+        case _         => ()
+      }
+    }
+  }
+}
