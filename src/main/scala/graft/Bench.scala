@@ -9,9 +9,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries — a local
+    // iteration aid; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter { case (k, _) => s(k) })
     // Untimed warmup: first executions pay JVM/codegen/scan-init costs that
     // say nothing about query cost — run everything once, then time.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Queries may persist() shared sub-results internally; clear between
@@ -20,7 +25,7 @@ object Bench {
     spark.catalog.clearCache()
     // A failed query records -1 — a thrown regression must never read as
     // a (faster) success in the benchmark JSON.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

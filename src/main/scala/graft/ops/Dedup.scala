@@ -213,7 +213,19 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.graphx.Graph
     val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .persist()
+    // Size the graph's partitioning to the CANDIDATE EDGE COUNT, exactly
+    // like dedupClustersDF: every Pregel superstep schedules one task per
+    // partition, and the candidate graph is usually orders of magnitude
+    // smaller than the corpus-parallel shuffle that produced it — running
+    // supersteps at corpus parallelism makes task scheduling the dominant
+    // cost. The persist means the (expensive) pairing lineage runs once,
+    // shared by the sizing count and the graph build.
+    val nEdges = pairs.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 100000L).toInt))
     val edgeRdd = pairs.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .coalesce(parts)
     val g = Graph.fromEdgeTuples(edgeRdd, 1)
     val ccGraph = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
     // The label table is |V(candidate pairs)| — usually a vanishing
@@ -236,6 +248,7 @@ object Dedup {
     labels.count()
     ccGraph.unpersist(blocking = false)
     g.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
     Tables.t(spark, dir, "documents").select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
