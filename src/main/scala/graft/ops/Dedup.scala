@@ -181,7 +181,14 @@ object Dedup {
 
   /** X2e embedding-cosine near-dup: sign-bit LSH blocking (8 bits) then
     * exact cosine ≥ 0.9 on in-bucket pairs. */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedPairs(spark, dir, 0.9).orderBy(col("id_a"), col("id_b"))
+
+  /** Sign-LSH blocked cosine pairs at a threshold — shared by
+    * embedNearDup (0.9, near-identical) and semanticDedup (0.35,
+    * same-topic clustering). */
+  private def embedPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
               Similarity.signBucket(col("embedding"), 8).as("bucket"))
@@ -192,9 +199,8 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(Similarity.cosine(col("emb_a"), col("emb_b")), 6))
-      .filter(col("sim") >= 0.9)
+      .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** X2f near-dup cluster assignment: connected components over the
@@ -210,17 +216,38 @@ object Dedup {
     * `dedupClustersDF` is the same algorithm as a pure DataFrame loop,
     * kept as an executable spec — ExtendedOpsSpec asserts both produce
     * identical labelings. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    labelComponents(spark,
+      minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+      Tables.t(spark, dir, "documents").select(col("doc_id")), "doc_id")
+
+  /** Shared connected-components labeler: given an undirected candidate
+    * pair relation (two long id columns) and the universe of ids, return
+    * (id, cluster_id = min reachable id, is_canonical) — the core of
+    * both MinHash (dedupClusters) and embedding (semanticDedup) cluster
+    * assignment.
+    *
+    * GraphX Pregel runs min-id propagation on the RDD path. The graph's
+    * partitioning is sized to the CANDIDATE EDGE COUNT, exactly like
+    * dedupClustersDF: every superstep schedules one task per partition,
+    * and the candidate graph is usually orders of magnitude smaller than
+    * the corpus-parallel shuffle that produced it. The persist means the
+    * (expensive) pairing lineage runs once, shared by the sizing count
+    * and the graph build.
+    *
+    * The label table is |V(candidate pairs)| — usually a vanishing
+    * fraction of the corpus, but in the regime dedup exists for (heavily
+    * duplicated corpora) it can be a large share of it, so it must NEVER
+    * route through the driver. It materializes distributed, into the SQL
+    * cache (which spills to disk and which spark.catalog.clearCache()
+    * reaches); the eager count keeps the label lineage from re-running
+    * the whole Pregel chain after the graph caches release. No broadcast
+    * hint on the final join: the planner broadcasts when the cached
+    * table is small and falls back to a shuffle join when it is not. */
+  private[ops] def labelComponents(spark: SparkSession, pairDf: DataFrame,
+      universe: DataFrame, idName: String): DataFrame = {
     import org.apache.spark.graphx.Graph
-    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-      .persist()
-    // Size the graph's partitioning to the CANDIDATE EDGE COUNT, exactly
-    // like dedupClustersDF: every Pregel superstep schedules one task per
-    // partition, and the candidate graph is usually orders of magnitude
-    // smaller than the corpus-parallel shuffle that produced it — running
-    // supersteps at corpus parallelism makes task scheduling the dominant
-    // cost. The persist means the (expensive) pairing lineage runs once,
-    // shared by the sizing count and the graph build.
+    val pairs = pairDf.persist()
     val nEdges = pairs.count()
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, (nEdges / 100000L).toInt))
@@ -228,20 +255,10 @@ object Dedup {
       .coalesce(parts)
     val g = Graph.fromEdgeTuples(edgeRdd, 1)
     val ccGraph = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
-    // The label table is |V(candidate pairs)| — usually a vanishing
-    // fraction of the corpus, but in the regime dedup exists for (heavily
-    // duplicated corpora) it can be a large share of it, so it must NEVER
-    // route through the driver. Materialize it distributed, into the SQL
-    // cache (which spills to disk and which spark.catalog.clearCache()
-    // reaches), then release Pregel's internal RDD caches — the eager
-    // count keeps the label lineage from re-running the whole Pregel
-    // chain after the unpersists. No broadcast hint on the final join:
-    // the planner broadcasts when the cached table is small and falls
-    // back to a shuffle join when it is not.
     val labels = spark.createDataFrame(
       ccGraph.vertices.map { case (v, c) => org.apache.spark.sql.Row(v, c) },
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StructField(idName,
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("cluster_id",
           org.apache.spark.sql.types.LongType)))).persist()
@@ -249,13 +266,25 @@ object Dedup {
     ccGraph.unpersist(blocking = false)
     g.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
-    Tables.t(spark, dir, "documents").select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
-      .orderBy(col("doc_id"))
+    universe
+      .join(labels, Seq(idName), "left")
+      .select(col(idName),
+        coalesce(col("cluster_id"), col(idName)).as("cluster_id"))
+      .withColumn("is_canonical", col("cluster_id") === col(idName))
+      .orderBy(col(idName))
   }
+
+  /** Semantic (embedding-space) dedup: connected components over the
+    * sign-LSH cosine candidate pairs at a clustering threshold (0.35 —
+    * "same topic" on the fixture's random-ish vectors; production tunes
+    * per embedding model), canonical = min vec_id per component. The
+    * embedding-side twin of dedupClusters: same labeler, same scale
+    * shape — pair generation is the bucket join, the graph is the pair
+    * OUTPUT. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    labelComponents(spark,
+      embedPairs(spark, dir, 0.35).select(col("id_a"), col("id_b")),
+      Tables.t(spark, dir, "embeddings").select(col("vec_id")), "vec_id")
 
   /** DataFrame-loop formulation of dedupClusters: iterative min-label
     * propagation — each round every node takes min(own label, neighbors'
@@ -340,7 +369,22 @@ object Dedup {
     "ngram_jaccard"  -> (ngramJaccard _),
     "simhash"        -> (simhash _),
     "embed_neardup"  -> (embedNearDup _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "semantic_dedup" -> (semanticDedup _))
+
+  /** DuckDB 8-bit sign-LSH bucket mirroring Similarity.signBucket.
+    * NOTE: must be declared ABOVE the `oracle` map — object vals
+    * initialize in declaration order, and a forward reference from the
+    * map initializer would silently read null into the SQL text. */
+  private val duckSignBucket = (1 to 8).map(i =>
+    s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+    .mkString("(", " || ", ")")
+
+  /** DuckDB cosine (rounded 6 dp) mirroring Similarity.cosine. */
+  private def duckCos(a: String, b: String): String =
+    s"ROUND(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
 
   /** DuckDB shingle expression mirroring `shingles`. */
   private val duckShingles =
@@ -451,21 +495,33 @@ object Dedup {
           |SELECT id AS doc_id, min(r) AS cluster_id,
           |       (min(r) = id) AS is_canonical
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
-    "embed_neardup" -> {
-      val bucket = (1 to 8).map(i =>
-        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
-        .mkString("(", " || ", ")")
-      def cos(a: String, b: String): String =
-        s"ROUND(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
-          s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-          s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+    "embed_neardup" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |  SELECT vec_id, embedding, $duckSignBucket AS bucket
+         |  FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       ${cos("a.embedding", "b.embedding")} AS sim
+         |       ${duckCos("a.embedding", "b.embedding")} AS sim
          |FROM e a JOIN e b ON a.bucket = b.bucket
          |WHERE a.vec_id < b.vec_id
-         |  AND ${cos("a.embedding", "b.embedding")} >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin
-    })
+         |  AND ${duckCos("a.embedding", "b.embedding")} >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, embedding, $duckSignBucket AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${duckCos("a.embedding", "b.embedding")} >= 0.35),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT re.id, ed.dst FROM reach re JOIN edges ed ON ed.src = re.r)
+         |SELECT id AS vec_id, min(r) AS cluster_id,
+         |       (min(r) = id) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)
 }

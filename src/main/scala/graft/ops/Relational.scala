@@ -471,7 +471,69 @@ object Relational {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Distribution windows: cume_dist, nth_value and full-frame
+    * first/last — completes the ranking-window family (windowRank) with
+    * the value-distribution members. All four specs share one customer
+    * exchange; the full frame is declared explicitly (unbounded both
+    * ways) so first/last read the whole partition, not the default
+    * running frame. */
+  def windowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        // +1e-9: deterministic decimal-tie break, see q1Agg
+        round(cume_dist().over(w) + 1e-9, 4).as("cd"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_lowest"),
+        first(col("o_totalprice")).over(full).as("min_price"),
+        last(col("o_totalprice")).over(full).as("max_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Table profiling: per-column row/null/distinct counts and numeric
+    * min/max over `orders` — the data-quality summary a pipeline emits
+    * per ingest batch. ONE scan: all per-column aggregates compute in a
+    * single pass (Catalyst expands the multi-distinct into one Expand +
+    * aggregate), then pivot to one row per column via stack. At 100 TB
+    * the exact distincts swap for approx_count_distinct (mergeable HLL)
+    * — the shape is unchanged. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    def nNull(c: String) = sum(col(c).isNull.cast("long"))
+    val a = Tables.t(spark, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("d_key"),
+      nNull("o_orderkey").as("nn_key"),
+      min(col("o_orderkey")).cast("double").as("mn_key"),
+      max(col("o_orderkey")).cast("double").as("mx_key"),
+      countDistinct(col("o_custkey")).as("d_cust"),
+      nNull("o_custkey").as("nn_cust"),
+      min(col("o_custkey")).cast("double").as("mn_cust"),
+      max(col("o_custkey")).cast("double").as("mx_cust"),
+      countDistinct(col("o_totalprice")).as("d_price"),
+      nNull("o_totalprice").as("nn_price"),
+      round(min(col("o_totalprice")), 4).as("mn_price"),
+      round(max(col("o_totalprice")), 4).as("mx_price"),
+      countDistinct(col("o_orderstatus")).as("d_status"),
+      nNull("o_orderstatus").as("nn_status"),
+      countDistinct(col("o_orderpriority")).as("d_prio"),
+      nNull("o_orderpriority").as("nn_prio"))
+    a.selectExpr(
+      """stack(5,
+        |  'o_orderkey',      n, nn_key,    d_key,    mn_key,   mx_key,
+        |  'o_custkey',       n, nn_cust,   d_cust,   mn_cust,  mx_cust,
+        |  'o_totalprice',    n, nn_price,  d_price,  mn_price, mx_price,
+        |  'o_orderstatus',   n, nn_status, d_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_orderpriority', n, nn_prio,   d_prio,   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |) AS (column_name, n_rows, n_null, n_distinct, min_val, max_val)"""
+        .stripMargin)
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_dist"    -> (windowDist _),
+    "profile_table"  -> (profileTable _),
     "cond_agg"       -> (condAgg _),
     "sql_having"     -> (sqlHaving _),
     "disjunctive"    -> (disjunctiveFilter _),
@@ -500,6 +562,47 @@ object Relational {
     "upsert_lww"     -> (upsertLww _))
 
   val oracle: Map[String, String] = Map(
+    "window_dist" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROUND(cume_dist() OVER w + 1e-9, 4) AS cd,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_lowest,
+        |  first_value(o_totalprice) OVER wf AS min_price,
+        |  last_value(o_totalprice) OVER wf AS max_price
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "profile_table" ->
+      """SELECT 'o_orderkey' AS column_name, COUNT(*)::BIGINT AS n_rows,
+        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+        |  MIN(o_orderkey)::DOUBLE AS min_val, MAX(o_orderkey)::DOUBLE AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*)::BIGINT,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  COUNT(DISTINCT o_custkey)::BIGINT,
+        |  MIN(o_custkey)::DOUBLE, MAX(o_custkey)::DOUBLE
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*)::BIGINT,
+        |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  COUNT(DISTINCT o_totalprice)::BIGINT,
+        |  ROUND(MIN(o_totalprice), 4), ROUND(MAX(o_totalprice), 4)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*)::BIGINT,
+        |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  COUNT(DISTINCT o_orderstatus)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*)::BIGINT,
+        |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  COUNT(DISTINCT o_orderpriority)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+        |FROM orders
+        |ORDER BY column_name""".stripMargin,
     "cond_agg" ->
       """SELECT date_trunc('month', l_shipdate) AS ship_month,
         |  ROUND(SUM(CASE WHEN p_type = 'PROMO'

@@ -83,6 +83,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic_dedup: planted identical embeddings cluster together, min id canonical") {
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val other = Array.tabulate(64)(i => math.cos(i * 2.3).toFloat)
+    val d = TestFixtures.writeDir(Map("embeddings" -> Seq(
+      (10L, base, 0), (11L, base.map(x => x * 2.0f), 0), // same direction
+      (12L, other, 1))
+      .toDF("vec_id", "embedding", "label")))
+    val out = graft.ops.Dedup.semanticDedup(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L) === ((10L, true)))
+    assert(out(11L) === ((10L, false))) // cosine 1.0 with 10 → same cluster
+    assert(out(12L)._2 === true)        // unrelated vector stays canonical
+  }
+
+  test("window_dist: cume_dist bounds, full-frame min/max agree with group agg") {
+    val rows = graft.ops.Relational.windowDist(spark, dir).collect()
+    assert(rows.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0001))
+    val byCust = rows.groupBy(_.getLong(1))
+    byCust.values.foreach { g =>
+      val minP = g.map(_.getDouble(4)).distinct
+      val maxP = g.map(_.getDouble(5)).distinct
+      assert(minP.length === 1 && maxP.length === 1) // full frame is constant
+      assert(minP.head <= maxP.head)
+    }
+  }
+
+  test("profile_table: one row per column, counts consistent") {
+    val rows = graft.ops.Relational.profileTable(spark, dir).collect()
+    assert(rows.length === 5)
+    val n = Tables.t(spark, dir, "orders").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === n)              // n_rows
+      assert(r.getLong(2) === 0L)             // no nulls in fixture
+      assert(r.getLong(3) <= n)               // n_distinct bounded
+    }
+  }
+
   test("events_resample: contiguous 6h grid per user, counts reconcile, gaps are zero") {
     val d = TestFixtures.writeDir(Map("events" -> Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "click", 1.0, "{}"),
