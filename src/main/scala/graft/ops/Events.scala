@@ -260,7 +260,32 @@ object Events {
       .orderBy(col("user_id"), col("bucket"))
   }
 
+  /** SCD type-2 history: compress each user's event stream into validity
+    * intervals — a new row only where the tracked attribute (event_type)
+    * CHANGES, valid_from = change time, valid_to = next change (NULL =
+    * current, flagged). The slowly-changing-dimension shape every
+    * warehouse load needs; also the run-length encoding of a state
+    * stream.
+    *
+    * Both windows share the (user, time) spec → one shuffle + one sort;
+    * the change filter runs between them on the same partitioning, so
+    * Catalyst plans a single exchange. */
+  def scdHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_history"     -> (scdHistory _),
     "events_resample"  -> (resample _),
     "events_zscore"    -> (zscoreAnomalies _),
     "events_retention" -> (retentionCohort _),
@@ -278,6 +303,21 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts
+        |  FROM events),
+        |l AS (
+        |  SELECT *, LAG(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |c AS (SELECT * FROM l WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  LEAD(ts) OVER w AS valid_to,
+        |  LEAD(ts) OVER w IS NULL AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
     "events_resample" ->
       """WITH e AS (
         |  SELECT user_id, time_bucket(INTERVAL 6 HOURS, ts::TIMESTAMP)

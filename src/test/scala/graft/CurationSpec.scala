@@ -120,6 +120,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2_history: intervals chain per user, one current row, states compressed") {
+    val rows = Events.scdHistory(spark, dir).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getTimestamp(2).getTime)
+      assert(sorted.count(_.getBoolean(4)) === 1)       // one open interval
+      assert(sorted.last.isNullAt(3))                   // and it is the last
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(3) === b.getTimestamp(2)) // valid_to chains
+          assert(a.getString(1) !== b.getString(1))       // states compressed
+        case _ => ()
+      }
+    }
+  }
+
   test("events_resample: contiguous 6h grid per user, counts reconcile, gaps are zero") {
     val d = TestFixtures.writeDir(Map("events" -> Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "click", 1.0, "{}"),
