@@ -10,8 +10,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries — a local
-    // iteration aid; the driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // iteration aid; the driver never sets it. Tokens are trimmed and
+    // unknown names rejected loudly: a typo that silently selected zero
+    // queries would print a well-formed total of 0.0 that reads as an
+    // impossibly fast successful run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (k, _) => s(k) })
     // Untimed warmup: first executions pay JVM/codegen/scan-init costs that

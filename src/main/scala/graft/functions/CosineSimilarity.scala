@@ -117,16 +117,22 @@ object GraftFunctions {
   /** SQL registration: makes cosine_sim(a, b) / shingles(t[, k]) usable in
     * spark.sql text on an existing session (GraftExtensions is the
     * build-time route). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    // Idempotent: skip names already present (e.g. injected by
-    // GraftExtensions at build time) — re-registering is harmless but
-    // logs a "replaced a previously registered function" warning per call.
-    val registry = spark.sessionState.functionRegistry
-    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!registry.functionExists(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
-    ensure("cosine_sim", buildCosine _)
-    ensure("shingles", buildShingles _)
-  }
+  // Sessions this object has already registered into. createOrReplace
+  // (not skip-if-exists) so graft's definition ALWAYS wins — a foreign
+  // temp function that happens to share a name must not silently serve
+  // graft's SQL — while the per-session guard keeps repeated register()
+  // calls (e.g. every sqlText invocation) from re-replacing and logging
+  // a "replaced a previously registered function" warning each time.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Boolean])
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (registered.put(spark, true) == null) {
+      val registry = spark.sessionState.functionRegistry
+      registry.createOrReplaceTempFunction(
+        "cosine_sim", buildCosine _, "scala_udf")
+      registry.createOrReplaceTempFunction(
+        "shingles", buildShingles _, "scala_udf")
+    }
 }

@@ -36,13 +36,16 @@ object Curation {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
-        floor(col("doc_id") / 200).cast("long").as("shard"))
+        // integer `div`, not floor(x / y): Column `/` computes in double,
+        // which drops low-order bits past 2^53 — snowflake-scale ids
+        // would land in the wrong shard (the oracle's // is exact)
+        expr("doc_id div 200").as("shard"))
     val wc = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = t.withColumn("tok_offset",
         sum(col("n_tokens")).over(wc) - col("n_tokens"))
-      .withColumn("pack_id", floor(col("tok_offset") / budget).cast("long"))
+      .withColumn("pack_id", expr(s"tok_offset div $budget"))
     val wp = Window.partitionBy(col("lang"), col("shard"), col("pack_id"))
       .orderBy(col("doc_id"))
     c.select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
@@ -113,17 +116,15 @@ object Curation {
     * bloom-filter semi-join — the per-doc side never re-shuffles beyond
     * the gram key. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
+    // Per-doc distinct trigrams come from the native Shingles expression
+    // (array-local distinct, one pass, no shuffle) — a global explode +
+    // .distinct() would shuffle every trigram OCCURRENCE in the corpus
+    // to dedup what is already per-row state.
     val grams = Tables.spread(Tables.t(spark, dir, "documents"))
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
+      .filter(col("text").isNotNull &&
+        size(Text.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ",
-            element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))).as("gram"))
-      .distinct()
+        explode(Dedup.shingles(col("text"))).as("gram"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("gram")).distinct()
       .withColumn("hit", lit(1L))
@@ -190,9 +191,9 @@ object Curation {
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
         |  FROM t WHERE len(toks) >= 3),
         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
         |a AS (

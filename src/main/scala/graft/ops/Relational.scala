@@ -410,10 +410,14 @@ object Relational {
     * keys (a tiny set) reach the join — the orders/customer probes
     * broadcast against it at any scale. */
   def sqlHaving(spark: SparkSession, dir: String): DataFrame = {
+    // Filter on the RAW sum (like the oracle's HAVING), round only for
+    // display — thresholding the rounded value would diverge for sums
+    // that round onto the boundary (e.g. 150.00004 → 150.0).
     val big = Tables.t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
-      .filter(col("total_qty") > 150)
+      .agg(sum(col("l_quantity")).as("raw_qty"))
+      .filter(col("raw_qty") > 150)
+      .select(col("l_orderkey"), round(col("raw_qty"), 4).as("total_qty"))
     big.join(Tables.t(spark, dir, "orders"),
              col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.t(spark, dir, "customer")
