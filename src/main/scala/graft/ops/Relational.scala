@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -535,7 +535,38 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** Incremental aggregate maintenance: per-customer order stats kept as
+    * MERGEABLE partials (count, sum, min, max) over two disjoint slices
+    * (orders before / since 1998-01-01 — an existing materialization and
+    * a new batch), then MERGED without touching rows: counts/sums add,
+    * min/max combine, avg derives from merged sum/count. The refresh
+    * shape that lets a 100 TB rollup absorb a daily batch by merging
+    * partition-level partials instead of rescanning history — same
+    * algebra Catalyst uses for partial/final aggregation, expressed at
+    * the table level. The oracle aggregates the full table directly:
+    * equality PROVES the merge is lossless. */
+  def aggMerge(spark: SparkSession, dir: String): DataFrame = {
+    def partial(pred: Column) = Tables.t(spark, dir, "orders")
+      .filter(pred)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"),
+           min(col("o_totalprice")).as("mn"),
+           max(col("o_totalprice")).as("mx"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    partial(col("o_orderdate") < cut)
+      .unionAll(partial(col("o_orderdate") >= cut))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n")).as("n_orders"),
+           round(sum(col("s")), 4).as("total_spend"),
+           min(col("mn")).as("min_order"),
+           max(col("mx")).as("max_order"),
+           // +1e-9: deterministic decimal-tie break, see q1Agg
+           round(sum(col("s")) / sum(col("n")) + 1e-9, 4).as("avg_order"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_merge"      -> (aggMerge _),
     "window_dist"    -> (windowDist _),
     "profile_table"  -> (profileTable _),
     "cond_agg"       -> (condAgg _),
@@ -566,6 +597,18 @@ object Relational {
     "upsert_lww"     -> (upsertLww _))
 
   val oracle: Map[String, String] = Map(
+    // Direct full-table aggregation: equality with the Spark side's
+    // split-then-merge proves the partial-merge algebra is lossless.
+    "agg_merge" ->
+      """SELECT o_custkey,
+        |  COUNT(*)::BIGINT AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total_spend,
+        |  MIN(o_totalprice) AS min_order,
+        |  MAX(o_totalprice) AS max_order,
+        |  ROUND(SUM(o_totalprice) / COUNT(*) + 1e-9, 4) AS avg_order
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "window_dist" ->
       """SELECT o_orderkey, o_custkey,
         |  ROUND(cume_dist() OVER w + 1e-9, 4) AS cd,
