@@ -189,9 +189,14 @@ object Dedup {
     * same-topic clustering). */
   private def embedPairs(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
+    // Bucket width scales with N (8 bits at fixture sizes, more as the
+    // corpus grows) so expected in-bucket pairing stays Θ(N·64), not
+    // N²/256 — see Similarity.adaptiveBits. count() is footer-only.
+    val bits = Similarity.adaptiveBits(
+      Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
-              Similarity.signBucket(col("embedding"), 8).as("bucket"))
+              Similarity.signBucket(col("embedding"), bits).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("id_a"),
                      col("embedding").as("emb_a"))
     val b = e.select(col("bucket"), col("vec_id").as("id_b"),

@@ -66,6 +66,24 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(c, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** LSH width that SCALES WITH THE CORPUS — the bucket-density defense
+    * of every in-bucket self-join (annLsh, embedNearDup, semanticDedup).
+    * A fixed 8-bit hash has 256 buckets forever: in-bucket pairing is
+    * |N|²/256, quadratic in corpus size — the same failure class as the
+    * fixed IVF codebook the 10× probe caught in round 2 (and a 100×
+    * probe re-caught here as one task grinding a mega-bucket for half
+    * an hour). Growing bits with N keeps the EXPECTED bucket at ≤ ~64
+    * vectors, so pair work is Θ(N·64) plus the true-duplicate fan-out
+    * (which is output, not overhead). At every fixture scale (N ≤ 16k)
+    * this is exactly 8 — the value the static DuckDB oracles encode;
+    * PropertySpec pins that equality so drift fails loudly. Capped at
+    * the leading dims available (64-dim fixture vectors). */
+  def adaptiveBits(n: Long, dim: Int = 64): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt
+    math.min(dim, math.max(8, needed))
+  }
+
   /** Exact brute-force cosine top-k: probe set = vec_id < 10, k = 5. */
   def topKBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
@@ -80,13 +98,16 @@ object Similarity {
       k = 5)
   }
 
-  /** Approximate all-pairs top-k: candidates must share an 8-bit sign
-    * bucket (hash join on the bucket), then exact cosine + rank within
+  /** Approximate all-pairs top-k: candidates must share a sign bucket
+    * (hash join on the bucket; width scales with N via adaptiveBits —
+    * 8 bits at fixture sizes), then exact cosine + rank within
     * candidates, k = 3. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    // count() is answered from parquet footer metadata, no data scan
+    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
-              signBucket(col("embedding"), 8).as("bucket"))
+              signBucket(col("embedding"), bits).as("bucket"))
     val q = e.select(col("bucket"), col("vec_id").as("query_id"),
                      col("embedding").as("q_emb"))
     val c = e.select(col("bucket"), col("vec_id").as("neighbor_id"),

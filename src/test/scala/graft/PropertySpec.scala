@@ -140,6 +140,17 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("adaptiveBits: exactly 8 at every fixture scale (the oracles' constant), grows past 16k") {
+    // The DuckDB oracles for annLsh / embedNearDup / semanticDedup
+    // hard-code an 8-bit bucket; this pins the Scala side to the same
+    // width at every scale the correctness gate runs.
+    for (n <- Seq(500L, 2000L, 5000L, 16384L))
+      assert(graft.ops.Similarity.adaptiveBits(n) === 8)
+    assert(graft.ops.Similarity.adaptiveBits(200000L) === 12)
+    assert(graft.ops.Similarity.adaptiveBits(1L << 40) === 34)
+    assert(graft.ops.Similarity.adaptiveBits(1L << 40, dim = 16) === 16) // dim cap
+  }
+
   test("upsert is idempotent and keeps exactly one row per key") {
     check(Prop.forAll(batchGen, batchGen) { (t, b) =>
       Prop.propBoolean(t.nonEmpty && b.nonEmpty) ==> {
