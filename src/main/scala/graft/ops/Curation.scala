@@ -140,13 +140,81 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Perplexity-style quality scoring: average Laplace-smoothed bigram
+    * log-probability of each document under a bigram LM trained on the
+    * corpus itself — ln((B(a,b)+1) / (U(a)+V)) averaged over the doc's
+    * bigram occurrences. The "perplexity filter" stage of a training
+    * pipeline, with the n-gram LM standing in for the neural scorer
+    * (identical dataflow: per-doc stream scored against broadcast model
+    * statistics).
+    *
+    * Model statistics (bigram counts, unigram counts, vocabulary size)
+    * are map-side-combinable aggregates over the token stream — vocab ≪
+    * corpus at any scale, so they join back as broadcasts; the per-doc
+    * side shuffles once on the gram key. Same skew stance as tfidf's df:
+    * never a term-partitioned window. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val unigrams = toks.select(explode(col("toks")).as("term"))
+    val uCnt = unigrams.groupBy(col("term"))
+      .agg(count(lit(1)).as("u_cnt"))
+    val v = uCnt.count() // vocabulary size (tiny aggregate, driver scalar)
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            element_at(col("toks"), i).as("a"),
+            concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.gram").as("gram"))
+    val bCnt = bigrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("b_cnt"))
+    bigrams
+      .join(broadcast(bCnt), "gram")
+      .join(broadcast(uCnt.withColumnRenamed("term", "a")), "a")
+      .withColumn("logp",
+        log((col("b_cnt") + 1.0) / (col("u_cnt") + lit(v.toDouble))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // +1e-9: deterministic decimal-tie break, see Relational.q1Agg
+        round(avg(col("logp")) + 1e-9, 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_score"         -> (lmScore _),
     "doc_pack"         -> (docPack _),
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub"        -> (piiScrub _),
     "contamination"    -> (contamination _))
 
   val oracle: Map[String, String] = Map(
+    "lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT unnest(toks) AS term FROM t),
+        |uc AS (SELECT term, COUNT(*) AS u_cnt FROM u GROUP BY 1),
+        |vocab AS (SELECT COUNT(*) AS v FROM uc),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i])) AS a,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT gram, COUNT(*) AS b_cnt FROM bg GROUP BY 1)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+        |  ROUND(AVG(ln((b_cnt + 1.0) / (u_cnt + v))) + 1e-9, 4) AS avg_logp
+        |FROM bg
+        |JOIN bc USING (gram)
+        |JOIN uc ON bg.a = uc.term
+        |CROSS JOIN vocab
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -83,6 +83,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("lm_score: hand-computed Laplace bigram log-probs") {
+    val d = docsDir(Seq(
+      (0L, "a b", "en", "s"), (1L, "a b", "en", "s"), (2L, "a c", "en", "s")))
+    // U: a=3 b=2 c=1, V=3; B: "a b"=2, "a c"=1
+    // doc0/1: ln((2+1)/(3+3)) = ln(.5) = -0.6931; doc2: ln(2/6) = -1.0986
+    val out = graft.ops.Curation.lmScore(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) === ((1L, -0.6931)))
+    assert(out(1L) === ((1L, -0.6931)))
+    assert(out(2L) === ((1L, -1.0986)))
+  }
+
   test("semantic_dedup: planted identical embeddings cluster together, min id canonical") {
     val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
     val other = Array.tabulate(64)(i => math.cos(i * 2.3).toFloat)

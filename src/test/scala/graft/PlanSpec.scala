@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Corpus, Panel, Relational, Similarity}
+import graft.ops.{Corpus, Curation, Panel, Relational, Similarity}
 
 /** Physical-plan regression checks: the properties that make these
   * queries scale are asserted, not assumed — a refactor that silently
@@ -92,6 +92,35 @@ class PlanSpec extends AnyFunSuite {
       "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).length
     assert(shuffles === 1,
       s"expected 1 custkey exchange for both window specs, got $shuffles")
+  }
+
+  test("disjunctive: per-side residuals of the OR pushed into BOTH scans") {
+    val pushed = Relational.disjunctiveFilter(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata("PushedFilters")
+      }
+    // lineitem scan carries the quantity-band OR, part scan the
+    // brand/size-band OR — neither side scans unfiltered
+    assert(pushed.exists(f => f.contains("Or(") && f.contains("l_quantity")))
+    assert(pushed.exists(f => f.contains("Or(") && f.contains("p_brand")))
+  }
+
+  test("lm_score: model statistics broadcast; no gram-partitioned window") {
+    val p = plan(Curation.lmScore(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"bigram/unigram stats should broadcast, got $broadcasts")
+    assert(!p.contains("windowspecdefinition(gram"),
+      "per-gram windows are the stopword-skew hazard")
+  }
+
+  test("doc_pack: both windows run under one (lang, shard) exchange") {
+    val p = plan(Curation.docPack(spark, sf))
+    val shuffles =
+      "Exchange hashpartitioning\\(lang".r.findAllIn(p).length
+    assert(shuffles <= 2, s"expected the cumsum and pack_pos windows to " +
+      s"share partitioning, got $shuffles lang exchanges")
   }
 
   test("q6_filter: all three predicates pushed") {
