@@ -36,24 +36,35 @@ object Pipeline {
     * swap can never make upsertRaw treat incoming as the full dataset.
     * Public — also the commit step for streaming foreachBatch sinks. */
   def atomicWrite(df: DataFrame, path: String): Unit = {
-    val tmp = Paths.get(path + ".tmp")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    df.write.mode(SaveMode.Overwrite).parquet(path + ".tmp")
+    swapIn(path)
+  }
+
+  /** The shared commit protocol: restore a crashed prior swap, clear a
+    * stale `.old`, move the live dir aside, move `.tmp` in, drop the old
+    * copy. Single definition — atomicWrite and compact both commit
+    * through here, so a protocol change edits one place.
+    *
+    * If a prior swap crashed between the aside-rename and the tmp→live
+    * move, `.old` is the ONLY copy of the committed dataset — restore it
+    * before anything else. Only then is a still-present `.old` (crash
+    * between tmp-move and cleanup) safe to delete.
+    * CONTRACT for read-merge-write callers (upsertRaw, foreachBatch
+    * sinks): read the current state via `readCommitted` — a caller that
+    * checks Files.exists itself after a crash would merge against
+    * nothing and this writer would then faithfully commit that empty
+    * merge. WRITERS are single-flight per path: this move sequence is
+    * the writer's own crash recovery; readers never mutate (see
+    * readCommitted), so a concurrent reader cannot break an in-flight
+    * commit. */
+  private def swapIn(path: String): Unit = {
     val target = Paths.get(path)
     val old = Paths.get(path + ".old")
-    // If a prior swap crashed between the aside-rename and the tmp→live
-    // move, `.old` is the ONLY copy of the committed dataset — restore it
-    // before anything else. Only then is a still-present `.old` (crash
-    // between tmp-move and cleanup) safe to delete.
-    // CONTRACT for read-merge-write callers (upsertRaw, foreachBatch
-    // sinks): read the current state via `readCommitted`, which performs
-    // this same restore BEFORE the read — a caller that checks
-    // Files.exists itself after a crash would merge against nothing and
-    // this writer would then faithfully commit that empty merge.
     restoreIfCrashed(path)
     if (Files.exists(old)) deleteRec(old) // target exists too → leftover
     val hadTarget = Files.exists(target)
     if (hadTarget) Files.move(target, old)
-    Files.move(tmp, target)
+    Files.move(Paths.get(path + ".tmp"), target)
     if (hadTarget) deleteRec(old)
   }
 
@@ -66,13 +77,25 @@ object Pipeline {
     if (!Files.exists(target) && Files.exists(old)) Files.move(old, target)
   }
 
-  /** Crash-safe read of a layer path: restore a stranded `.old` copy
-    * first, then read — None if the layer has never been written. The
-    * required entry point for every read-merge-write cycle (see
-    * atomicWrite). */
+  /** Crash-safe read of a layer path WITHOUT mutating it: prefer the
+    * live dir; fall back to reading a stranded `.old` copy IN PLACE
+    * (the last committed dataset after a crashed swap — or a swap that
+    * is in flight right now); None if the layer has never been written.
+    * The required entry point for every read-merge-write cycle (see
+    * swapIn).
+    *
+    * Readers deliberately do NOT restore: during a live atomicWrite
+    * there is a window where target has been moved aside and `.old` is
+    * the committed copy — a reader that "restored" it would rip the
+    * directory out from under the writer's tmp→live move and fail a
+    * healthy commit. Restoration belongs to the next WRITER. (As with
+    * any path-based lake layout, full isolation of long reads against
+    * concurrent overwrites needs a table-format commit — same note as
+    * the 100 TB swap-in.) */
   def readCommitted(spark: SparkSession, path: String): Option[DataFrame] = {
-    restoreIfCrashed(path)
     if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
+    else if (Files.exists(Paths.get(path + ".old")))
+      Some(spark.read.parquet(path + ".old"))
     else None
   }
 
@@ -122,11 +145,11 @@ object Pipeline {
     * its inputs, so idempotency = deterministic transform + overwrite. */
   def transform(spark: SparkSession, workDir: String,
                 batchTs: java.sql.Timestamp): Long = {
-    restoreIfCrashed(s"$workDir/raw_revenue") // reader-side crash recovery
-    restoreIfCrashed(s"$workDir/raw_qty")
-    val rev = spark.read.parquet(s"$workDir/raw_revenue")
+    def layer(name: String) = readCommitted(spark, s"$workDir/$name")
+      .getOrElse(sys.error(s"raw layer $name missing — run ingest first"))
+    val rev = layer("raw_revenue")
       .select(col("suppkey"), col("year"), col("revenue"))
-    val qty = spark.read.parquet(s"$workDir/raw_qty")
+    val qty = layer("raw_qty")
       .select(col("suppkey"), col("year"), col("qty"))
     val j = rev.join(qty, keys, "inner")
       .filter(col("revenue").isNotNull && col("qty").isNotNull)
@@ -157,18 +180,13 @@ object Pipeline {
     * the crash-safe atomic protocol. */
   def compact(spark: SparkSession, path: String, parts: Seq[String],
               rowsPerFile: Long = 1000000L): Unit = {
-    restoreIfCrashed(path)
+    restoreIfCrashed(path) // compact IS a writer — restoring is its job
     val df = spark.read.parquet(path)
     val n = math.max(1, (df.count() / rowsPerFile)).toInt
-    val tmp = path + ".tmp"
     df.repartition(n, parts.map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(tmp)
-    val target = Paths.get(path)
-    val old = Paths.get(path + ".old")
-    if (Files.exists(old)) deleteRec(old)
-    Files.move(target, old)
-    Files.move(Paths.get(tmp), target)
-    deleteRec(old)
+      .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
+      .parquet(path + ".tmp")
+    swapIn(path)
   }
 
   /** Full run: ingest + transform + row-count reconciliation summary

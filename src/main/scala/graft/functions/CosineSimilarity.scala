@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   *
   * Null handling: a null on either side → null (BinaryExpression default);
   * null ELEMENTS are treated as 0 contribution (embeddings carry no null
-  * elements; defined so the expression never throws under ANSI).
+  * elements; defined so the expression never throws under ANSI). A
+  * ZERO-NORM vector (cosine undefined) → NULL, matching DuckDB where
+  * x/0.0 is NULL — the bare double division would produce NaN, which
+  * both diverges from the oracle and can never be evicted from a
+  * TopKAggregator buffer (every NaN comparison is false).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -30,6 +34,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -43,7 +48,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,6 +61,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
@@ -63,8 +70,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yi = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom =
+         |  java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
        """.stripMargin
     })
 

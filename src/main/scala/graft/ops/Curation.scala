@@ -173,7 +173,10 @@ object Curation {
     val bCnt = bigrams.groupBy(col("gram"))
       .agg(count(lit(1)).as("b_cnt"))
     bigrams
-      .join(broadcast(bCnt), "gram")
+      // no broadcast hint on bCnt: bigram vocabulary grows near-linearly
+      // with corpus tokens (unlike word vocab), so the planner must be
+      // free to fall back to a shuffle join past the broadcast threshold
+      .join(bCnt, "gram")
       .join(broadcast(uCnt.withColumnRenamed("term", "a")), "a")
       .withColumn("logp",
         log((col("b_cnt") + 1.0) / (col("u_cnt") + lit(v.toDouble))))

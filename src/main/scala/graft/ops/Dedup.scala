@@ -51,7 +51,12 @@ object Dedup {
     def mh(s: String): Column =
       array_min(transform(col("sh"),
         x => md5(concat(lit(s + "|"), x).cast("binary")))).as("mh_" + s)
+    // NULL text must not produce a signature: a NULL shingle array makes
+    // every band NULL, and Spark's groupBy would collect ALL null-text
+    // docs into one shared band bucket — emitting spurious pairs that
+    // the oracle's band equi-join (NULL never matches NULL) doesn't.
     Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
       .withColumn("sh", shingles(col("text")))
       .select(col("doc_id") +: seeds.map(mh): _*)
   }
@@ -377,19 +382,15 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "semantic_dedup" -> (semanticDedup _))
 
-  /** DuckDB 8-bit sign-LSH bucket mirroring Similarity.signBucket.
-    * NOTE: must be declared ABOVE the `oracle` map — object vals
-    * initialize in declaration order, and a forward reference from the
-    * map initializer would silently read null into the SQL text. */
-  private val duckSignBucket = (1 to 8).map(i =>
-    s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
-    .mkString("(", " || ", ")")
-
-  /** DuckDB cosine (rounded 6 dp) mirroring Similarity.cosine. */
+  // Shared embedding-oracle SQL fragments — single definitions in
+  // Similarity (duckCosine / duckBucket), referenced here so bucket or
+  // precision changes edit exactly one string. NOTE: referenced from the
+  // `oracle` map initializer below, which is safe only because they live
+  // in a DIFFERENT object (object-local forward val references read
+  // null — the init-order bug this file once had).
   private def duckCos(a: String, b: String): String =
-    s"ROUND(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
-      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+    Similarity.duckCosine(a, b)
+  private def duckSignBucket: String = Similarity.duckBucket
 
   /** DuckDB shingle expression mirroring `shingles`. */
   private val duckShingles =

@@ -464,10 +464,15 @@ object Events {
       """SELECT event_type, COUNT(*) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // HAVING mirrors the Spark side's isNotNull: after a pivot, a NULL
+    // cell means "no rows" OR "rows whose values are all NULL" — both
+    // read as NULL sum here too, so the filter makes the two shapes
+    // equivalent for every input, not just the current fixture.
     "events_unpivot" ->
       """SELECT user_id, event_type, ROUND(SUM(value), 4) AS sum_value
         |FROM events
         |GROUP BY user_id, event_type
+        |HAVING SUM(value) IS NOT NULL
         |ORDER BY user_id, event_type""".stripMargin,
     "range_join" ->
       """WITH e AS (

@@ -98,9 +98,11 @@ object Relational {
   def lastWriterWins(df: DataFrame, keys: Seq[String],
                      recency: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(recency: _*)
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    // collision-proof internal name: a caller's own "rn" column must
+    // survive this helper untouched
+    df.withColumn("__lww_rn", row_number().over(w))
+      .filter(col("__lww_rn") === 1)
+      .drop("__lww_rn")
   }
 
   /** Multi-way dimension join (TPC-H Q5 flavor): fact table joined through

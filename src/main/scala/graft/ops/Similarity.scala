@@ -55,7 +55,11 @@ object Similarity {
                         lit(0.0), (s, x) => s + x)
     val na = aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x)
     val nb = aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x)
-    dot / (sqrt(na) * sqrt(nb))
+    // zero-norm → NULL (cosine undefined), matching both the native
+    // expression and DuckDB's x/0.0; Spark's bare double division would
+    // give NaN here
+    val denom = sqrt(na) * sqrt(nb)
+    when(denom =!= 0.0, dot / denom)
   }
 
   /** Sign-bit LSH bucket over the first `bits` vector components. With
@@ -174,13 +178,17 @@ object Similarity {
 
   /** DuckDB cosine written out explicitly (dot/(|a||b|) in double) so the
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
-    * order ulps. */
-  private def duckCosine(a: String, b: String): String =
+    * order ulps. SINGLE SOURCE for every embedding oracle — Dedup's
+    * embed_neardup / semantic_dedup reference these same strings, so a
+    * precision or bucket change edits exactly one definition. */
+  private[ops] def duckCosine(a: String, b: String): String =
     s"ROUND(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
 
-  private val duckBucket =
+  /** 8-bit sign bucket (the adaptiveBits value at every fixture scale —
+    * pinned by PropertySpec). */
+  private[ops] val duckBucket =
     (1 to 8).map(i =>
       s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")

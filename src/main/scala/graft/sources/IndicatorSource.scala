@@ -133,8 +133,11 @@ private[sources] class UnitReader(conf: SourceConf, unit: UnitPartition)
       catch {
         case _: java.io.IOException =>
           attempt += 1
+          // 2^(failures-1): waits base, 2*base, ... — the reference's
+          // 2.0**attempt with a 0-based attempt counter
+          // (api_fetcher.py:46-57)
           if (attempt < conf.maxRetries)
-            Thread.sleep(conf.backoffBaseMs * (1L << attempt))
+            Thread.sleep(conf.backoffBaseMs * (1L << (attempt - 1)))
       }
     }
     None

@@ -58,7 +58,7 @@ class PipelineSpec extends AnyFunSuite {
       .head().getAs[Double]("revenue") === 123.4567)
   }
 
-  test("readCommitted restores a mid-swap crash before the merge decision") {
+  test("readCommitted sees a mid-swap crash's data WITHOUT mutating disk") {
     val work = Files.createTempDirectory("graft_pipe").toString
     val path = s"$work/sink"
     Pipeline.atomicWrite(
@@ -68,8 +68,14 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".old"))
     val restored = Pipeline.readCommitted(spark, path)
     assert(restored.isDefined && restored.get.count() === 1)
-    // and the state is actually back on disk for the subsequent write
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    // readers never mutate: during a LIVE swap the same disk state is an
+    // in-flight commit, and a reader-side restore would break the
+    // writer's tmp→live move. Restoration belongs to the next writer —
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    // — which recovers the full committed state on its next commit.
+    Pipeline.atomicWrite(Seq((2L, 20.0)).toDF("k", "v"), path + "2")
+    Pipeline.restoreIfCrashed(path)
+    assert(spark.read.parquet(path).count() === 1)
   }
 
   test("a crash between swap steps never loses the committed dataset") {

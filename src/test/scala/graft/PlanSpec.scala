@@ -106,11 +106,13 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.exists(f => f.contains("Or(") && f.contains("p_brand")))
   }
 
-  test("lm_score: model statistics broadcast; no gram-partitioned window") {
+  test("lm_score: unigram stats broadcast; no gram-partitioned window") {
     val p = plan(Curation.lmScore(spark, sf))
+    // uCnt is hint-broadcast (word vocab is sublinear); bCnt is left to
+    // the planner because bigram vocab grows ~linearly with the corpus
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(broadcasts >= 2,
-      s"bigram/unigram stats should broadcast, got $broadcasts")
+    assert(broadcasts >= 1,
+      s"unigram stats should broadcast, got $broadcasts")
     assert(!p.contains("windowspecdefinition(gram"),
       "per-gram windows are the stopword-skew hazard")
   }
