@@ -140,6 +140,75 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  /** Random word-soup corpora: 2-8 docs, 1-40 tokens from a tiny vocab
+    * (forces repeated bigrams), two languages. */
+  private val corpusGen: Gen[List[(Long, String, String)]] = for {
+    nDocs <- Gen.choose(2, 8)
+    docs <- Gen.sequence[List[(Long, String, String)],
+                         (Long, String, String)]((0 until nDocs).map { i =>
+      for {
+        n    <- Gen.choose(1, 40)
+        toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+        lang <- Gen.oneOf("en", "de")
+      } yield (i.toLong, toks.mkString(" "), lang)
+    }.toList)
+  } yield docs
+
+  private def corpusDir(rows: List[(Long, String, String)]): String =
+    TestFixtures.writeDir(Map("documents" ->
+      rows.map { case (id, t, l) => (id, t, l, "s") }
+        .toDF("doc_id", "text", "lang", "source")))
+
+  test("doc_pack invariants on random corpora: prefix-sum offsets, budget-aligned packs, dense pack_pos") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val out = graft.ops.Curation.docPack(spark, corpusDir(rows)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4), r.getLong(5), r.getLong(6)))
+      out.groupBy(t => (t._2, t._3)).values.forall { g =>
+        val sorted = g.toList.sortBy(_._1)
+        val offsetsArePrefixSums = sorted
+          .scanLeft(0L)((cum, t) => cum + t._4).init
+          .zip(sorted).forall { case (cum, t) => t._5 == cum }
+        val packFromOffset = sorted.forall(t => t._6 == t._5 / 2048)
+        val posDense = sorted.groupBy(_._6).values.forall(p =>
+          p.map(_._7).sorted == (1 to p.size).map(_.toLong).toList)
+        offsetsArePrefixSums && packFromOffset && posDense
+      }
+    })
+  }
+
+  test("repetition_stats bounds on random corpora: fractions in range, counts reconcile") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val out = graft.ops.Curation.repetitionStats(spark, corpusDir(rows))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      rows.forall { case (id, text, _) =>
+        val n = text.split(" ").length
+        if (n < 2) !out.contains(id)
+        else {
+          val (grams, top, dup) = out(id)
+          grams == n - 1 && top > 0 && top <= 1.0001 &&
+            dup >= 0 && dup < 1 &&
+            // top_frac >= 1/n_distinct >= 1/n_grams (4-dp rounding slack)
+            top >= 1.0 / grams - 1e-4
+        }
+      }
+    })
+  }
+
+  test("lm_score on random corpora: log-probs are non-positive, bigram counts reconcile") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val out = graft.ops.Curation.lmScore(spark, corpusDir(rows)).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      rows.forall { case (id, text, _) =>
+        val n = text.split(" ").length
+        if (n < 2) !out.contains(id)
+        else out(id)._1 == n - 1 && out(id)._2 <= 1e-9
+      }
+    })
+  }
+
   test("adaptiveBits: exactly 8 at every fixture scale (the oracles' constant), grows past 16k") {
     // The DuckDB oracles for annLsh / embedNearDup / semanticDedup
     // hard-code an 8-bit bucket; this pins the Scala side to the same
