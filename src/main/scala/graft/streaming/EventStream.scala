@@ -151,6 +151,71 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming twin of Events.resample: per-user 6-hour-grid
+    * regularization with GAP EMISSION — buckets the event stream, and
+    * when the watermark passes a grid boundary emits every bucket up to
+    * it, INCLUDING empty gap buckets (n_events = 0, sum NULL) between
+    * data buckets. Built on flatMapGroupsWithState with an event-time
+    * timeout: the timer wakes the key even in batches that carry none of
+    * its rows, which is exactly what no built-in windowed aggregation
+    * expresses (a window only fires where data exists — gaps by
+    * definition have none).
+    *
+    * State per user: the next unemitted bucket plus the open (not yet
+    * watermark-finalized) bucket aggregates — O(open buckets) ≤
+    * O(watermark horizon / granularity), bounded at any scale; keys
+    * partition across executors like every stateful op here. */
+  def resampleStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bucketMs = 6L * 3600 * 1000
+    val typed = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        // state: (next bucket to emit, open bucket → (n, sum))
+        (Long, Map[Long, (Long, Double)]),
+        (Long, java.sql.Timestamp, Long, java.lang.Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[(Long, Map[Long, (Long, Double)])]) =>
+          var (next, open) = state.getOption.getOrElse((-1L, Map.empty[Long, (Long, Double)]))
+          rows.foreach { case (_, ts, v) =>
+            val b = math.floorDiv(ts.getTime, bucketMs) * bucketMs
+            val (n0, s0) = open.getOrElse(b, (0L, 0.0))
+            open = open.updated(b, (n0 + 1, s0 + v))
+            if (next == -1L || b < next) next = b
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, java.sql.Timestamp, Long, java.lang.Double)]
+          // finalize grid cells the watermark has passed, but never past
+          // the last bucket that holds data (the user's grid is
+          // [first, last-seen] like the batch spine)
+          val lastData = if (open.isEmpty) -1L else open.keys.max
+          while (next != -1L && next + bucketMs <= wm && next <= lastData) {
+            val cell = open.get(next)
+            out += ((uid, new java.sql.Timestamp(next),
+              cell.map(_._1).getOrElse(0L),
+              cell.map(c => Double.box(BigDecimal(c._2)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)).orNull)) // HALF_UP: same as batch round(_, 4)
+            open = open.removed(next)
+            next += bucketMs
+          }
+          if (next != -1L) {
+            state.update((next, open))
+            // wake this key when the watermark reaches the next boundary
+            // (must be strictly beyond the current watermark)
+            state.setTimeoutTimestamp(math.max(next + bucketMs, wm + 1))
+          }
+          out.iterator
+      }
+      .toDF("user_id", "bucket", "n_events", "sum_value")
+  }
+
   /** Session windows (30-minute gap) per user via the native
     * session_window — the streaming-stateful form of Events.sessionize. */
   def sessions(spark: SparkSession, dir: String): DataFrame =

@@ -35,6 +35,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming resample emits the batch grid INCLUDING gap buckets, up to the watermark") {
+    val q = EventStream.resampleStream(spark, "/root/testdata/sf0.001")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_resample").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_resample").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+          (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toMap
+      val batch = Events.resample(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+          (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toMap
+      assert(got.nonEmpty)
+      // every emitted bucket — data or gap — must match the batch grid
+      got.foreach { case (k, v) => assert(batch(k) === v, s"bucket $k") }
+      // and gap buckets were actually exercised, not vacuously absent
+      assert(got.values.exists(_._1 == 0L), "no gap bucket was emitted")
+      // all but the trailing watermark horizon must have been finalized
+      assert(got.size >= batch.size / 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals equal the batch aggregate") {
     val q = EventStream.runningUserStats(spark, "/root/testdata/sf0.001")
       .writeStream.outputMode("append")
