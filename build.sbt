@@ -15,6 +15,12 @@ run / fork := true
 // via sbt's logger: Bench's one-line metric JSON must reach stdout without
 // an "[info] " prefix so the harness can parse it.
 run / outputStrategy := Some(StdoutOutput)
+// ...and keep it the LAST line: sbt's "[success] Total time: ..." epilogue
+// after the run otherwise trails the metric JSON and breaks a
+// last-line-of-stdout parse (BENCH_r03 recorded parsed:null for exactly
+// this — the JSON was present but followed by the success banner).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
