@@ -129,22 +129,28 @@ object GraftFunctions {
   /** SQL registration: makes cosine_sim(a, b) / shingles(t[, k]) usable in
     * spark.sql text on an existing session (GraftExtensions is the
     * build-time route). */
-  // Sessions this object has already registered into. createOrReplace
-  // (not skip-if-exists) so graft's definition ALWAYS wins — a foreign
-  // temp function that happens to share a name must not silently serve
-  // graft's SQL — while the per-session guard keeps repeated register()
-  // calls (e.g. every sqlText invocation) from re-replacing and logging
-  // a "replaced a previously registered function" warning each time.
-  private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Boolean])
+  // Stable builder instances: registration is skipped only when the
+  // registry currently serves EXACTLY these builders, so graft's
+  // definition wins at every register() call — a foreign
+  // createOrReplaceTempFunction that grabs the name between calls is
+  // re-replaced on the next register(), instead of silently serving
+  // graft's SQL forever (the failure a one-shot per-session flag had).
+  // Re-registering only on mismatch still keeps the common repeated
+  // register() path (every sqlText invocation) from logging a
+  // "replaced a previously registered function" warning each time.
+  private val cosineBuilder: Seq[Expression] => Expression = buildCosine
+  private val shinglesBuilder: Seq[Expression] => Expression = buildShingles
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.put(spark, true) == null) {
-      val registry = spark.sessionState.functionRegistry
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    def current(name: String): Option[AnyRef] =
+      registry.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    if (!current("cosine_sim").exists(_ eq cosineBuilder))
       registry.createOrReplaceTempFunction(
-        "cosine_sim", buildCosine _, "scala_udf")
+        "cosine_sim", cosineBuilder, "scala_udf")
+    if (!current("shingles").exists(_ eq shinglesBuilder))
       registry.createOrReplaceTempFunction(
-        "shingles", buildShingles _, "scala_udf")
-    }
+        "shingles", shinglesBuilder, "scala_udf")
+  }
 }

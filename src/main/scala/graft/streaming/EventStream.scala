@@ -207,9 +207,15 @@ object EventStream {
           }
           if (next != -1L) {
             state.update((next, open))
-            // wake this key when the watermark reaches the next boundary
-            // (must be strictly beyond the current watermark)
-            state.setTimeoutTimestamp(math.max(next + bucketMs, wm + 1))
+            // Wake this key when the watermark reaches the next boundary
+            // (must be strictly beyond the current watermark) — but only
+            // while unfinalized buckets remain: with `open` empty the
+            // emission loop is bounded by lastData and can never produce
+            // output, so a timer would wake every fully-drained key on
+            // every microbatch forever (churn growing with total distinct
+            // users ever seen). New data re-wakes the key by itself.
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(math.max(next + bucketMs, wm + 1))
           }
           out.iterator
       }

@@ -121,8 +121,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Curation.docPack(spark, sf))
     val shuffles =
       "Exchange hashpartitioning\\(lang".r.findAllIn(p).length
-    assert(shuffles <= 2, s"expected the cumsum and pack_pos windows to " +
-      s"share partitioning, got $shuffles lang exchanges")
+    assert(shuffles === 1, s"expected the cumsum and pack_pos windows to " +
+      s"share ONE (lang, shard) exchange, got $shuffles lang exchanges")
   }
 
   test("q6_filter: all three predicates pushed") {

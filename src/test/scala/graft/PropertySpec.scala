@@ -215,6 +215,21 @@ class PropertySpec extends AnyFunSuite {
     // width at every scale the correctness gate runs.
     for (n <- Seq(500L, 2000L, 5000L, 16384L))
       assert(graft.ops.Similarity.adaptiveBits(n) === 8)
+    // Tie the pin to the fixtures the gate ACTUALLY runs on, not just
+    // literal Ns: if a regenerated embeddings table grows past 16384
+    // rows, the Spark side would move to 9+ bits while the oracles stay
+    // at 8 — this fails with the coupling named instead of an opaque
+    // hash mismatch in embed_neardup / semantic_dedup / sim_ann_lsh.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val p = s"/root/testdata/$sf/embeddings.parquet"
+      if (new java.io.File(p).exists()) {
+        val n = spark.read.parquet(p).count()
+        assert(graft.ops.Similarity.adaptiveBits(n) === 8,
+          s"embeddings fixture $sf has $n rows -> adaptiveBits != 8, but " +
+            "the DuckDB oracles for the embedding queries hard-code an " +
+            "8-bit sign-LSH bucket; regenerate the oracle SQL or re-pin")
+      }
+    }
     assert(graft.ops.Similarity.adaptiveBits(200000L) === 12)
     assert(graft.ops.Similarity.adaptiveBits(1L << 40) === 34)
     assert(graft.ops.Similarity.adaptiveBits(1L << 40, dim = 16) === 16) // dim cap
