@@ -160,7 +160,16 @@ object Curation {
     val unigrams = toks.select(explode(col("toks")).as("term"))
     val uCnt = unigrams.groupBy(col("term"))
       .agg(count(lit(1)).as("u_cnt"))
-    val v = uCnt.count() // vocabulary size (tiny aggregate, driver scalar)
+    // The unigram model is collected ONCE and re-shipped as the broadcast
+    // join side below — word vocabulary ≪ corpus at any scale, and the
+    // broadcast join was already holding exactly this relation on every
+    // executor. Collecting it also yields V for free; the previous
+    // separate uCnt.count() job re-ran the whole explode+aggregate token
+    // pass just to learn the vocabulary size.
+    val uRows = uCnt.collect()
+    val v = uRows.length.toLong
+    val uDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(uRows.toSeq, 1), uCnt.schema)
     val bigrams = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
@@ -177,7 +186,7 @@ object Curation {
       // with corpus tokens (unlike word vocab), so the planner must be
       // free to fall back to a shuffle join past the broadcast threshold
       .join(bCnt, "gram")
-      .join(broadcast(uCnt.withColumnRenamed("term", "a")), "a")
+      .join(broadcast(uDf.withColumnRenamed("term", "a")), "a")
       .withColumn("logp",
         log((col("b_cnt") + 1.0) / (col("u_cnt") + lit(v.toDouble))))
       .groupBy(col("doc_id"))

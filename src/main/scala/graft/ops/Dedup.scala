@@ -231,34 +231,93 @@ object Dedup {
       minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
       Tables.t(spark, dir, "documents").select(col("doc_id")), "doc_id")
 
+  /** Edge-count gate for the driver union-find fast path of
+    * labelComponents: 1M edges ≈ 16 MB of longs — comfortably a driver
+    * collect (the same order as a broadcast-join build side), while two
+    * orders below the 26M-pair candidate graphs the 100× probe produced,
+    * which stay on the distributed path. */
+  private[graft] val DriverCcMaxEdges = 1000000L
+
   /** Shared connected-components labeler: given an undirected candidate
     * pair relation (two long id columns) and the universe of ids, return
     * (id, cluster_id = min reachable id, is_canonical) — the core of
     * both MinHash (dedupClusters) and embedding (semanticDedup) cluster
     * assignment.
     *
-    * GraphX Pregel runs min-id propagation on the RDD path. The graph's
-    * partitioning is sized to the CANDIDATE EDGE COUNT, exactly like
-    * dedupClustersDF: every superstep schedules one task per partition,
-    * and the candidate graph is usually orders of magnitude smaller than
-    * the corpus-parallel shuffle that produced it. The persist means the
-    * (expensive) pairing lineage runs once, shared by the sizing count
-    * and the graph build.
+    * ADAPTIVE, gated on the measured candidate edge count (the count the
+    * partition sizing needs anyway — same runtime-statistics stance as
+    * AQE's join re-planning):
     *
-    * The label table is |V(candidate pairs)| — usually a vanishing
-    * fraction of the corpus, but in the regime dedup exists for (heavily
-    * duplicated corpora) it can be a large share of it, so it must NEVER
+    *  - Small graphs (≤ maxDriverEdges): union-find on the driver. After
+    *    LSH banding the candidate graph is usually orders of magnitude
+    *    smaller than the corpus — at every fixture scale it is a few
+    *    dozen edges, where each Pregel superstep costs more in task
+    *    scheduling than the whole labeling. Collecting a bounded,
+    *    cap-checked edge list is the broadcast-build-side pattern, not a
+    *    driver-side data loop; labels ship back as a broadcast join.
+    *
+    *  - Large graphs: GraphX Pregel min-id propagation on the RDD path,
+    *    partitioning sized to the CANDIDATE EDGE COUNT, exactly like
+    *    dedupClustersDF: every superstep schedules one task per
+    *    partition. The persist means the (expensive) pairing lineage
+    *    runs once, shared by the sizing count and the graph build.
+    *
+    * Both paths produce identical labelings (min reachable id;
+    * DedupSpec pins the equality by forcing each path on the same
+    * pairs). On the distributed path the label table is |V(candidate
+    * pairs)| — in the regime dedup exists for (heavily duplicated
+    * corpora) it can be a large share of the corpus, so it must NEVER
     * route through the driver. It materializes distributed, into the SQL
     * cache (which spills to disk and which spark.catalog.clearCache()
     * reaches); the eager count keeps the label lineage from re-running
     * the whole Pregel chain after the graph caches release. No broadcast
     * hint on the final join: the planner broadcasts when the cached
     * table is small and falls back to a shuffle join when it is not. */
-  private[ops] def labelComponents(spark: SparkSession, pairDf: DataFrame,
-      universe: DataFrame, idName: String): DataFrame = {
+  private[graft] def labelComponents(spark: SparkSession, pairDf: DataFrame,
+      universe: DataFrame, idName: String,
+      maxDriverEdges: Long = DriverCcMaxEdges): DataFrame = {
     import org.apache.spark.graphx.Graph
     val pairs = pairDf.persist()
     val nEdges = pairs.count()
+    if (nEdges <= maxDriverEdges) {
+      val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist(blocking = false)
+      // Union-find with path compression; roots resolve to the component's
+      // minimum id afterwards, so labels are exactly Pregel's fixpoint.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+      parent.keys.foreach { v =>
+        val r = find(v)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, v), v)
+      }
+      val labelRows = parent.keys.toSeq.sorted
+        .map(v => org.apache.spark.sql.Row(v, minOfRoot(find(v))))
+      val labelDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(labelRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idName,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType))))
+      return universe
+        .join(broadcast(labelDf), Seq(idName), "left")
+        .select(col(idName),
+          coalesce(col("cluster_id"), col(idName)).as("cluster_id"))
+        .withColumn("is_canonical", col("cluster_id") === col(idName))
+        .orderBy(col(idName))
+    }
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, (nEdges / 100000L).toInt))
     val edgeRdd = pairs.rdd.map(r => (r.getLong(0), r.getLong(1)))

@@ -76,6 +76,28 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(5L), sh(6L)) <= 6)   // near-dups: few bits differ
   }
 
+  test("labelComponents: driver union-find fast path == GraphX Pregel " +
+       "labeling on the same candidate pairs") {
+    import org.apache.spark.sql.functions.col
+    // A non-trivial topology: chain 1-2-3 (transitive closure via
+    // distinct edges), pair 10-11, and singleton universe members.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val universe = (1L to 12L).toDF("doc_id")
+    def run(cap: Long) = Dedup.labelComponents(
+        spark, pairs.select(col("doc_a"), col("doc_b")),
+        universe, "doc_id", maxDriverEdges = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val fast = run(Dedup.DriverCcMaxEdges)  // 3 edges → union-find
+    val graphx = run(0L)                    // cap 0 forces the Pregel path
+    assert(fast === graphx)
+    val labels = fast.map(t => t._1 -> t._2).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L)
+    assert(labels(10L) === 10L && labels(11L) === 10L)
+    assert(labels(7L) === 7L) // singleton labels itself
+    assert(fast.filter(_._3).map(_._1).toSet ===
+      Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
   test("embedding near-dup finds planted almost-identical vectors") {
     val v  = Array.tabulate(8)(i => 0.1f * (i + 1))
     val v2 = v.clone(); v2(7) = v2(7) + 0.001f        // near-dup of v
