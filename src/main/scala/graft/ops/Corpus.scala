@@ -182,6 +182,54 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source quota cap: keep at most 15 documents per source, preferring
+    * longer documents (n_chars desc, doc_id tie-break) — the "cap documents
+    * per domain" anti-concentration step of corpus curation (a handful of
+    * boilerplate-heavy domains must not dominate the training mix).
+    *
+    * Ranking uses the bounded-heap TopKAggregator, NOT a window
+    * row_number: the window form sorts every document of a source inside
+    * one task — and the whole point of this operator is that some sources
+    * are pathologically large. The aggregator ships ≤ k rows per source
+    * per map task, so a 10⁹-document domain costs the same reducer state
+    * as a 20-document one. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 15
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("n_chars").cast("double"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"),
+        col("col")("_2").as("doc_id"),
+        col("col")("_1").cast("long").as("n_chars"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Source-mixture reweighting by deterministic subsampling: each source
+    * class gets a target retention rate, applied as a per-row hash
+    * threshold — the "mixture weights" step that rebalances web/reference/
+    * books-style strata before training. Classes here are source-number %
+    * 4; rates are hex md5-prefix thresholds (keep-all, 1/2, 1/4, ~1/10),
+    * the same engine-portable primitive as stratifiedSample, generalized
+    * to per-stratum rates. Pure map-side predicate: composes with
+    * partition pruning, needs no count pass, and re-runs reproducibly —
+    * the properties rand()-sampling lacks. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .withColumn("cls", expr("cast(substring(source, 4, 10) as int) % 4"))
+      .withColumn("thr",
+        when(col("cls") === 0, lit("g"))      // > any hex digit: keep all
+          .when(col("cls") === 1, lit("80"))  // 0x80/0x100 = 1/2
+          .when(col("cls") === 2, lit("40"))  // 1/4
+          .otherwise(lit("1a")))              // 0x1a/0x100 ≈ 1/10
+      .filter(substring(
+        md5(concat(col("source"), lit("|"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"), col("cls"))
+      .orderBy(col("doc_id"))
+
   /** The full curation funnel as ONE operator — the composition a
     * training-data pipeline actually ships: exact dedup (first writer per
     * content hash) ∩ near-dup canonical survivors (connected components
@@ -211,7 +259,9 @@ object Corpus {
     "bm25_topk"         -> (bm25TopK _),
     "inverted_index"    -> (invertedIndex _),
     "stratified_sample" -> (stratifiedSample _),
-    "quantile_filter"   -> (quantileFilter _))
+    "quantile_filter"   -> (quantileFilter _),
+    "source_cap"        -> (sourceCap _),
+    "mixture_sample"    -> (mixtureSample _))
 
   val oracle: Map[String, String] = Map(
     "corpus_curate" ->
@@ -288,6 +338,22 @@ object Corpus {
         |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',')
         |    AS head_postings
         |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    "source_cap" ->
+      """SELECT source, doc_id, n_chars, rnk FROM (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 15 ORDER BY source, rnk""".stripMargin,
+    "mixture_sample" ->
+      """SELECT doc_id, lang, source, cls FROM (
+        |  SELECT doc_id, lang, source,
+        |    CAST(substring(source, 4, 10) AS INT) % 4 AS cls,
+        |    substring(md5(source || '|' || doc_id::VARCHAR), 1, 2) AS h
+        |  FROM documents)
+        |WHERE h < (CASE cls WHEN 0 THEN 'g' WHEN 1 THEN '80'
+        |           WHEN 2 THEN '40' ELSE '1a' END)
+        |ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(lang || '|' || doc_id::VARCHAR), 1, 2) < '33'

@@ -284,7 +284,34 @@ object Events {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Time-RANGE window frame: per user, event count and value sum over
+    * the trailing ONE HOUR of event time (frame bounds in TIME, not row
+    * counts — rows frames answer "last 100 events", this answers "last
+    * hour", a different and equally standard feature shape; peers with
+    * the same timestamp enter the frame together, so the result is
+    * deterministic without a row tie-break).
+    *
+    * The order key is epoch MICROSECONDS as a long: Spark's rangeBetween
+    * needs a numeric key, and integer microseconds make the frame
+    * boundary exact in both engines (a float seconds key would make
+    * boundary membership an ulp question). One shuffle on user_id; frame
+    * state is bounded by one user's events-per-hour. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      // +1e-9: deterministic decimal-tie break, see Relational.q1Agg
+      .withColumn("sum_1h", round(sum(col("value")).over(w) + 1e-9, 4))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_range_frame" -> (rangeFrame _),
     "scd2_history"     -> (scdHistory _),
     "events_resample"  -> (resample _),
     "events_zscore"    -> (zscoreAnomalies _),
@@ -303,6 +330,16 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "events_range_frame" ->
+      """SELECT event_id, user_id, n_1h, sum_1h FROM (
+        |  SELECT event_id, user_id,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |    ROUND(SUM(value) OVER w + 1e-9, 4) AS sum_1h
+        |  FROM (SELECT event_id, user_id, value,
+        |          epoch_us(ts::TIMESTAMP) AS us FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |ORDER BY event_id""".stripMargin,
     "scd2_history" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts

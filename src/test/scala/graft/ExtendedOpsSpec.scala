@@ -155,6 +155,81 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("source_cap: <= 15 docs per source, ranked by n_chars desc with " +
+       "doc_id tiebreak, members == window top-15") {
+    val rows = Corpus.sourceCap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perSrc = rows.groupBy(_._1)
+    assert(perSrc.values.forall(_.length <= 15))
+    perSrc.values.foreach { g =>
+      val ordered = g.sortBy(_._4)
+      // rank order == (n_chars desc, doc_id asc) order
+      assert(ordered.map(t => (-t._3, t._2)).toSeq ===
+        ordered.map(t => (-t._3, t._2)).toSeq.sorted)
+    }
+    // cross-check membership against an independent window ranking
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).valuesIterator.flatMap { g =>
+      g.sortBy(t => (-t._3, t._2)).take(15).iterator
+    }.map(t => (t._1, t._2)).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet === expect)
+  }
+
+  test("mixture_sample: kept set == per-class md5-threshold rule " +
+       "recomputed independently; class-0 sources keep everything") {
+    val kept = Corpus.mixtureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex2(s: String): String = md.synchronized {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val thr = Map(0 -> "g", 1 -> "80", 2 -> "40", 3 -> "1a")
+    val expect = docs.filter { case (id, src) =>
+      val cls = src.drop(3).toInt % 4
+      hex2(s"$src|$id") < thr(cls)
+    }.map(_._1).toSet
+    assert(kept.keySet === expect)
+    // class 0 retains every document of its sources
+    val cls0 = docs.filter { case (_, s) => s.drop(3).toInt % 4 == 0 }
+    assert(cls0.forall { case (id, _) => kept.contains(id) })
+    assert(kept.nonEmpty && kept.size < docs.length)
+  }
+
+  test("events_range_frame: trailing-1h counts/sums match a naive " +
+       "recomputation per user") {
+    val out = Events.rangeFrame(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.size === ev.length)
+    ev.groupBy(_._2).values.foreach { g =>
+      g.foreach { case (eid, _, us, _) =>
+        val frame = g.filter(e => e._3 >= us - 3600000000L && e._3 <= us)
+        val vals = frame.flatMap(_._4)
+        val want = (frame.length.toLong,
+          if (vals.isEmpty) None
+          else Some(math.rint((vals.sum + 1e-9) * 1e4) / 1e4))
+        val got = out(eid)
+        assert(got._1 === want._1, s"event $eid count")
+        (got._2, want._2) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6,
+            s"event $eid sum: $a vs $b")
+          case (a, b) => assert(a === b, s"event $eid sum null-ness")
+        }
+      }
+    }
+  }
+
   test("events_funnel: stage counts are monotonically non-increasing") {
     val users = Events.funnelStages(spark, dir).collect().map(_.getLong(1))
     assert(users.length === 4)
