@@ -214,11 +214,21 @@ object Events {
     * rows) before the detector arms. Deterministic ordering via the
     * (ts, event_id) tie-break. */
   def zscoreAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    zscoreChunked(e).getOrElse(zscorePlain(e))
+  }
+
+  /** The direct formulation: one window partitioned by event type. Correct
+    * at any scale, but its parallelism ceiling is |event types| — the
+    * entire point of zscoreChunked. Kept as the semantics definition and
+    * as the fallback when chunk statistics can't guarantee the chunked
+    * rewrite is lossless. */
+  private[graft] def zscorePlain(e: DataFrame): DataFrame = {
     val win = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-100, -1)
-    Tables.t(spark, dir, "events")
-      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    e
       .withColumn("mu", avg(col("value")).over(win))
       .withColumn("sd", stddev_samp(col("value")).over(win))
       .withColumn("n", count(lit(1)).over(win))
@@ -230,6 +240,60 @@ object Events {
       .filter(col("n") >= 30 && col("sd") > 0 && abs(col("z")) >= 2.5)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy(col("event_id"))
+  }
+
+  /** Scale path for the trailing-rows window: chunk each type's stream
+    * into day buckets and carry each bucket's LAST `frame` rows into its
+    * successor as shadow rows, so every trailing frame is fully contained
+    * in one (type, bucket) partition. Parallelism becomes |types × days|
+    * instead of |types| — the plain form's single-reducer-per-type sort is
+    * the one 100 TB wall left in the engine. Frame contents (and their
+    * accumulation order) are identical to the plain window, so results
+    * are bit-equal (EventsSpec pins this on fixtures where both paths
+    * engage).
+    *
+    * Lossless only if no frame can span more than one bucket boundary —
+    * i.e. every bucket that HAS a successor holds at least `frame` rows.
+    * That is checked against the measured per-bucket counts (a tiny
+    * aggregate — the same runtime-statistics gate as the adaptive CC
+    * labeler); if any bucket is under-full the operator falls back to the
+    * plain window (production would widen the chunk instead: size chunks
+    * so min-rows-per-chunk ≥ frame). Returns None on fallback. */
+  private[graft] def zscoreChunked(e: DataFrame): Option[DataFrame] = {
+    val frame = 100
+    val b = e.withColumn("bucket", date_trunc("DAY", col("ts")))
+    val stats = b.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    // |types × days| rows — persisted so the gate count and the carry
+    // join share one events pass (clearCache releases it, as elsewhere).
+    val withNext = stats
+      .withColumn("next_bucket", lead(col("bucket"), 1).over(wb)).persist()
+    val underFull = withNext
+      .filter(col("next_bucket").isNotNull && col("cnt") < frame).count()
+    if (underFull > 0) { withNext.unpersist(blocking = false); return None }
+    val wr = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val carry = b.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= frame).drop("rn")
+      .join(broadcast(withNext.filter(col("next_bucket").isNotNull)
+          .select(col("event_type"), col("bucket"), col("next_bucket"))),
+        Seq("event_type", "bucket"))
+      .withColumn("bucket", col("next_bucket")).drop("next_bucket")
+      .withColumn("is_carry", lit(true))
+    val unioned = b.withColumn("is_carry", lit(false)).unionByName(carry)
+    val w = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-frame, -1)
+    Some(unioned
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(!col("is_carry"))
+      .withColumn("z",
+        round((col("value") - col("mu")) / col("sd") + 1e-9, 4))
+      .filter(col("n") >= 30 && col("sd") > 0 && abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id")))
   }
 
   /** Time-series resample: regularize the event stream to a fixed 6-hour

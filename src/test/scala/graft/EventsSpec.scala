@@ -52,4 +52,37 @@ class EventsSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)) // id 5 rejected
   }
+
+  test("zscore chunked scale path == plain window where chunks are full; " +
+       "under-full chunks fall back") {
+    import org.apache.spark.sql.functions.col
+    // sf0.1 has 591-739 events per (type, day): the chunked rewrite
+    // engages, and must reproduce the plain single-window-per-type form
+    // bit-for-bit (same frame contents in the same accumulation order).
+    val e01 = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    val chunked = Events.zscoreChunked(e01)
+    assert(chunked.isDefined, "sf0.1 chunks are full: scale path must engage")
+    val a = chunked.get.collect().toSeq
+    val b = Events.zscorePlain(e01).collect().toSeq
+    assert(a === b)
+    // Single-bucket streams (the hand fixture: one day) are wholly
+    // contained, so the rewrite may engage — and must still agree.
+    val tiny = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    assert(Events.zscoreChunked(tiny).isDefined)
+    assert(Events.zscoreChunked(tiny).get.collect().toSeq ===
+      Events.zscorePlain(tiny).collect().toSeq)
+    // A multi-day stream whose non-final day is under-full (< 100 rows)
+    // could have frames spanning several buckets: the containment guard
+    // must refuse the rewrite.
+    val sparse = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), "click", 2.0),
+      (3L, ts("2024-01-02 10:00:00"), "click", 3.0),
+      (4L, ts("2024-01-02 11:00:00"), "click", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    assert(Events.zscoreChunked(sparse).isEmpty)
+  }
 }
