@@ -222,6 +222,83 @@ object EventStream {
       .toDF("user_id", "bucket", "n_events", "sum_value")
   }
 
+  /** Streaming twin of Events.rangeFrame: per event, the trailing-1-hour
+    * (count, sum) over the same user's events — time-RANGE frame features
+    * computed incrementally on an unbounded stream. No built-in streaming
+    * aggregation emits one row PER EVENT with a frame over its
+    * neighborhood, so this is flatMapGroupsWithState:
+    *
+    *  - buffer per user: events not yet evictable, in event-time order;
+    *  - an event's frame [ts-1h, ts] is complete once the watermark
+    *    passes ts (anything that could still join the frame would be ≤ ts
+    *    < watermark — dropped as too-late by definition), so events emit
+    *    exactly once, when the watermark crosses them;
+    *  - eviction: a buffered event can serve frames only of events within
+    *    1h after it, and unemitted events are > wm − so anything older
+    *    than wm − 1h is dead state. Buffer size is therefore bounded by
+    *    one user's events per (watermark horizon + 1h) — O(hours of
+    *    traffic), never the stream's history;
+    *  - the event-time timer re-wakes the key only while unemitted events
+    *    remain (same drained-key stance as resampleStream).
+    *
+    * Frame arithmetic matches the batch RANGE frame exactly: integer
+    * microsecond bounds, peers included, sum accumulated in (ts,
+    * event_id) order, batch-identical rounding. */
+  def rangeFrameStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hourUs = 3600L * 1000000L
+    // the watermarked ts attribute must survive the projection for the
+    // event-time timeout to bind; the state function reads only `us`
+    val typed = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id"), col("ts"),
+              unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        // state: buffered (event_id, us, value, emitted) rows
+        Seq[(Long, Long, Double, Boolean)],
+        (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[Seq[(Long, Long, Double, Boolean)]]) =>
+          val buf = scala.collection.mutable.ArrayBuffer.from(
+            state.getOption.getOrElse(Seq.empty))
+          rows.foreach { case (_, eid, _, us, v) =>
+            buf += ((eid, us, v, false))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // event-time order; event_id tie-break fixes the accumulation
+          // order for peers, mirroring the batch determinism rule
+          val sorted = buf.sortBy(e => (e._2, e._1))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+          val kept = sorted.map { e =>
+            if (!e._4 && e._2 < wmUs) {
+              val frame = sorted.filter(o => o._2 >= e._2 - hourUs && o._2 <= e._2)
+              val sum = frame.iterator.map(_._3).sum
+              out += ((e._1, uid, frame.size.toLong,
+                BigDecimal(sum + 1e-9)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              e.copy(_4 = true)
+            } else e
+          // evict dead frame-history: unemitted events are >= wm, and
+          // their frames reach back exactly 1h INCLUSIVE, so the oldest
+          // row still reachable sits at wm - 1h — keep the boundary
+          }.filter(_._2 >= wmUs - hourUs)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(kept.toSeq)
+            // re-wake only while unemitted events remain; new data
+            // re-wakes a drained key by itself
+            if (kept.exists(!_._4))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          }
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "n_1h", "sum_1h")
+  }
+
   /** Session windows (30-minute gap) per user via the native
     * session_window — the streaming-stateful form of Events.sessionize. */
   def sessions(spark: SparkSession, dir: String): DataFrame =

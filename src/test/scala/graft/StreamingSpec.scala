@@ -115,6 +115,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming range-frame features equal the batch RANGE window on " +
+       "every emitted event") {
+    val q = EventStream.rangeFrameStream(spark, "/root/testdata/sf0.001")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_rangeframe").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_rangeframe").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batch = graft.ops.Events
+        .rangeFrame(spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.nonEmpty)
+      // every emitted event's trailing-1h (count, sum) must equal the
+      // batch RANGE frame bit-for-bit
+      got.foreach { case (eid, v) => assert(batch(eid) === v, s"event $eid") }
+      // emission reaches everything older than the watermark horizon
+      assert(got.size >= batch.size / 2)
+      // frames beyond a single event were actually exercised
+      assert(got.values.exists(_._1 > 1L))
+    } finally q.stop()
+  }
+
   test("streaming session windows cover every event exactly once") {
     val q = EventStream.sessions(spark, "/root/testdata/sf0.001")
       .writeStream.outputMode("append")
