@@ -125,6 +125,33 @@ class PlanSpec extends AnyFunSuite {
       s"share ONE (lang, shard) exchange, got $shuffles lang exchanges")
   }
 
+  test("source_cap: bounded-heap aggregation, never a per-source window " +
+       "sort") {
+    val p = plan(Corpus.sourceCap(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      "TopKAggregator should run as an object hash aggregate")
+    assert(!p.contains("windowspecdefinition(source"),
+      "a per-source window sort buffers the hot domain in one task")
+  }
+
+  test("mixture_sample: pure map-side predicate — no exchange before the " +
+       "filter") {
+    val p = plan(Corpus.mixtureSample(spark, sf))
+    // the only exchange allowed is the final presentation orderBy's range
+    // partitioning; the sampling predicate itself must run at the scan
+    assert(!p.split("Exchange rangepartitioning").head
+      .contains("Exchange hashpartitioning"),
+      "mixture sampling must not shuffle before filtering")
+  }
+
+  test("events_range_frame: one user_id exchange feeds the RANGE window") {
+    val p = plan(graft.ops.Events.rangeFrame(spark, sf))
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected exactly 1 user_id exchange, got $hashEx")
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      "the window must be a RANGE frame, not a rows frame")
+  }
+
   test("q6_filter: all three predicates pushed") {
     // plan toString truncates PushedFilters — read the scan metadata
     val pushed = Relational.q6Filter(spark, sf)
