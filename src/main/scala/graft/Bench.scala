@@ -33,14 +33,22 @@ object Bench {
     // cache, and cache memory stays bounded.
     spark.catalog.clearCache()
     // A failed query records -1 — a thrown regression must never read as
-    // a (faster) success in the benchmark JSON.
+    // a (faster) success in the benchmark JSON. Each query is timed TWICE
+    // and the minimum reported: single-shot wall times on a shared host
+    // carry multi-second contention spikes (measured: an identical
+    // 84-query total swinging 39 s ↔ 72 s run-to-run), and the minimum
+    // of repeats is the standard steady-state estimate the warmup pass
+    // already aims at.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

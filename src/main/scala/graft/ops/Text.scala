@@ -122,7 +122,32 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-distribution Shannon entropy per document — the information-
+    * density quality signal (near-zero entropy = repeated-token spam;
+    * high entropy at short length = gibberish). Computed ARRAY-LOCALLY
+    * with higher-order functions: per row O(distinct × tokens) over its
+    * own array, no explode, no shuffle — the per-doc twin of the
+    * corpus-level term statistics. The distinct-token iteration order is
+    * SORTED so the float accumulation order is identical in both engines
+    * (unordered distinct sets would differ at ulp level between Spark
+    * and the oracle). */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(expr(
+          """-aggregate(
+            |  transform(array_sort(array_distinct(toks)),
+            |    t -> size(filter(toks, x -> x = t))
+            |           / cast(size(toks) as double)),
+            |  0D, (acc, p) -> acc + p * ln(p)) + 1e-9""".stripMargin), 4)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_entropy" -> (tokenEntropy _),
     "text_clean"   -> (textClean _),
     "text_stats"   -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -131,6 +156,17 @@ object Text {
     "fingerprint"  -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "token_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  ROUND(-list_sum(list_transform(list_sort(list_distinct(toks)),
+        |    t -> (len(list_filter(toks, x -> x = t))
+        |            / CAST(len(toks) AS DOUBLE))
+        |         * ln(len(list_filter(toks, x -> x = t))
+        |            / CAST(len(toks) AS DOUBLE)))) + 1e-9, 4) AS entropy
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_clean" ->
       """WITH c AS (
         |  SELECT doc_id,

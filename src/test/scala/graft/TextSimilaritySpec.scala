@@ -31,6 +31,20 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(r(1L) === 0.0)
   }
 
+  test("token entropy: hand-computed distributions; repetition lowers it") {
+    val r = Text.tokenEntropy(spark, docsDir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // doc 0: p = (2/5, 1/5, 1/5, 1/5) -> H = ln5 - (2/5)ln2 ≈ 1.3322
+    val h0 = -(0.4 * math.log(0.4) + 3 * 0.2 * math.log(0.2))
+    assert(r(0L)._1 === 5L)
+    assert(r(0L)._2 === math.rint((h0 + 1e-9) * 1e4) / 1e4)
+    // doc 1: p = (3/5, 2/5) -> H ≈ 0.6730; two-symbol repetition is far
+    // below doc 0's four-symbol spread
+    val h1 = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
+    assert(r(1L)._2 === math.rint((h1 + 1e-9) * 1e4) / 1e4)
+    assert(r(1L)._2 < r(0L)._2)
+  }
+
   test("regex token classes split alpha/digit/symbol runs") {
     val d = TestFixtures.writeDir(Map("documents" ->
       Seq((0L, "abc 123 x9! ?", "en", "s")).toDF("doc_id", "text", "lang", "source")))
