@@ -431,7 +431,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency boilerplate line removal (the RefinedWeb-style
+    * line-dedup pass: drop lines that recur across many documents — nav
+    * bars, cookie banners, license footers — and reassemble each doc from
+    * its surviving lines in order). The fixture text has no newlines, so
+    * "lines" are fixed 2-token chunks; the operator shape is the real one:
+    * explode to (doc, pos, line) → corpus-wide distinct-doc count per
+    * line → anti-join the boilerplate set back → ordered reassembly.
+    *
+    * Scale: the explode is Θ(tokens) map-side; the line-frequency agg is
+    * map-side-combinable on the line key. The boilerplate set (lines in
+    * > 25% of docs) is PROVABLY small at any corpus size — at threshold
+    * fraction f, at most (avg lines/doc)/f distinct lines can qualify —
+    * so the anti-join side always broadcasts and the corpus never
+    * reshuffles for the removal join. Reassembly shuffles (pos, line)
+    * pairs once on doc_id; per-key state is one document's lines. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    val chunked = docs
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("toks")) / 2.0).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * 2 + 1, lit(2)), " ")))
+          .as(Seq("pos", "line")))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val boiler = chunked.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_docs") > col("n_total") * 0.25)
+      .select(col("line"))
+    val kept = chunked.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x("line")), " ").as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "line_dedup"     -> (lineDedup _),
     "dedup_exact"    -> (exact _),
     "minhash_sig"    -> (minhashSig _),
     "minhash_pairs"  -> (minhashPairs _),
@@ -507,6 +554,28 @@ object Dedup {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |ch AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(toks[i*2+1 : i*2+2], ' ') AS line
+        |  FROM d, UNNEST(range(CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS u(i)),
+        |bp AS (
+        |  SELECT line FROM ch GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 0.25 * (SELECT count(*) FROM d)),
+        |kept AS (
+        |  SELECT * FROM ch WHERE line NOT IN (SELECT line FROM bp)),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |         string_agg(line, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+        |       coalesce(agg.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source, ROW_NUMBER() OVER (

@@ -110,4 +110,28 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("line_dedup removes corpus-frequent lines, keeps order, and " +
+       "empties fully-boilerplate docs") {
+    // "click here" (one 2-token chunk) planted chunk-aligned in 4 of 8
+    // docs (> 25%); every other chunk is unique to its doc.
+    val ldir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, "click here only0a only0b", "en", "s"),
+        (1L, "click here only1a only1b", "en", "s"),
+        (2L, "click here only2a only2b", "en", "s"),
+        (3L, "aa bb cc dd ee ff gg hh", "en", "s"),
+        (4L, "w4a w4b w4c w4d", "en", "s"),
+        (5L, "w5a w5b", "en", "s"),
+        (6L, "w6a w6b w6c", "en", "s"),   // odd token count: tail chunk "w6c"
+        (7L, "click here click here", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val out = Dedup.lineDedup(spark, ldir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L) === ((1L, "only0a only0b")))
+    assert(out(7L) === ((0L, "")))               // all chunks boilerplate
+    assert(out(3L) === ((4L, "aa bb cc dd ee ff gg hh"))) // order preserved
+    assert(out(6L) === ((2L, "w6a w6b w6c")))    // partial tail chunk kept
+    assert(out.size === 8)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Corpus, Curation, Panel, Relational, Similarity}
+import graft.ops.{Corpus, Curation, Dedup, Panel, Relational, Similarity}
 
 /** Physical-plan regression checks: the properties that make these
   * queries scale are asserted, not assumed — a refactor that silently
@@ -162,5 +162,15 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("GreaterThanOrEqual(l_shipdate"))
     assert(pushed.contains("GreaterThanOrEqual(l_discount"))
     assert(pushed.contains("LessThan(l_quantity"))
+  }
+
+  test("line_dedup: boilerplate removal is a broadcast anti-join — the " +
+       "exploded corpus never reshuffles to meet the boilerplate set") {
+    val p = plan(Dedup.lineDedup(spark, sf))
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(p).nonEmpty,
+      "the anti-join against the (provably small) boilerplate set must " +
+        "be broadcast, never sort-merge")
+    assert("SortMergeJoin [^\\n]*LeftAnti".r.findFirstIn(p).isEmpty,
+      "a sort-merge anti-join would reshuffle the full exploded corpus")
   }
 }
