@@ -230,6 +230,45 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"), col("cls"))
       .orderBy(col("doc_id"))
 
+  /** Weight-proportional sampling WITHOUT transcendentals: top-k per
+    * language by minimum ticket hash. Each document gets
+    * ceil(n_chars/100) tickets; its priority is the min of its ticket
+    * md5s (computed ARRAY-LOCALLY — no explode, no shuffle), and the k
+    * smallest priorities per stratum win — a document's chance of
+    * fielding the stratum minimum is proportional to its ticket count,
+    * which is the Efraimidis–Spirakis weighted-reservoir idea with the
+    * u^(1/w) key replaced by an integer-only equivalent. The usual key
+    * needs pow/ln, whose last-ulp rounding differs across engines and
+    * could reorder near-equal priorities; ticket-min ranking compares
+    * md5 hex strings (then a 52-bit prefix as an EXACT double), so the
+    * Spark result and the oracle agree bit-for-bit at any scale.
+    *
+    * Ranking rides the bounded-heap TopKAggregator (k rows per stratum
+    * per map task, like sourceCap) — never a per-stratum window sort. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .withColumn("w",
+        greatest(ceil(col("n_chars") / 100.0).cast("int"), lit(1)))
+      .withColumn("pri", array_min(transform(
+        sequence(lit(1), col("w")),
+        i => md5(concat(col("lang"), lit("|"),
+          col("doc_id").cast("string"), lit("|"), i.cast("string"))
+          .cast("binary")))))
+      // 13 hex chars = 52 bits: exact in a double; string order of a
+      // fixed-length lowercase-hex prefix == numeric order, so the
+      // oracle can rank by substring(pri, 1, 13) with the same ties.
+      .withColumn("rank_key",
+        conv(substring(col("pri"), 1, 13), 16, 10).cast("double") * -1)
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("rank_key"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col")("_2").as("doc_id"),
+              (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** The full curation funnel as ONE operator — the composition a
     * training-data pipeline actually ships: exact dedup (first writer per
     * content hash) ∩ near-dup canonical survivors (connected components
@@ -261,9 +300,28 @@ object Corpus {
     "stratified_sample" -> (stratifiedSample _),
     "quantile_filter"   -> (quantileFilter _),
     "source_cap"        -> (sourceCap _),
-    "mixture_sample"    -> (mixtureSample _))
+    "mixture_sample"    -> (mixtureSample _),
+    "weighted_sample"   -> (weightedSample _))
 
   val oracle: Map[String, String] = Map(
+    "weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         greatest(CAST(ceil(n_chars / 100.0) AS BIGINT), 1) AS w
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |         min(md5(lang || '|' || CAST(doc_id AS VARCHAR) || '|' ||
+        |                 CAST(i AS VARCHAR))) AS pri
+        |  FROM d, UNNEST(range(1, w + 1)) AS u(i)
+        |  GROUP BY doc_id, lang),
+        |r AS (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substring(pri, 1, 13), doc_id) AS rnk
+        |  FROM t)
+        |SELECT lang, doc_id, rnk::BIGINT AS rnk FROM r WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin,
     "corpus_curate" ->
       (Dedup.duckReachCtes +
         """,

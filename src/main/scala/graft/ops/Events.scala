@@ -374,7 +374,42 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Robust (median/MAD) outlier flagging per event type — the
+    * heavy-tail-safe complement to events_zscore: a handful of extreme
+    * events can't drag the center or inflate the spread, because both
+    * statistics are order statistics. rscore = (value − median) /
+    * (1.4826·MAD), flagged at |rscore| ≥ 3 on the ROUNDED score (repo
+    * determinism rule for derived-float thresholds).
+    *
+    * Shape: two grouped exact-percentile aggregations (median of value,
+    * then median of |value − med|) joined back broadcast — group
+    * cardinality is |event types|, so both joins are trivially
+    * broadcast-able. Exact percentile buffers each group's values in its
+    * reducer; at 100 TB the drop-in swap is approx_percentile (a
+    * mergeable t-digest-style sketch, map-side combinable) — exact stays
+    * here because the oracle can check it bit-for-bit. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = e.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+           first(col("med")).as("med"))
+    e.join(broadcast(mad), Seq("event_type"))
+      .withColumn("rscore",
+        round((col("value") - col("med")) / (col("mad") * 1.4826) + 1e-9, 4))
+      .filter(col("mad") > 0 && abs(col("rscore")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med") + 1e-9, 4).as("med"),
+        round(col("mad") + 1e-9, 4).as("mad"),
+        col("rscore"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mad_outlier"      -> (madOutliers _),
     "events_range_frame" -> (rangeFrame _),
     "scd2_history"     -> (scdHistory _),
     "events_resample"  -> (resample _),
@@ -394,6 +429,26 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "mad_outlier" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+        |         any_value(m.med) AS med
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT event_id, event_type, value, med, mad, rscore FROM (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |         ROUND(m.med + 1e-9, 4) AS med,
+        |         ROUND(m.mad + 1e-9, 4) AS mad,
+        |         ROUND((e.value - m.med) / (m.mad * 1.4826) + 1e-9, 4)
+        |           AS rscore
+        |  FROM events e JOIN mad m USING (event_type)
+        |  WHERE m.mad > 0)
+        |WHERE abs(rscore) >= 3.0
+        |ORDER BY event_id""".stripMargin,
     "events_range_frame" ->
       """SELECT event_id, user_id, n_1h, sum_1h FROM (
         |  SELECT event_id, user_id,

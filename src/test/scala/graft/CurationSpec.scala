@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
-import graft.ops.{Curation, Events}
+import graft.ops.{Corpus, Curation, Events}
 
 /** Round-3 curation operators: sequence packing, repetition statistics,
   * PII scrubbing, contamination checks, and event-grid resampling —
@@ -168,5 +168,43 @@ class CurationSpec extends AnyFunSuite {
         case _         => ()
       }
     }
+  }
+
+  test("weighted_sample: TopK heap == window ranking on the real fixture, " +
+       "and a 500-ticket whale beats 1-ticket minnows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // Pin the bounded-heap path against the window formulation (the
+    // same equivalence TextSimilaritySpec pins for sim_topk_brute).
+    val dir = "/root/testdata/sf0.001"
+    val got = Corpus.weightedSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pri = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("w", greatest(ceil(col("n_chars") / 100.0).cast("int"), lit(1)))
+      .withColumn("pri", array_min(transform(
+        sequence(lit(1), col("w")),
+        i => md5(concat(col("lang"), lit("|"),
+          col("doc_id").cast("string"), lit("|"), i.cast("string"))
+          .cast("binary")))))
+    val want = pri
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(substring(col("pri"), 1, 13), col("doc_id"))))
+      .filter(col("rnk") <= 20)
+      .select(col("lang"), col("doc_id"), col("rnk").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === want.toSet)
+
+    // Weight-proportionality: one 50000-char doc (500 tickets) among 49
+    // single-ticket docs holds 500/549 of the stratum's tickets — its
+    // min ticket hash lands in the top 20 of 50 (deterministic for the
+    // fixed hash function; failing would need ≥30 of 49 single tickets
+    // to each beat a min-of-500).
+    val whale = (1L to 49L).map(i =>
+        (i, "t", "xx", "s", 1L)) :+ (50L, "t", "xx", "s", 50000L)
+    val wdir = TestFixtures.writeDir(Map(
+      "documents" -> whale.toDF("doc_id", "text", "lang", "source", "n_chars")))
+    val winners = Corpus.weightedSample(spark, wdir).collect()
+      .map(_.getLong(1)).toSet
+    assert(winners.contains(50L))
   }
 }

@@ -85,4 +85,23 @@ class EventsSpec extends AnyFunSuite {
       .select(col("event_id"), col("event_type"), col("value"), col("ts"))
     assert(Events.zscoreChunked(sparse).isEmpty)
   }
+
+  test("mad_outlier flags planted extremes and is robust to an outlier " +
+       "cluster dragging the mean") {
+    // 20 inliers at 10±1 plus THREE extremes at 1000 — enough to pull a
+    // mean/stddev detector's center far off 10, but median/MAD ignore
+    // them. All three extremes (and only they) must be flagged.
+    val rows = (1L to 20L).map(i =>
+        (i, ts("2024-01-01 10:00:00"), 1L, "click",
+         10.0 + (i % 3) - 1, "{}")) ++
+      Seq((21L, ts("2024-01-01 11:00:00"), 1L, "click", 1000.0, "{}"),
+          (22L, ts("2024-01-01 11:01:00"), 1L, "click", 1000.0, "{}"),
+          (23L, ts("2024-01-01 11:02:00"), 1L, "click", 1000.0, "{}"))
+    val mdir = TestFixtures.writeDir(Map(
+      "events" -> rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    val flagged = Events.madOutliers(spark, mdir).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged === Set(21L, 22L, 23L))
+  }
 }
