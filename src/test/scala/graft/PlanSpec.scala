@@ -164,6 +164,33 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("LessThan(l_quantity"))
   }
 
+  test("mad_outlier: both percentile stages aggregate partially map-side " +
+       "and join back broadcast — never a per-type window sort") {
+    val p = plan(graft.ops.Events.madOutliers(spark, sf))
+    assert("partial_percentile".r.findAllIn(p).length === 2,
+      "median and MAD must both be partial+final aggregations")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2,
+      "the |event types|-row statistics must broadcast back")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      "no full-type shuffle or window sort belongs in this plan")
+  }
+
+  test("weighted_sample: ticket-min priority is computed map-side before " +
+       "the single stratum exchange; TopK aggregates partially") {
+    val p = plan(Corpus.weightedSample(spark, sf))
+    assert(p.contains("partial_topkaggregator"),
+      "the bounded heap must participate in partial aggregation (≤ k " +
+        "rows per stratum per map task)")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).length === 1,
+      "exactly one shuffle: the per-language final TopK merge")
+    // plan text is top-down: the subtree FEEDING the partial agg is the
+    // text after its last mention — no Generate (explode) may appear
+    // there; the posexplode of the k winners above the agg is fine.
+    assert(!p.split("partial_topkaggregator").last.contains("Generate"),
+      "ticket hashing must be array-local (array_min over transform), " +
+        "never an explode before aggregation")
+  }
+
   test("line_dedup: boilerplate removal is a broadcast anti-join — the " +
        "exploded corpus never reshuffles to meet the boilerplate set") {
     val p = plan(Dedup.lineDedup(spark, sf))
