@@ -135,6 +135,23 @@ object Similarity {
     * centroids broadcast (assignment is map-side), corpus shuffles once
     * on cell id, per-cell candidate scoring via hash join. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val q = ivfAssigned(spark, dir)
+      .select(col("cell"), col("vec_id").as("query_id"),
+              col("embedding").as("q_emb"))
+    val c = ivfAssigned(spark, dir)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+              col("embedding").as("n_emb"))
+    rankTopK(
+      q.join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
+      k = 3)
+  }
+
+  /** IVF cell assignment, shared by annIvf and annRecall: every vector
+    * labeled with its nearest-centroid cell. */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
     // count() is answered from parquet footer metadata (no data scan),
     // and the centroid collect below prunes to vec_id < C at the scan —
@@ -153,25 +170,79 @@ object Similarity {
       .filter(col("vec_id") < nCents)
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
-    val assigned = e
-      .withColumn("cell", graft.functions.CentroidArgmax.assign(
+    e.withColumn("cell", graft.functions.CentroidArgmax.assign(
         col("embedding"),
         centRows.map(_.getSeq[Float](1).toArray),
         centRows.map(_.getLong(0))))
       .select(col("cell"), col("vec_id"), col("embedding"))
-    val q = assigned.select(col("cell"), col("vec_id").as("query_id"),
-                            col("embedding").as("q_emb"))
-    val c = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
-                            col("embedding").as("n_emb"))
-    rankTopK(
-      q.join(c, Seq("cell"))
+  }
+
+  /** Recall@k evaluation of BOTH approximate paths (sign-LSH buckets and
+    * IVF cells) against exact brute-force ground truth on the probe
+    * sample — the method-comparison loop every ANN deployment runs
+    * before trusting its index parameters. Truth = brute top-5 per probe
+    * (corpus streams once past the broadcast probe set); each method's
+    * candidates come from its own blocking join; recall = |ANN ∩ truth|
+    * / |truth| per (method, query). Evaluation always runs on a bounded
+    * probe SAMPLE (here vec_id < 10), so the |Q|·N exact pass is a
+    * deliberate, sized cost — that is what makes ground truth affordable
+    * at any corpus size.
+    *
+    * On the synthetic fixture the single-probe LSH recall is near zero
+    * while IVF lands higher — the expected shape for unstructured random
+    * vectors (a true top-5 neighbor rarely agrees on all 8 sign bits),
+    * and exactly the measurement that tells an operator to add probes /
+    * tables or widen nprobe before shipping an index. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val truth = topKBrute(spark, dir) // probes vec_id < 10, top-5
+
+    def recallOf(ann: DataFrame, method: String): DataFrame =
+      truth.as("t")
+        .join(ann.as("a"),
+          col("t.query_id") === col("a.query_id") &&
+            col("t.neighbor_id") === col("a.neighbor_id"), "left")
+        .groupBy(col("t.query_id").as("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+             count(col("a.neighbor_id")).as("n_hit"))
+        .select(lit(method).as("method"), col("query_id"),
+          col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth") + 1e-9, 4)
+            .as("recall"))
+
+    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+              signBucket(col("embedding"), bits).as("bucket"))
+    val lsh = rankTopK(
+      e.filter(col("vec_id") < 10)
+        .select(col("bucket"), col("vec_id").as("query_id"),
+                col("embedding").as("q_emb"))
+        .join(e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+                       col("embedding").as("n_emb")), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
                 round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
-      k = 3)
+      k)
+
+    val asg = ivfAssigned(spark, dir)
+    val ivf = rankTopK(
+      asg.filter(col("vec_id") < 10)
+        .select(col("cell"), col("vec_id").as("query_id"),
+                col("embedding").as("q_emb"))
+        .join(asg.select(col("cell"), col("vec_id").as("neighbor_id"),
+                         col("embedding").as("n_emb")), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
+      k)
+
+    recallOf(lsh, "lsh").unionAll(recallOf(ivf, "ivf"))
+      .orderBy(col("method"), col("query_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall"     -> (annRecall _),
     "sim_topk_brute" -> (topKBrute _),
     "sim_ann_lsh"    -> (annLsh _),
     "sim_ann_ivf"    -> (annIvf _))
@@ -194,6 +265,74 @@ object Similarity {
       .mkString("(", " || ", ")")
 
   val oracle: Map[String, String] = Map(
+    "ann_recall" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 10),
+         |bp AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         ${duckCosine("q_emb", "embedding")} AS sim
+         |  FROM q CROSS JOIN embeddings
+         |  WHERE vec_id <> query_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM bp) WHERE rnk <= 5),
+         |e AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket
+         |  FROM embeddings),
+         |lp AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM lp) WHERE rnk <= 5),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+         |                  FROM embeddings)),
+         |asg AS (
+         |  SELECT cell, vec_id, embedding FROM (
+         |    SELECT c.cent_id AS cell, e2.vec_id, e2.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY e2.vec_id ORDER BY
+         |        ${duckCosine("e2.embedding", "c.cent")} DESC, c.cent_id)
+         |        AS crn
+         |    FROM embeddings e2 CROSS JOIN cents c)
+         |  WHERE crn = 1),
+         |ip AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM asg a JOIN asg b ON a.cell = b.cell
+         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM ip) WHERE rnk <= 5),
+         |lr AS (
+         |  SELECT 'lsh' AS method, t.query_id, count(*)::BIGINT AS n_truth,
+         |         count(a.neighbor_id)::BIGINT AS n_hit,
+         |         ROUND(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4)
+         |           AS recall
+         |  FROM truth t LEFT JOIN lsh a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY t.query_id),
+         |ir AS (
+         |  SELECT 'ivf' AS method, t.query_id, count(*)::BIGINT AS n_truth,
+         |         count(a.neighbor_id)::BIGINT AS n_hit,
+         |         ROUND(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4)
+         |           AS recall
+         |  FROM truth t LEFT JOIN ivf a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT * FROM lr UNION ALL SELECT * FROM ir
+         |ORDER BY method, query_id""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb
