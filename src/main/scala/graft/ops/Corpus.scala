@@ -248,8 +248,15 @@ object Corpus {
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
     val k = 20
     Tables.spread(Tables.t(spark, dir, "documents"))
+      // Ticket cap: an adversarially long document (GBs of text) must not
+      // materialize millions of per-row ticket hashes — past 1024 tickets
+      // the weight saturates (the standard guard for replication-based
+      // weighting; a doc that long should have been length-filtered
+      // upstream anyway). Never binds at fixture scale (max w ≈ 6), and
+      // the oracle encodes the same clamp.
       .withColumn("w",
-        greatest(ceil(col("n_chars") / 100.0).cast("int"), lit(1)))
+        least(greatest(ceil(col("n_chars") / 100.0).cast("int"), lit(1)),
+              lit(1024)))
       .withColumn("pri", array_min(transform(
         sequence(lit(1), col("w")),
         i => md5(concat(col("lang"), lit("|"),
@@ -307,7 +314,8 @@ object Corpus {
     "weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
-        |         greatest(CAST(ceil(n_chars / 100.0) AS BIGINT), 1) AS w
+        |         least(greatest(CAST(ceil(n_chars / 100.0) AS BIGINT), 1),
+        |               1024) AS w
         |  FROM documents),
         |t AS (
         |  SELECT doc_id, lang,

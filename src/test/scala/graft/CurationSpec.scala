@@ -180,7 +180,8 @@ class CurationSpec extends AnyFunSuite {
     val got = Corpus.weightedSample(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val pri = spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("w", greatest(ceil(col("n_chars") / 100.0).cast("int"), lit(1)))
+      .withColumn("w", least(
+        greatest(ceil(col("n_chars") / 100.0).cast("int"), lit(1)), lit(1024)))
       .withColumn("pri", array_min(transform(
         sequence(lit(1), col("w")),
         i => md5(concat(col("lang"), lit("|"),
