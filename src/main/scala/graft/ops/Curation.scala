@@ -54,6 +54,35 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic global training-order shuffle + shard assignment —
+    * the permutation step between curation and packing: every epoch
+    * reader must see the same pseudorandom document order, independent
+    * of cluster layout or task scheduling. The shuffle key is a seeded
+    * md5 of the doc id, the shard is its leading hex byte mod S, and
+    * the in-shard position is the key's rank — all integer/string
+    * comparisons, so the permutation is reproducible on any engine.
+    *
+    * Scale: one hash shuffle on `shard` and one in-shard sort; S is
+    * picked ≈ cluster task count (here 8) so each shard sorts in one
+    * task's memory — exactly how distributed training-data writers lay
+    * out epoch files (the in-shard rank IS the write order). The hash
+    * key makes the sort skew-proof: shards are uniform by construction
+    * regardless of how doc ids cluster. */
+  def docShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val shards = 8
+    val t = Tables.spread(Tables.t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        md5(concat(lit("shuf|"), col("doc_id").cast("string"))
+          .cast("binary")).as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 2), 16, 10).cast("long") %
+          shards).cast("long"))
+    t.select(col("doc_id"), col("shard"),
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col("doc_id"))).cast("long").as("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Gopher-style repetition statistics: per document, the fraction of
     * all word 2-grams held by the most frequent 2-gram (top_frac) and
     * the fraction that are repeats of an earlier 2-gram (dup_frac) —
@@ -197,6 +226,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_shuffle"      -> (docShuffle _),
     "lm_score"         -> (lmScore _),
     "doc_pack"         -> (docPack _),
     "repetition_stats" -> (repetitionStats _),
@@ -204,6 +234,20 @@ object Curation {
     "contamination"    -> (contamination _))
 
   val oracle: Map[String, String] = Map(
+    "doc_shuffle" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         md5('shuf|' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, skey,
+        |    CAST(('0x' || substring(skey, 1, 2))::INT % 8 AS BIGINT)
+        |      AS shard
+        |  FROM t)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -170,6 +170,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_shuffle: a true permutation — every doc exactly once, " +
+       "contiguous in-shard positions, identical across runs") {
+    val dir = "/root/testdata/sf0.001"
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val a = Curation.docShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.map(_._1).toSet.size === n.toInt) // every doc, once
+    a.groupBy(_._2).foreach { case (_, rows) =>   // contiguous ranks
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    val b = Curation.docShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq) // scheduling-independent determinism
+  }
+
   test("weighted_sample: TopK heap == window ranking on the real fixture, " +
        "and a 500-ticket whale beats 1-ticket minnows") {
     import org.apache.spark.sql.functions._
