@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   * interpreted eval); this expression is one fused loop regardless of C.
   */
 case class CentroidArgmax(child: Expression,
-                          cents: Array[Array[Float]],
+                          cents: Array[Array[Double]],
                           ids: Array[Long])
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -39,7 +39,7 @@ case class CentroidArgmax(child: Expression,
   /** ‖c‖ per centroid, accumulated in double like the scoring loop. */
   private lazy val norms: Array[Double] = cents.map { c =>
     var s = 0.0; var i = 0
-    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
     math.sqrt(s)
   }
 
@@ -63,8 +63,7 @@ case class CentroidArgmax(child: Expression,
       var dot = 0.0
       var i = 0
       while (i < n) {
-        dot += (if (e.isNullAt(i)) 0.0 else e.getFloat(i).toDouble) *
-          cv(i).toDouble
+        dot += (if (e.isNullAt(i)) 0.0 else e.getFloat(i).toDouble) * cv(i)
         i += 1
       }
       // full cosine, then 6-dp half-up (away from zero) quantization —
@@ -80,7 +79,7 @@ case class CentroidArgmax(child: Expression,
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
       val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
       val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
       val en = ctx.freshName("en")
@@ -108,12 +107,12 @@ case class CentroidArgmax(child: Expression,
          |int $best = 0;
          |double $bestScore = Double.NEGATIVE_INFINITY;
          |for (int $c = 0; $c < $centsRef.length; $c++) {
-         |  float[] $cv = $centsRef[$c];
+         |  double[] $cv = $centsRef[$c];
          |  int $n = java.lang.Math.min($ne, $cv.length);
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $dot += ($a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i))
-         |            * (double) $cv[$i];
+         |            * $cv[$i];
          |  }
          |  double $raw = $dot / ($enorm * $normsRef[$c]);
          |  double $s = java.lang.Math.signum($raw)
@@ -132,8 +131,18 @@ case class CentroidArgmax(child: Expression,
 object CentroidArgmax {
   import org.apache.spark.sql.graft.ColumnBridge
 
+  /** Codebook of raw fixture vectors (float→double is exact, so oracle
+    * parity is unaffected by the widening). */
   def assign(vec: Column, cents: Array[Array[Float]],
              ids: Array[Long]): Column =
+    assignD(vec, cents.map(_.map(_.toDouble)), ids)
+
+  /** Codebook of COMPUTED centroids (e.g. k-means cluster means) — these
+    * are double-precision model parameters; narrowing them to float would
+    * perturb 6-dp-rounded cosine scores away from a double-computing
+    * oracle. */
+  def assignD(vec: Column, cents: Array[Array[Double]],
+              ids: Array[Long]): Column =
     ColumnBridge.column(
       CentroidArgmax(ColumnBridge.expression(vec), cents, ids))
 }

@@ -144,16 +144,20 @@ object Curation {
     * vocabulary (small); at 100 TB the same join runs as a broadcast or
     * bloom-filter semi-join — the per-doc side never re-shuffles beyond
     * the gram key. */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    // Per-doc distinct trigrams come from the native Shingles expression
-    // (array-local distinct, one pass, no shuffle) — a global explode +
-    // .distinct() would shuffle every trigram OCCURRENCE in the corpus
-    // to dedup what is already per-row state.
-    val grams = Tables.spread(Tables.t(spark, dir, "documents"))
+  /** Distinct (doc_id, gram) word-3-gram stream, shared by the
+    * contamination checks. Per-doc distinct trigrams come from the native
+    * Shingles expression (array-local distinct, one pass, no shuffle) — a
+    * global explode + .distinct() would shuffle every trigram OCCURRENCE
+    * in the corpus to dedup what is already per-row state. */
+  private def docGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull &&
         size(Text.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
         explode(Dedup.shingles(col("text"))).as("gram"))
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(spark, dir)
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("gram")).distinct()
       .withColumn("hit", lit(1L))
@@ -166,6 +170,39 @@ object Curation {
         col("n_grams"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_grams") + 1e-9, 4)
           .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom-prefiltered decontamination — the 100 TB execution shape of
+    * `contamination`'s join, made an explicit operator: flag every
+    * TRAINING document (doc_id % 50 ≠ 0) that shares ≥ 1 distinct 3-gram
+    * with the benchmark set, with its exact overlapping-gram count.
+    *
+    * Why a bloom: at corpus scale the (doc, gram) stream is ~10¹²–10¹³
+    * rows while the benchmark vocabulary is millions — a plain semi-join
+    * shuffles the ENTIRE gram stream on the gram key just to discard
+    * ~99.99% of it. Here the benchmark grams are folded into a Bloom
+    * sketch (built distributively — per-partition partials merged — then
+    * collected as a ~1.2 MB-per-million-items model parameter) and the
+    * stream is prefiltered MAP-SIDE at the scan: only grams the sketch
+    * might contain ever enter the join. The exact broadcast semi-join on
+    * the survivors then kills the sketch's ~1% false positives, so the
+    * RESULT is exact and oracle-checkable — the bloom changes the
+    * dataflow, never the answer. (Spark's InjectRuntimeFilter applies
+    * the same trick to shuffle joins adaptively; a curation pipeline
+    * wants it unconditionally and against a persisted benchmark set that
+    * may not even be a join input — e.g. reused across daily runs.) */
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(spark, dir)
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gram")).distinct()
+    val bloom = bench.stat.bloomFilter(
+      "gram", math.max(bench.count(), 1L), 0.01)
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .filter(graft.functions.BloomMightContain.contains(col("gram"), bloom))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
       .orderBy(col("doc_id"))
   }
 
@@ -231,7 +268,8 @@ object Curation {
     "doc_pack"         -> (docPack _),
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub"        -> (piiScrub _),
-    "contamination"    -> (contamination _))
+    "contamination"    -> (contamination _),
+    "bloom_prefilter"  -> (bloomPrefilter _))
 
   val oracle: Map[String, String] = Map(
     "doc_shuffle" ->
@@ -328,5 +366,22 @@ object Curation {
         |  GROUP BY 1)
         |SELECT doc_id, doc_id % 50 = 0 AS is_benchmark, n_grams, n_hit,
         |  ROUND(n_hit::DOUBLE / n_grams + 1e-9, 4) AS contamination
-        |FROM a ORDER BY doc_id""".stripMargin)
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // the bloom is a prefilter only — the exact-join result it feeds is
+    // what the oracle states (no sketch semantics leak into the answer)
+    "bloom_prefilter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+        |  FROM t WHERE len(toks) >= 3),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*)::BIGINT AS n_hit
+        |FROM g JOIN b ON g.gram = b.gram
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin)
 }

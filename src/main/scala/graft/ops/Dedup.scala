@@ -477,7 +477,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document dedup: remove REPEATED spans within each document
+    * (the page-template / copy-paste repetition cleaner — complements
+    * lineDedup's cross-corpus boilerplate removal). The document is cut
+    * into fixed 8-token chunks; only the FIRST occurrence of each
+    * distinct chunk survives; survivors reassemble in original order.
+    *
+    * Scale: this is the one dedup family that needs NO cross-document
+    * state at all, and the implementation keeps it that way — chunking
+    * and first-occurrence filtering are array-local higher-order
+    * functions (a pure map-side projection; the prefix scan is O(m²)
+    * chunk compares within one document, m bounded by document length).
+    * An explode → (doc, chunk) window → re-aggregate form would shuffle
+    * every chunk in the corpus TWICE to compute per-row-local state.
+    * The only exchange in the plan is the presentation sort (asserted
+    * in PlanSpec). */
+  def intradocDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("toks", Text.tokens(col("text")))
+      // integer `div` ceil, not ceil(x/y) in double — exact at any size
+      .withColumn("chunks", transform(
+        sequence(lit(0),
+          expr(s"(size(toks) + ${w - 1}) div $w").cast("int") - 1),
+        i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")))
+      .withColumn("kept", filter(col("chunks"),
+        (c, i) => array_position(slice(col("chunks"), lit(1), i), c) === 0))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "intradoc_dedup" -> (intradocDedup _),
     "line_dedup"     -> (lineDedup _),
     "dedup_exact"    -> (exact _),
     "minhash_sig"    -> (minhashSig _),
@@ -554,6 +589,30 @@ object Dedup {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "intradoc_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+        |c AS (
+        |  SELECT doc_id, list_transform(range(0, (len(toks) + 7) // 8),
+        |      i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS chunks
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, unnest(chunks) AS chunk,
+        |         generate_subscripts(chunks, 1) AS pos
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, chunk, pos, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id, chunk ORDER BY pos) AS rn
+        |  FROM u),
+        |a AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+        |         STRING_AGG(chunk, ' ' ORDER BY pos) AS clean_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |n AS (SELECT doc_id, COUNT(*)::BIGINT AS n_chunks
+        |      FROM u GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_chunks, a.n_kept, a.clean_text
+        |FROM n JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "line_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -241,7 +241,68 @@ object Similarity {
       .orderBy(col("method"), col("query_id"))
   }
 
+  /** Deterministic k-means over the embedding corpus — ONE Lloyd's
+    * refinement from a fixed seed codebook (the k lowest-id vectors),
+    * output = final cluster assignment per vector. This is the corpus
+    * clustering step of an embedding pipeline (topic bucketing, cluster
+    * dedup, per-cluster sampling); iteration count and seed are fixed so
+    * the result is reproducible and oracle-checkable (a converged k-means
+    * is neither — init and float order change the fixpoint).
+    *
+    * The dataflow is the canonical distributed k-means shape, and every
+    * stage is 100 TB-clean:
+    *   1. assign: codebook broadcast INSIDE the codegen'd CentroidArgmax
+    *      expression — pure map-side projection over the corpus, no
+    *      crossJoin, no shuffle (same deployment shape as the IVF
+    *      quantizer above).
+    *   2. update: element-wise cluster means via posexplode →
+    *      partial-aggregating groupBy on (cluster, dim) — exactly k·dim
+    *      groups cross the wire regardless of corpus size.
+    *   3. re-assign with the updated codebook: map-side again.
+    * The k·dim mean matrix is a MODEL PARAMETER (KBs), so collecting it
+    * to the driver between iterations is the algorithm, not a scale
+    * leak — production k-means (mllib included) does the same per round.
+    *
+    * Determinism doctrine: cluster means are rounded to 6 dp (absorbing
+    * partial-agg summation-order ulps vs the oracle's sequential AVG) and
+    * CentroidArgmax ranks on 6-dp-quantized cosine with lowest-id
+    * tie-break — matching the oracle's ROW_NUMBER exactly. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+    val seed = Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+    val cents1 = seed.map(_.getSeq[Float](1).toArray)
+    val ids = seed.map(_.getLong(0))
+
+    val asg1 = e.withColumn("cluster",
+      graft.functions.CentroidArgmax.assign(col("embedding"), cents1, ids))
+
+    // update step: k·dim tiny aggregate, then sort dims back into arrays
+    val meanRows = asg1
+      .select(col("cluster"), posexplode(col("embedding")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("v"))
+      .groupBy(col("cluster"))
+      .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+      .select(col("cluster"),
+              transform(array_sort(col("pv")), p => p("v")).as("cent"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val cents2 = meanRows.map(_.getSeq[Double](1).toArray)
+    val ids2 = meanRows.map(_.getLong(0))
+
+    e.withColumn("cluster",
+        graft.functions.CentroidArgmax.assignD(col("embedding"), cents2, ids2))
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_assign"  -> (kmeansAssign _),
     "ann_recall"     -> (annRecall _),
     "sim_topk_brute" -> (topKBrute _),
     "sim_ann_lsh"    -> (annLsh _),
@@ -265,6 +326,37 @@ object Similarity {
       .mkString("(", " || ", ")")
 
   val oracle: Map[String, String] = Map(
+    // duckCosine rounds to 6 dp, so the ROW_NUMBER ranking below IS the
+    // quantized-argmax (lowest-id tie-break) that CentroidArgmax computes.
+    "kmeans_assign" ->
+      s"""WITH c1 AS (
+         |  SELECT vec_id AS cell, embedding AS cent
+         |  FROM embeddings WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN c1 c)
+         |  WHERE rn = 1),
+         |m AS (
+         |  SELECT a1.cell,
+         |         generate_subscripts(e.embedding, 1) AS dim,
+         |         unnest(e.embedding) AS val
+         |  FROM a1 JOIN embeddings e USING (vec_id)),
+         |c2 AS (
+         |  SELECT cell, LIST(v ORDER BY dim) AS cent FROM (
+         |    SELECT cell, dim, ROUND(AVG(val::DOUBLE), 6) AS v
+         |    FROM m GROUP BY cell, dim)
+         |  GROUP BY cell),
+         |a2 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, cell AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
     "ann_recall" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb

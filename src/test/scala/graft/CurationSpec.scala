@@ -223,4 +223,31 @@ class CurationSpec extends AnyFunSuite {
       .map(_.getLong(1)).toSet
     assert(winners.contains(50L))
   }
+
+  test("bloom_prefilter flags exactly the contaminated training docs " +
+       "with exact distinct-gram overlap counts") {
+    // doc 0 is a benchmark shard (0 % 50 = 0); train doc 1 copies its
+    // text verbatim (4 shared 3-grams), train doc 2 is disjoint.
+    val bench = "w1 w2 w3 w4 w5 w6"
+    val bdir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, bench, "en", "src0"),
+        (1L, bench, "en", "src1"),
+        (2L, "z1 z2 z3 z4 z5 z6", "en", "src1"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val got = Curation.bloomPrefilter(spark, bdir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 4L))
+  }
+
+  test("bloom_prefilter == contamination's contaminated-training-doc " +
+       "slice on the real fixture (the sketch never changes the answer)") {
+    val viaBloom = Curation.bloomPrefilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJoin = Curation.contamination(spark, dir)
+      .filter(!col("is_benchmark") && col("n_hit") > 0)
+      .select(col("doc_id"), col("n_hit")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom === viaJoin)
+  }
 }

@@ -134,4 +134,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) === ((2L, "w6a w6b w6c")))    // partial tail chunk kept
     assert(out.size === 8)
   }
+
+  test("intradoc_dedup drops repeated 8-token chunks, keeps first " +
+       "occurrence in order, and leaves unique docs untouched") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val tail = "t1 t2 t3" // short final chunk
+    val idir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, s"$a $a $b $tail", "en", "s"), // 2nd A removed
+        (1L, s"$a $b", "en", "s"),          // no repeats → identity
+        (2L, tail, "en", "s"))              // single sub-width chunk
+        .toDF("doc_id", "text", "lang", "source")))
+    val out = Dedup.intradocDedup(spark, idir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((4L, 3L, s"$a $b $tail")))
+    assert(out(1L) === ((2L, 2L, s"$a $b")))
+    assert(out(2L) === ((1L, 1L, tail)))
+  }
 }

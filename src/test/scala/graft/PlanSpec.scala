@@ -200,4 +200,30 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin [^\\n]*LeftAnti".r.findFirstIn(p).isEmpty,
       "a sort-merge anti-join would reshuffle the full exploded corpus")
   }
+
+  test("intradoc_dedup: chunking and first-occurrence filtering are " +
+       "array-local — zero hash exchanges in the plan") {
+    val p = plan(Dedup.intradocDedup(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 0,
+      s"intra-document dedup must be a pure map-side projection:\n$p")
+  }
+
+  test("bloom_prefilter: map-side sketch probe in the plan; the exact " +
+       "verify join broadcasts, never sort-merges") {
+    val p = plan(Curation.bloomPrefilter(spark, sf))
+    assert(p.contains("bloom_might_contain"),
+      "the bloom probe must prefilter the gram stream")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join would reshuffle the full gram stream — exactly " +
+        "what the bloom exists to avoid")
+  }
+
+  test("kmeans_assign: final assignment is a codegen'd map-side " +
+       "projection — zero hash exchanges") {
+    val p = plan(Similarity.kmeansAssign(spark, sf))
+    assert(p.contains("centroid_argmax"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 0,
+      s"assignment must not shuffle the corpus:\n$p")
+  }
 }

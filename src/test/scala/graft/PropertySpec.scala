@@ -130,11 +130,12 @@ class PropertySpec extends AnyFunSuite {
         .select(graft.functions.CentroidArgmax.assign(
           col("emb"), cents, ids).as("cell"))
         .head().getLong(0)
-      // interpreted eval path
+      // interpreted eval path (double codebook — float→double is exact)
       val expr = graft.functions.CentroidArgmax(
         org.apache.spark.sql.catalyst.expressions.Literal.create(
           v, org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)), cents, ids)
+            org.apache.spark.sql.types.FloatType)),
+        cents.map(_.map(_.toDouble)), ids)
       val evald = expr.eval(null).asInstanceOf[Long]
       got == want && evald == want
     })

@@ -189,4 +189,37 @@ class TextSimilaritySpec extends AnyFunSuite {
       .map(m => m.doc_id -> (m.n_bytes, m.width, m.height, m.frames)).toMap
     assert(cols === typed)
   }
+
+  test("kmeans_assign == an independent plain-Scala Lloyd's iteration " +
+       "on the real sf0.001 corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def q6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    def argmax(v: Array[Double], cents: Seq[(Long, Array[Double])]): Long =
+      cents.map { case (id, c) => (q6(cos(v, c)), id) }
+        .reduceLeft((a, b) =>
+          if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)._2
+    val seeds = vecs.filter(_._1 < 8).toSeq
+    val a1 = vecs.map { case (id, v) => id -> argmax(v, seeds) }.toMap
+    val dim = vecs.head._2.length
+    val cents2 = a1.values.toSeq.distinct.sorted.map { cell =>
+      val members = vecs.filter(x => a1(x._1) == cell).map(_._2)
+      cell -> Array.tabulate(dim) { d =>
+        val m = members.map(_(d)).sum / members.length
+        math.signum(m) * math.floor(math.abs(m) * 1e6 + 0.5) / 1e6
+      }
+    }
+    val want = vecs.map { case (id, v) => id -> argmax(v, cents2) }.toMap
+    val got = Similarity.kmeansAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
 }
