@@ -511,7 +511,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental (batch-vs-corpus) exact dedup — the daily-increment
+    * shape of a crawl pipeline: a NEW batch of documents survives only
+    * where its content hash appears neither in the EXISTING corpus nor
+    * earlier within the batch itself (first-writer-wins in-batch, like
+    * `exact`). Fixture split is deterministic and scale-free: even
+    * doc_ids are the corpus, odd the batch.
+    *
+    * Scale: the corpus side ships only its content-HASH index, never its
+    * text (at 100 TB that index is a maintained by-product of `exact`),
+    * through one hash-partitioned anti join; in-batch dedup is a window
+    * over the batch's hashes (batch-sized, small by definition). A Bloom
+    * sketch over the corpus hashes is the map-side prefilter swap when
+    * even the anti-join shuffle of the batch is too much — the
+    * `bloom_prefilter` operator demonstrates exactly that dataflow. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("h", md5(col("text").cast("binary")))
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select(col("h"))
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    batch
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .join(corpus, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "intradoc_dedup" -> (intradocDedup _),
     "line_dedup"     -> (lineDedup _),
     "dedup_exact"    -> (exact _),
@@ -589,6 +619,18 @@ object Dedup {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT h FROM d WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT doc_id, h,
+        |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM d WHERE doc_id % 2 <> 0)
+        |SELECT doc_id, h FROM b
+        |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM c WHERE c.h = b.h)
+        |ORDER BY doc_id""".stripMargin,
     "intradoc_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -124,6 +124,37 @@ object Events {
            round(sum(col("pv")), 4).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Skew-safe dimension join — the salted-JOIN twin of heavyHitters'
+    * salted aggregation: enrich every event with its user's profile when
+    * the join key is pathologically hot (this fixture's 15 user_ids at
+    * ANY event volume — at 100 TB each key's rows exceed one executor's
+    * memory, so an unsalted shuffle join stalls on 15 straggler tasks).
+    *
+    * Salting: the dimension side replicates ×S (explode over the salt
+    * domain — dim rows are per-key aggregates, so ×S of a small relation),
+    * the fact side computes salt = hash(event_id) mod S map-side; joining
+    * on (user_id, salt) spreads each hot key over S reducer partitions.
+    * The shuffle hint states the production premise honestly: a dimension
+    * too big to broadcast (with a broadcastable dim you would broadcast
+    * and salt nothing — q3/q5 demonstrate that path). Salting is pure
+    * execution strategy: the result, and the oracle, are the plain join. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = 8
+    val e = Tables.events(spark, dir)
+    val dim = e.groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("user_total"),
+           count(lit(1)).as("user_events"))
+      .select(col("user_id"), col("user_total"), col("user_events"),
+        explode(sequence(lit(0), lit(s - 1))).as("salt"))
+    val fact = e.select(col("event_id"), col("user_id"),
+                        col("event_type"), col("value"))
+      .withColumn("salt", pmod(hash(col("event_id")), lit(s)))
+    fact.join(dim.hint("merge"), Seq("user_id", "salt"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("user_total"), col("user_events"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (interval) join: ordered event pairs of the same user within a
     * 5-minute horizon. Spark-first scalable form: band-bucket the time
     * axis (bucket = ts div 300s), explode the probe side into its two
@@ -424,6 +455,7 @@ object Events {
     "events_json"     -> (jsonExtract _),
     "events_pivot"    -> (pivot _),
     "asof_join"       -> (asofJoin _),
+    "skew_join"       -> (skewJoin _),
     "events_heavy"    -> (heavyHitters _))
 
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
@@ -620,6 +652,16 @@ object Events {
       """SELECT event_type, COUNT(*) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // salting is execution strategy only — the oracle is the plain join
+    "skew_join" ->
+      """WITH d AS (
+        |  SELECT user_id, ROUND(SUM(value), 4) AS user_total,
+        |         COUNT(*)::BIGINT AS user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |       d.user_total, d.user_events
+        |FROM events e JOIN d USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
     // HAVING mirrors the Spark side's isNotNull: after a pivot, a NULL
     // cell means "no rows" OR "rows whose values are all NULL" — both
     // read as NULL sum here too, so the filter makes the two shapes

@@ -100,12 +100,58 @@ object Multimodal {
           .stripMargin).as("thumb"))
       .orderBy(col("doc_id"))
 
+  /** Fixed-window chunking: split each payload into contiguous 64-unit
+    * windows — the "cut audio into 30 s segments / video into GOPs"
+    * layout step before parallel per-chunk feature extraction. Emits one
+    * row per (payload, window) with the chunk's length and content
+    * fingerprint. Windows are character-addressed here (the fixture
+    * payload is utf8 text; md5 hashes the chunk's utf8 BYTES, so the
+    * fingerprint is byte-faithful either way).
+    *
+    * Scale: chunk boundaries are arithmetic on the row — the expansion
+    * is a map-side posexplode of array-local slices (same shape as
+    * mm_frames), no shuffle until the presentation sort; downstream
+    * per-chunk extraction inherits Θ(chunks) parallelism. */
+  def chunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            expr(s"(n_chars + ${w - 1}) div $w").cast("int") - 1),
+          i => col("text").substr(i * w + 1, lit(w)))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        length(col("col")).cast("long").as("chunk_chars"),
+        md5(col("col").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"   -> (meta _),
     "mm_frames" -> (frames _),
+    "mm_chunks" -> (chunks _),
     "mm_resize" -> (resize _))
 
   val oracle: Map[String, String] = Map(
+    "mm_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS n_chars
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, list_transform(range(0, (n_chars + 63) // 64),
+        |      i -> substr(text, CAST(i * 64 + 1 AS INT), 64)) AS chunks
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, unnest(chunks) AS chunk,
+        |         generate_subscripts(chunks, 1) AS p
+        |  FROM c)
+        |SELECT doc_id, (p - 1)::BIGINT AS chunk_idx,
+        |       length(chunk)::BIGINT AS chunk_chars,
+        |       md5(chunk) AS chunk_md5
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
     "mm_meta" ->
       """WITH t AS (
         |  SELECT doc_id, encode(text) AS payload FROM documents)

@@ -153,4 +153,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) === ((2L, 2L, s"$a $b")))
     assert(out(2L) === ((1L, 1L, tail)))
   }
+
+  test("dedup_incremental: batch docs die on corpus collision or " +
+       "in-batch repeat, first writer survives") {
+    // corpus = even ids, batch = odd ids
+    val ddir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, "in corpus already", "en", "s"),
+        (1L, "in corpus already", "en", "s"),  // batch dup of corpus → dies
+        (3L, "fresh batch text", "en", "s"),   // survives
+        (5L, "fresh batch text", "en", "s"),   // in-batch dup of 3 → dies
+        (7L, "another fresh one", "en", "s"))  // survives
+        .toDF("doc_id", "text", "lang", "source")))
+    val ids = Dedup.dedupIncremental(spark, ddir).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(3L, 7L))
+  }
 }

@@ -267,4 +267,38 @@ class ExtendedOpsSpec extends AnyFunSuite {
         s"$k: approx p50 $ap50 vs exact $p50")
     }
   }
+
+  test("skew_join: salted execution == plain unsalted join, row for row") {
+    val salted = Events.skewJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    val e = Tables.events(spark, dir)
+    val dim = e.groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("user_total"),
+           count(lit(1)).as("user_events"))
+    val plain = e.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      .join(dim, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("user_total"), col("user_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(salted === plain)
+  }
+
+  test("mm_chunks: window boundaries, tail length, and fingerprints " +
+       "on a hand-sized payload") {
+    import spark.implicits._
+    val text = "x" * 64 + "y" * 64 + "zz" // 130 chars → 64, 64, 2
+    val cdir = TestFixtures.writeDir(Map(
+      "documents" -> Seq((0L, text, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val rows = graft.ops.Multimodal.chunks(spark, cdir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.toSeq === Seq(
+      (0L, 64L, m("x" * 64)), (1L, 64L, m("y" * 64)), (2L, 2L, m("zz"))))
+  }
 }

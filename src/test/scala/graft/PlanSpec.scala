@@ -219,6 +219,21 @@ class PlanSpec extends AnyFunSuite {
         "what the bloom exists to avoid")
   }
 
+  test("skew_join: the fact-dim join keys on (user_id, salt) and " +
+       "shuffles — the hot-key rows spread over the salt domain") {
+    val p = plan(graft.ops.Events.skewJoin(spark, sf))
+    val smj = "SortMergeJoin \\[[^\\]]*salt[^\\]]*\\]".r.findFirstIn(p)
+    assert(smj.nonEmpty,
+      s"expected a sort-merge join keyed on ...salt..., plan:\n$p")
+  }
+
+  test("mm_chunks: window expansion is a map-side posexplode — zero " +
+       "hash exchanges") {
+    val p = plan(graft.ops.Multimodal.chunks(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 0, p)
+    assert(p.contains("Generate"), "expected a posexplode Generate node")
+  }
+
   test("kmeans_assign: final assignment is a codegen'd map-side " +
        "projection — zero hash exchanges") {
     val p = plan(Similarity.kmeansAssign(spark, sf))
