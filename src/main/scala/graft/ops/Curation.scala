@@ -192,12 +192,24 @@ object Curation {
     * the same trick to shuffle joins adaptively; a curation pipeline
     * wants it unconditionally and against a persisted benchmark set that
     * may not even be a join input — e.g. reused across daily runs.) */
+  /** Bloom sketch over the benchmark's distinct 3-grams — built
+    * distributively, collected as a model-parameter-sized artifact.
+    * Shared by the batch prefilter below and the streaming ingest tagger
+    * (EventStream.decontaminateStream): in deployment this is the
+    * PUBLISHED output of the offline decontamination run that online
+    * consumers load as a constant. */
+  private[graft] def benchBloom(spark: SparkSession, dir: String)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val bench = docGrams(spark, dir).filter(col("doc_id") % 50 === 0)
+      .select(col("gram")).distinct()
+    bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), 0.01)
+  }
+
   def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGrams(spark, dir)
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("gram")).distinct()
-    val bloom = bench.stat.bloomFilter(
-      "gram", math.max(bench.count(), 1L), 0.01)
+    val bloom = benchBloom(spark, dir)
     grams.filter(col("doc_id") % 50 =!= 0)
       .filter(graft.functions.BloomMightContain.contains(col("gram"), bloom))
       .join(broadcast(bench), Seq("gram"))

@@ -309,4 +309,54 @@ object EventStream {
            round(sum(col("value")), 4).as("sum_value"))
       .select(col("session_window")("start").as("session_start"),
               col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Unbounded read of the documents fixture (file-stream source, same
+    * symlink staging as readEvents). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        stagedDirs.computeIfAbsent(p.toString, { _ =>
+          val d = java.nio.file.Files.createTempDirectory("graft_stream")
+          java.nio.file.Files.createSymbolicLink(
+            d.resolve("documents.parquet"), p)
+          d.toString
+        })
+      } else p.toString
+    spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .parquet(streamDir)
+  }
+
+  /** Online ingest decontamination: tag each arriving TRAINING document
+    * whose 3-gram set MIGHT overlap the benchmark. The Bloom sketch over
+    * benchmark grams is the published artifact of the offline
+    * decontamination run (Curation.benchBloom — built batch-side,
+    * model-parameter-sized) and rides into the stream as a constant
+    * inside the codegen'd BloomMightContain expression.
+    *
+    * The per-document probe is ARRAY-LOCAL — `exists`/`filter` over the
+    * native Shingles array, no explode, no join, no watermark, no state —
+    * so the stage is pure map-side streaming: it keeps up at any ingest
+    * rate and any corpus size. Bloom semantics make the tag safe in
+    * exactly the direction ingest needs: false negatives are impossible
+    * (nothing contaminated slips through untagged); the ~1% false
+    * positives are re-checked offline by the exact batch prefilter
+    * (Curation.bloomPrefilter) before anything is dropped for good. */
+  def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
+    val bloom = graft.ops.Curation.benchBloom(spark, dir)
+    def mightContain(g: org.apache.spark.sql.Column) =
+      graft.functions.BloomMightContain.contains(g, bloom)
+    readDocuments(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0 && col("text").isNotNull &&
+        size(split(col("text"), "\\s+")) >= 3)
+      .select(col("doc_id"),
+        size(filter(graft.ops.Dedup.shingles(col("text")),
+          g => mightContain(g))).cast("long").as("n_candidates"))
+      .withColumn("might_contaminated", col("n_candidates") > 0)
+  }
 }

@@ -152,4 +152,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(nEvents > 0 && nEvents <= total)
     } finally q.stop()
   }
+
+  test("streaming ingest decontamination: no false negatives vs the " +
+       "exact batch prefilter, candidate counts bound the exact hits") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.decontaminateStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_decontam").start()
+    try {
+      q.processAllAvailable()
+      val tagged = spark.table("stream_decontam")
+        .filter(col("might_contaminated"))
+        .select(col("doc_id"), col("n_candidates")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = graft.ops.Curation.bloomPrefilter(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Bloom guarantees: every exactly-contaminated doc is tagged, and
+      // its candidate-gram count is at least its exact hit count.
+      exact.foreach { case (id, nHit) =>
+        assert(tagged.contains(id), s"doc $id contaminated but untagged")
+        assert(tagged(id) >= nHit)
+      }
+    } finally q.stop()
+  }
 }
