@@ -540,7 +540,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance verification of the LSH candidate pairs — minhash
+    * bands propose, Levenshtein disposes: the second-stage verifier for
+    * near-dup pipelines where shingle Jaccard is too coarse (short
+    * documents, heavy token reordering). Output: candidate pairs with
+    * raw edit distance and length-normalized distance, kept at ≤ 0.5.
+    *
+    * Scale: Levenshtein is O(len_a·len_b) PER PAIR — affordable exactly
+    * because it runs on the LSH-blocked candidate set (Θ(near-dup
+    * pairs), bucket-capped), never the corpus cross product. Text joins
+    * back to the pair list by id: two hash joins where the pair side is
+    * the small one; at 100 TB these broadcast the pair list. */
+  def editdistPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    minhashPairs(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"),
+                        col("text").as("text_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+                        col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("long").as("max_len"))
+      .withColumn("ned",
+        round(col("lev").cast("double") / col("max_len") + 1e-9, 4))
+      .filter(col("ned") <= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "editdist_pairs" -> (editdistPairs _),
     "dedup_incremental" -> (dedupIncremental _),
     "intradoc_dedup" -> (intradocDedup _),
     "line_dedup"     -> (lineDedup _),
@@ -589,8 +620,11 @@ object Dedup {
     * pairs → undirected edges → recursive reachability. Single source for
     * the dedup_clusters oracle AND Corpus's corpus_curate funnel oracle —
     * a cap/threshold change edits exactly one string. */
-  private[ops] val duckReachCtes: String =
-    duckSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+  /** CTEs up to the LSH band candidate pairs — shared by minhash_pairs,
+    * editdist_pairs, and (extended with reachability below) the cluster
+    * oracles. */
+  private[ops] val duckPairsCtes: String =
+    duckSigCte +
       """, bands AS (
         |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
         |                         md5(mh_s2 || mh_s3)]) AS band
@@ -602,8 +636,12 @@ object Dedup {
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN keep k ON a.band = k.band
         |  JOIN bands b ON a.band = b.band
-        |  WHERE a.doc_id < b.doc_id),
-        |edges AS (
+        |  WHERE a.doc_id < b.doc_id)"""
+        .stripMargin
+
+  private[ops] val duckReachCtes: String =
+    duckPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach(id, r) AS (
@@ -686,8 +724,23 @@ object Dedup {
     "minhash_sig" ->
       (duckSigCte + "SELECT * FROM sig ORDER BY doc_id"),
     "minhash_pairs" ->
-      (duckReachCtes +
+      (duckPairsCtes +
         "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
+    "editdist_pairs" ->
+      (duckPairsCtes +
+        """, lv AS (
+          |  SELECT p.doc_a, p.doc_b,
+          |         levenshtein(a.text, b.text)::BIGINT AS lev,
+          |         GREATEST(length(a.text), length(b.text))::BIGINT
+          |           AS max_len
+          |  FROM pairs p
+          |  JOIN documents a ON a.doc_id = p.doc_a
+          |  JOIN documents b ON b.doc_id = p.doc_b)
+          |SELECT doc_a, doc_b, lev, max_len,
+          |       ROUND(lev::DOUBLE / max_len + 1e-9, 4) AS ned
+          |FROM lv
+          |WHERE ROUND(lev::DOUBLE / max_len + 1e-9, 4) <= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin),
     "ngram_jaccard" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, source, text,

@@ -169,4 +169,18 @@ class DedupSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(ids === Set(3L, 7L))
   }
+
+  test("editdist_pairs: exact-dup pair verifies at distance 0; output " +
+       "is a subset of the LSH candidates") {
+    val ed = Dedup.editdistPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(4)))).toMap
+    assert(ed((0L, 1L)) === ((0L, 0.0)))   // identical texts
+    val cand = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ed.keySet.subsetOf(cand))
+    ed.values.foreach { case (lev, ned) =>
+      assert(lev >= 0L && ned >= 0.0 && ned <= 0.5)
+    }
+  }
 }
