@@ -102,11 +102,7 @@ object Dedup {
     // near the cap. BoundedCollect enforces the cap in a SINGLE pass
     // with O(cap) buffer: the exact bucket size rides along, and for
     // surviving (≤ cap) buckets the membership is complete.
-    bands.groupBy(col("band"))
-      .agg(graft.functions.BoundedCollect.collect(256)(
-        col("doc_id"), lit(0L)).as("r"))
-      .filter(col("r._1") > 1 && col("r._1") <= 256)
-      .select(expr("transform(r._2, x -> x._1)").as("ids"))
+    buckets(bands)
       .select(explode(expr(
         """flatten(transform(ids, a ->
           |  transform(filter(ids, b -> b > a),
@@ -115,6 +111,24 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Surviving band buckets (2..256 members) as id arrays — the shared
+    * candidate-proposal stage of minhashPairs (all-pairs) and
+    * editdistPairs (star pairs). */
+  private def buckets(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"))
+      .agg(graft.functions.BoundedCollect.collect(256)(
+        col("doc_id"), lit(0L)).as("r"))
+      .filter(col("r._1") > 1 && col("r._1") <= 256)
+      .select(expr("transform(r._2, x -> x._1)").as("ids"))
+
+  private def bandBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    buckets(sig.select(col("doc_id"),
+      explode(array(
+        md5(concat(col("mh_s0"), col("mh_s1")).cast("binary")),
+        md5(concat(col("mh_s2"), col("mh_s3")).cast("binary")))).as("band")))
   }
 
   /** X2c n-gram Jaccard similarity join, blocked on `source` (the natural
@@ -540,33 +554,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Edit-distance verification of the LSH candidate pairs — minhash
-    * bands propose, Levenshtein disposes: the second-stage verifier for
+  /** Edit-distance verification of LSH candidates — minhash bands
+    * propose, Levenshtein disposes: the second-stage verifier for
     * near-dup pipelines where shingle Jaccard is too coarse (short
-    * documents, heavy token reordering). Output: candidate pairs with
-    * raw edit distance and length-normalized distance, kept at ≤ 0.5.
+    * documents, heavy token reordering). A pair survives if its edit
+    * distance is within an absolute budget (128 edits) AND at most half
+    * the longer text.
     *
-    * Scale: Levenshtein is O(len_a·len_b) PER PAIR — affordable exactly
-    * because it runs on the LSH-blocked candidate set (Θ(near-dup
-    * pairs), bucket-capped), never the corpus cross product. Text joins
-    * back to the pair list by id: two hash joins where the pair side is
-    * the small one; at 100 TB these broadcast the pair list. */
+    * Two scale decisions, both forced by a 100× probe (all-pairs
+    * verification with unbounded Levenshtein timed out on 100-way
+    * planted duplication — Θ(25M pairs) × O(len²) per pair):
+    *  1. STAR candidates, not all-pairs: each band bucket's members
+    *     verify against the bucket's MINIMUM doc_id (the proposal
+    *     canonical) — Θ(docs·bands) verifications at any duplication
+    *     depth, the star edges feeding cluster labeling exactly like
+    *     production entity resolution (all-pairs adds no information
+    *     when edges only feed connected components).
+    *  2. The THRESHOLD form of levenshtein (SQL 3-arg): the banded
+    *     algorithm is O(budget·len) and exits early past the budget,
+    *     instead of O(len²) on every non-match.
+    * The verification rule is pure integer logic (lev ≤ min(128,
+    * ⌊max_len/2⌋)) — no float rounding anywhere, so cross-engine parity
+    * is exact; the oracle computes unbounded levenshtein and applies the
+    * same rule (the threshold changes cost, never the answer). */
   def editdistPairs(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 128
     val docs = Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
-    minhashPairs(spark, dir)
+    val star = bandBuckets(spark, dir)
+      .select(explode(expr(
+        """transform(filter(ids, b -> b > array_min(ids)),
+          |  b -> named_struct('doc_a', array_min(ids), 'doc_b', b))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    star
       .join(docs.select(col("doc_id").as("doc_a"),
                         col("text").as("text_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"),
                         col("text").as("text_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"),
+        expr(s"levenshtein(text_a, text_b, $budget)").cast("long").as("lev"),
         greatest(length(col("text_a")), length(col("text_b")))
           .cast("long").as("max_len"))
+      .filter(col("lev") >= 0 && col("lev") <= least(
+        lit(budget.toLong), expr("max_len div 2")))
       .withColumn("ned",
         round(col("lev").cast("double") / col("max_len") + 1e-9, 4))
-      .filter(col("ned") <= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -726,20 +761,30 @@ object Dedup {
     "minhash_pairs" ->
       (duckPairsCtes +
         "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
+    // unbounded levenshtein + the same integer keep-rule: the Spark
+    // side's 128-edit threshold variant changes cost, never the answer
     "editdist_pairs" ->
       (duckPairsCtes +
-        """, lv AS (
-          |  SELECT p.doc_a, p.doc_b,
+        """, bmin AS (
+          |  SELECT b.band, MIN(b.doc_id) AS doc_a
+          |  FROM bands b JOIN keep k ON b.band = k.band
+          |  GROUP BY b.band),
+          |star AS (
+          |  SELECT DISTINCT m.doc_a, b.doc_id AS doc_b
+          |  FROM bmin m JOIN bands b ON m.band = b.band
+          |  WHERE b.doc_id > m.doc_a),
+          |lv AS (
+          |  SELECT s.doc_a, s.doc_b,
           |         levenshtein(a.text, b.text)::BIGINT AS lev,
           |         GREATEST(length(a.text), length(b.text))::BIGINT
           |           AS max_len
-          |  FROM pairs p
-          |  JOIN documents a ON a.doc_id = p.doc_a
-          |  JOIN documents b ON b.doc_id = p.doc_b)
+          |  FROM star s
+          |  JOIN documents a ON a.doc_id = s.doc_a
+          |  JOIN documents b ON b.doc_id = s.doc_b)
           |SELECT doc_a, doc_b, lev, max_len,
           |       ROUND(lev::DOUBLE / max_len + 1e-9, 4) AS ned
           |FROM lv
-          |WHERE ROUND(lev::DOUBLE / max_len + 1e-9, 4) <= 0.5
+          |WHERE lev <= LEAST(128, max_len // 2)
           |ORDER BY doc_a, doc_b""".stripMargin),
     "ngram_jaccard" ->
       s"""WITH d0 AS (
