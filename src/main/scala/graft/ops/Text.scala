@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -146,7 +147,47 @@ object Text {
           .as("entropy"))
       .orderBy(col("doc_id"))
 
+  /** Token-id encoding against a corpus-derived vocabulary — the final
+    * text→training-input step (tokenize → count → pack → shuffle →
+    * ENCODE): vocabulary = the 1024 most frequent tokens (count desc,
+    * token asc — a deterministic total order, so the id assignment is
+    * engine-independent), ids 1..1024, out-of-vocabulary → 0. Output per
+    * document: token count, OOV count, and the id sequence (space-joined
+    * for cross-engine comparison).
+    *
+    * Scale: vocabulary selection is a map-side-combinable term count
+    * ending in a bounded top-k (TakeOrderedAndProject — k=1024 rows,
+    * a MODEL PARAMETER like the IVF codebook, whatever the corpus size);
+    * the id window runs on those 1024 rows only. Encoding is one
+    * broadcast left join on the exploded token stream and one doc_id
+    * re-aggregation — Θ(tokens) with no hot key (the shuffle key is
+    * doc_id, never the token). */
+  def tokenEncode(spark: SparkSession, dir: String): DataFrame = {
+    val k = 1024
+    val toks = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "term")
+    val order = Window.orderBy(col("cnt").desc, col("term"))
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+      .withColumn("id", row_number().over(order).cast("long"))
+      .select(col("term"), col("id"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("id"), lit(0L)).as("id")))),
+          x => x("id").cast("string")), " ").as("ids_str"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_encode"  -> (tokenEncode _),
     "token_entropy" -> (tokenEntropy _),
     "text_clean"   -> (textClean _),
     "text_stats"   -> (textStats _),
@@ -156,6 +197,26 @@ object Text {
     "fingerprint"  -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "token_encode" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(text, '\s+')) AS term,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1)
+        |           AS pos
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (
+        |  SELECT term,
+        |         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS id
+        |  FROM u GROUP BY term
+        |  QUALIFY id <= 1024),
+        |e AS (
+        |  SELECT u.doc_id, u.pos, COALESCE(v.id, 0) AS id
+        |  FROM u LEFT JOIN vocab v ON u.term = v.term)
+        |SELECT doc_id,
+        |       COUNT(*)::BIGINT AS n_tokens,
+        |       SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |       STRING_AGG(id::VARCHAR, ' ' ORDER BY pos) AS ids_str
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "token_entropy" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -219,6 +219,13 @@ class PlanSpec extends AnyFunSuite {
         "what the bloom exists to avoid")
   }
 
+  test("token_encode: vocabulary is a bounded top-k (never a global " +
+       "sort); encoding joins the vocab broadcast") {
+    val p = plan(graft.ops.Text.tokenEncode(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("skew_join: the fact-dim join keys on (user_id, salt) and " +
        "shuffles — the hot-key rows spread over the salt domain") {
     val p = plan(graft.ops.Events.skewJoin(spark, sf))

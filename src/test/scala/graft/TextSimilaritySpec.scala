@@ -190,6 +190,21 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(cols === typed)
   }
 
+  test("token_encode: ids follow (count desc, term asc), sequence order " +
+       "preserved, no OOV under the vocab cap") {
+    val tdir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, "a a b", "en", "s"),
+        (1L, "b c a", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val r = Text.tokenEncode(spark, tdir).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // corpus counts: a=3, b=2, c=1 → ids a→1, b→2, c→3
+    assert(r(0L) === ((3L, 0L, "1 1 2")))
+    assert(r(1L) === ((3L, 0L, "2 3 1")))
+  }
+
   test("kmeans_assign == an independent plain-Scala Lloyd's iteration " +
        "on the real sf0.001 corpus") {
     val sf = "/root/testdata/sf0.001"
