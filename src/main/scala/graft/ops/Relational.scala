@@ -299,6 +299,27 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
                col("l_linestatus").asc_nulls_first)
 
+  /** Custom GROUPING SETS (the shape cube/rollup can't express): an
+    * asymmetric set list — (returnflag, linestatus), (returnflag),
+    * (linestatus), and grand total, i.e. cube minus nothing here but
+    * declared EXPLICITLY, the way reporting pipelines request exactly
+    * the combinations they pay for (each extra set is another Expand
+    * replica of the scan). Same single-shuffle Expand execution as cube:
+    * one aggregate pass, grouping_id distinguishes the sets. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n"),
+           round(sum(col("l_quantity")) + 1e-9, 2).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+              col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
   /** Ranking-window family over orders per customer: rank / dense_rank /
     * percent_rank on a coarse key (order year — real ties), plus
     * row_number / ntile / lead on a total order (price desc, key — the
@@ -579,6 +600,7 @@ object Relational {
     "sql_correlated" -> (sqlCorrelated _),
     "stats_agg"      -> (statsAgg _),
     "cube_agg"       -> (cubeAgg _),
+    "grouping_sets"  -> (groupingSets _),
     "window_rank"    -> (windowRank _),
     "snapshot_diff"  -> (snapshotDiff _),
     "set_ops"        -> (setOps _),
@@ -716,6 +738,14 @@ object Relational {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
         |  COUNT(*) AS n, ROUND(SUM(l_quantity) + 1e-9, 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n, ROUND(SUM(l_quantity) + 1e-9, 2) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS (
+        |  (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag NULLS FIRST,
         |         l_linestatus NULLS FIRST""".stripMargin,
     "window_rank" ->

@@ -219,6 +219,14 @@ class PlanSpec extends AnyFunSuite {
         "what the bloom exists to avoid")
   }
 
+  test("grouping_sets: explicit set list expands in a single aggregate " +
+       "pass (one shuffle), like cube") {
+    val p = plan(Relational.groupingSets(spark, sf))
+    assert(p.contains("Expand"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1, s"expected 1 shuffle, got $shuffles")
+  }
+
   test("token_encode: vocabulary is a bounded top-k (never a global " +
        "sort); encoding joins the vocab broadcast") {
     val p = plan(graft.ops.Text.tokenEncode(spark, sf))
