@@ -56,4 +56,41 @@ class FormatsSpec extends AnyFunSuite {
     assert(clean.length === 3)
     assert(clean.map(_.getLong(2)).sum === 60L)
   }
+
+  test("ORC round-trip with imposed schema — the columnar alternative " +
+       "when a lake standardizes on ORC") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"),
+              length(col("text")).cast("long").as("n"))
+    src.write.orc(s"$dir/docs_orc")
+    val back = spark.read.schema(schema).orc(s"$dir/docs_orc")
+    assert(back.schema === schema)
+    assert(back.count() === src.count())
+    assert(back.agg(sum("n")).head().getLong(0) ===
+           src.agg(sum("n")).head().getLong(0))
+    // predicate pushdown reaches the ORC scan like parquet's
+    val plan = back.filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "LessThan(doc_id,10)]"), plan)
+  }
+
+  test("XML round-trip with imposed schema (Spark 4 native XML source) — " +
+       "the ingest shape for feed/config-style sources") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val path = s"$dir/rows.xml"
+    Files.writeString(java.nio.file.Paths.get(path),
+      """<rows>
+        |  <row><doc_id>1</doc_id><lang>en</lang><n>10</n></row>
+        |  <row><doc_id>2</doc_id><lang>de</lang><n>20</n></row>
+        |  <row><doc_id>3</doc_id><lang>fr</lang><n>30</n></row>
+        |</rows>
+        |""".stripMargin)
+    val back = spark.read.schema(schema)
+      .option("rowTag", "row").xml(path)
+    assert(back.schema === schema)
+    assert(back.count() === 3)
+    assert(back.agg(sum("n")).head().getLong(0) === 60L)
+  }
 }
