@@ -83,6 +83,38 @@ object Curation {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Per-shard integrity manifest over the training-order shuffle — the
+    * audit artifact an epoch writer emits next to its shard files so a
+    * reader (or a re-run) can verify them without re-deriving anything:
+    * document count, token total, densest-position check (max_pos ==
+    * n_docs ⇔ the in-shard ranks are gapless), and an ORDER-INSENSITIVE
+    * content checksum (bit_xor of a per-doc 60-bit hash over id+length) —
+    * XOR's commutativity makes the checksum independent of task/partition
+    * order, so any two runs on any cluster layout must byte-match.
+    *
+    * Scale: one left join of the shuffle assignment to per-doc token
+    * counts (both keyed by doc_id) and one 8-group aggregate; every
+    * aggregate here (count/sum/max/bit_xor) is map-side combinable. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    docShuffle(spark, dir)
+      .join(toks, Seq("doc_id"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+      .withColumn("h", conv(substring(md5(
+          concat_ws("|", lit("man"), col("doc_id").cast("string"),
+            col("n_tok").cast("string")).cast("binary")),
+          1, 15), 16, 10).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           max(col("pos")).as("max_pos"),
+           expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** Gopher-style repetition statistics: per document, the fraction of
     * all word 2-grams held by the most frequent 2-gram (top_frac) and
     * the fraction that are repeats of an earlier 2-gram (dup_frac) —
@@ -275,6 +307,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
     "lm_score"         -> (lmScore _),
     "doc_pack"         -> (docPack _),
@@ -284,6 +317,39 @@ object Curation {
     "bloom_prefilter"  -> (bloomPrefilter _))
 
   val oracle: Map[String, String] = Map(
+    "shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         md5('shuf|' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, skey,
+        |    CAST(('0x' || substring(skey, 1, 2))::INT % 8 AS BIGINT)
+        |      AS shard
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, shard,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |  FROM s),
+        |d AS (
+        |  SELECT doc_id,
+        |         len(string_split_regex(text, '\s+'))::BIGINT AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |j AS (
+        |  SELECT r.shard, r.pos, r.doc_id,
+        |         COALESCE(d.n_tok, 0) AS n_tok
+        |  FROM r LEFT JOIN d USING (doc_id)),
+        |h AS (
+        |  SELECT shard, pos, n_tok,
+        |    ('0x' || substring(md5('man|' || CAST(doc_id AS VARCHAR) ||
+        |      '|' || CAST(n_tok AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM j)
+        |SELECT shard, COUNT(*)::BIGINT AS n_docs,
+        |       SUM(n_tok)::BIGINT AS n_tokens,
+        |       MAX(pos)::BIGINT AS max_pos,
+        |       BIT_XOR(hv)::BIGINT AS checksum
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
     "doc_shuffle" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -224,6 +224,21 @@ class CurationSpec extends AnyFunSuite {
     assert(winners.contains(50L))
   }
 
+  test("shard_manifest: gapless ranks (max_pos == n_docs), full coverage, " +
+       "and a layout-independent checksum (identical across runs)") {
+    def run() = Curation.shardManifest(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val a = run()
+    a.foreach { case (_, (nDocs, _, maxPos, _)) =>
+      assert(maxPos === nDocs, "in-shard ranks must be gapless")
+    }
+    val total = Tables.t(spark, dir, "documents").count()
+    assert(a.map(_._2._1).sum === total)
+    // the order-insensitive checksum must not depend on execution layout
+    assert(run().toSeq === a.toSeq)
+  }
+
   test("bloom_prefilter flags exactly the contaminated training docs " +
        "with exact distinct-gram overlap counts") {
     // doc 0 is a benchmark shard (0 % 50 = 0); train doc 1 copies its
