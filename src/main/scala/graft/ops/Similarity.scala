@@ -301,7 +301,41 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-quality evaluation: purity of the k-means clusters against
+    * the fixture's ground-truth labels — the measurement loop run after
+    * any corpus clustering (sibling of annRecall's recall@k): per
+    * cluster, the majority label (count desc, label asc tie-break — the
+    * deterministic ranking doctrine; a bare mode() would tie-break
+    * differently per engine) and the fraction of members holding it.
+    *
+    * Scale: rides kmeansAssign (map-side) + one join to labels on
+    * vec_id + a (cluster, label) count — k·|labels| rows into the final
+    * ranking window, constants at any corpus size. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"))
+    val byLabel = kmeansAssign(spark, dir)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n").desc, col("label"))
+    byLabel
+      .withColumn("n_total", sum(col("n")).over(
+        Window.partitionBy(col("cluster"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"),
+        col("label").as("majority_label"),
+        col("n").as("n_majority"),
+        col("n_total"),
+        round(col("n").cast("double") / col("n_total") + 1e-9, 4)
+          .as("purity"))
+      .orderBy(col("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_purity" -> (clusterPurity _),
     "kmeans_assign"  -> (kmeansAssign _),
     "ann_recall"     -> (annRecall _),
     "sim_topk_brute" -> (topKBrute _),
@@ -325,38 +359,59 @@ object Similarity {
       s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
 
+  /** k-means CTE chain up to the final assignment (a2) — duckCosine
+    * rounds to 6 dp, so the ROW_NUMBER ranking IS the quantized-argmax
+    * (lowest-id tie-break) that CentroidArgmax computes. Shared by the
+    * kmeans_assign and cluster_purity oracles. */
+  private val duckKmeansCtes: String =
+    s"""WITH c1 AS (
+       |  SELECT vec_id AS cell, embedding AS cent
+       |  FROM embeddings WHERE vec_id < 8),
+       |a1 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c1 c)
+       |  WHERE rn = 1),
+       |m AS (
+       |  SELECT a1.cell,
+       |         generate_subscripts(e.embedding, 1) AS dim,
+       |         unnest(e.embedding) AS val
+       |  FROM a1 JOIN embeddings e USING (vec_id)),
+       |c2 AS (
+       |  SELECT cell, LIST(v ORDER BY dim) AS cent FROM (
+       |    SELECT cell, dim, ROUND(AVG(val::DOUBLE), 6) AS v
+       |    FROM m GROUP BY cell, dim)
+       |  GROUP BY cell),
+       |a2 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // duckCosine rounds to 6 dp, so the ROW_NUMBER ranking below IS the
-    // quantized-argmax (lowest-id tie-break) that CentroidArgmax computes.
     "kmeans_assign" ->
-      s"""WITH c1 AS (
-         |  SELECT vec_id AS cell, embedding AS cent
-         |  FROM embeddings WHERE vec_id < 8),
-         |a1 AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN c1 c)
-         |  WHERE rn = 1),
-         |m AS (
-         |  SELECT a1.cell,
-         |         generate_subscripts(e.embedding, 1) AS dim,
-         |         unnest(e.embedding) AS val
-         |  FROM a1 JOIN embeddings e USING (vec_id)),
-         |c2 AS (
-         |  SELECT cell, LIST(v ORDER BY dim) AS cent FROM (
-         |    SELECT cell, dim, ROUND(AVG(val::DOUBLE), 6) AS v
-         |    FROM m GROUP BY cell, dim)
-         |  GROUP BY cell),
-         |a2 AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN c2 c)
-         |  WHERE rn = 1)
-         |SELECT vec_id, cell AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+      (duckKmeansCtes +
+        "\nSELECT vec_id, cell AS cluster FROM a2 ORDER BY vec_id"),
+    "cluster_purity" ->
+      (duckKmeansCtes +
+        """, bl AS (
+          |  SELECT a2.cell AS cluster, e.label, COUNT(*)::BIGINT AS n
+          |  FROM a2 JOIN embeddings e USING (vec_id)
+          |  GROUP BY 1, 2),
+          |p AS (
+          |  SELECT cluster, label, n,
+          |         SUM(n) OVER (PARTITION BY cluster) AS n_total,
+          |         ROW_NUMBER() OVER (PARTITION BY cluster
+          |           ORDER BY n DESC, label) AS rn
+          |  FROM bl)
+          |SELECT cluster, label AS majority_label, n AS n_majority,
+          |       n_total::BIGINT AS n_total,
+          |       ROUND(n::DOUBLE / n_total + 1e-9, 4) AS purity
+          |FROM p WHERE rn = 1 ORDER BY cluster""".stripMargin),
     "ann_recall" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb
