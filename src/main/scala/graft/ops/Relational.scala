@@ -284,6 +284,27 @@ object Relational {
         |ORDER BY l.l_returnflag""".stripMargin)
   }
 
+  /** Correlated LATERAL join: per customer, the 2 highest-value orders —
+    * the top-N-per-key shape written the way an analyst writes it.
+    * Catalyst decorrelates the LIMITed lateral subquery into a
+    * window-rank filter (no per-row subquery execution survives in the
+    * physical plan), so it scales exactly like the explicit
+    * window-rank form in `windowRank`. */
+  def sqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer_v c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
+        .stripMargin)
+  }
+
   /** Full CUBE over (returnflag, linestatus) with an explicit grouping id
     * — completes the grouping-sets family next to rollup_revenue. Cube is
     * a single shuffle: Catalyst expands the grouping sets map-side and
@@ -601,6 +622,7 @@ object Relational {
     "stats_agg"      -> (statsAgg _),
     "cube_agg"       -> (cubeAgg _),
     "grouping_sets"  -> (groupingSets _),
+    "sql_lateral"    -> (sqlLateral _),
     "window_rank"    -> (windowRank _),
     "snapshot_diff"  -> (snapshotDiff _),
     "set_ops"        -> (setOps _),
@@ -740,6 +762,16 @@ object Relational {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST,
         |         l_linestatus NULLS FIRST""".stripMargin,
+    "sql_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
+        .stripMargin,
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,

@@ -219,6 +219,15 @@ class PlanSpec extends AnyFunSuite {
         "what the bloom exists to avoid")
   }
 
+  test("sql_lateral: the LIMITed correlated subquery decorrelates to " +
+       "WindowGroupLimit — no per-row subquery execution survives") {
+    val p = plan(Relational.sqlLateral(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the decorrelated top-N-per-group operator:\n$p")
+    assert(!p.contains("Subquery"), "a surviving per-row subquery " +
+      "would re-execute the inner query once per outer row")
+  }
+
   test("grouping_sets: explicit set list expands in a single aggregate " +
        "pass (one shuffle), like cube") {
     val p = plan(Relational.groupingSets(spark, sf))
