@@ -21,7 +21,7 @@ object SparkEntry {
     Panel.queries ++ Relational.queries ++ Ingest.queries ++
       Events.queries ++ Text.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Corpus.queries ++
-      Curation.queries
+      Curation.queries ++ Audit.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -29,5 +29,5 @@ object SparkEntry {
     Panel.oracle ++ Relational.oracle ++ Ingest.oracle ++
       Events.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ Corpus.oracle ++
-      Curation.oracle
+      Curation.oracle ++ Audit.oracle
 }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dataset auditing — the validation layer every ingest pipeline runs
+  * before promoting a batch (the reference's malformed-record rejects,
+  * `database.py:104-110`, generalized from per-row skips to corpus-level
+  * constraint reports).
+  *
+  * Three operators:
+  *  - `dqChecks`: declarative constraint violations (referential
+  *    integrity, key uniqueness, domain ranges, blank payloads) as one
+  *    audit table — counts, not row dumps, so output is O(#checks) at any
+  *    corpus size.
+  *  - `valueHistogram`: fixed-width distribution profile of a measure —
+  *    the bin key is computed map-side, so the shuffle carries at most
+  *    #bins groups per task (partial aggregation collapses everything
+  *    else).
+  *  - `crosstabAssoc`: lang × source contingency matrix with
+  *    chi-square-style per-cell contributions — the "is my corpus mix
+  *    independent of source?" question a mixture designer asks. All
+  *    window math runs over the AGGREGATED matrix (|langs|·|sources|
+  *    rows), never the corpus.
+  */
+object Audit {
+
+  /** Constraint-violation audit: one row per declared check with
+    * violation count, population size, and pass rate.
+    *
+    * The three lineitem checks share ONE left join against orders —
+    * orphan detection (null build side), temporal sanity (ship before
+    * order), and domain range all reduce in the same aggregate pass.
+    * At 100 TB that join is the only shuffle; every count is a map-side
+    * partial sum. Orders/documents checks are single-scan aggregates.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_discount"))
+    val ord = Tables.t(spark, dir, "orders")
+    val docs = Tables.t(spark, dir, "documents")
+
+    val j = li.join(
+      ord.select(col("o_orderkey"), col("o_orderdate")),
+      col("l_orderkey") === col("o_orderkey"), "left")
+    val liChecks = j.agg(
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("orphan_lineitem"),
+        sum(when(col("o_orderkey").isNotNull &&
+                 col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .as("ship_before_order"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_discount"),
+        count(lit(1)).as("total"))
+      .select(expr(
+        """stack(3,
+          |  'orphan_lineitem',   orphan_lineitem,
+          |  'ship_before_order', ship_before_order,
+          |  'bad_discount',      bad_discount) AS (check_name, violations)
+          |""".stripMargin),
+        col("total"))
+
+    val ordChecks = ord.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("violations"),
+        count(lit(1)).as("total"))
+      .select(lit("dup_orderkey").as("check_name"),
+              col("violations"), col("total"))
+
+    val docChecks = docs.agg(
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+          .otherwise(0L)).as("violations"),
+        count(lit(1)).as("total"))
+      .select(lit("blank_doc_text").as("check_name"),
+              col("violations"), col("total"))
+
+    liChecks.unionByName(ordChecks).unionByName(docChecks)
+      .select(col("check_name"), col("violations"), col("total"),
+        // +1e-9: deterministic decimal-tie break (README determinism note)
+        round(lit(1.0) - col("violations") / col("total") + 1e-9, 6)
+          .as("pass_rate"))
+      .orderBy(col("check_name"))
+  }
+
+  private val BinWidth = 25000.0
+  private val NBins = 20
+
+  /** Fixed-width histogram of orders.o_totalprice: 20 bins of 25k, top
+    * bin clamped open-ended. The bin id is a pure map-side expression, so
+    * partial aggregation reduces each task's output to ≤ 20 rows before
+    * the (single, tiny) shuffle; the fraction denominator is a window
+    * over the 20-row aggregate, not a second scan. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val bin = least(greatest(floor(col("o_totalprice") / BinWidth), lit(0)),
+      lit(NBins - 1)).cast("long")
+    val n = Tables.t(spark, dir, "orders")
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    n.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("bin"),
+        (col("bin") * BinWidth).as("lo"),
+        ((col("bin") + 1) * BinWidth).as("hi"),
+        col("n"),
+        round(col("n") / col("total") + 1e-9, 6).as("frac"))
+      .orderBy(col("bin"))
+  }
+
+  /** lang × source association: observed cell counts vs the
+    * independence-expected counts, with per-cell chi-square
+    * contributions. Contributions are reported PER CELL, not summed —
+    * the per-cell divisions have a fixed operand order (exact-integer
+    * row/col/grand totals), so cross-engine float parity is exact,
+    * where a sum over cells would depend on accumulation order.
+    * One corpus shuffle (the groupBy); the three marginal sums are
+    * windows over the |langs|·|sources| aggregate. */
+  def crosstabAssoc(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val rowTot = sum(col("n")).over(Window.partitionBy(col("lang")))
+    val colTot = sum(col("n")).over(Window.partitionBy(col("source")))
+    val grand = sum(col("n")).over(Window.partitionBy())
+    cells
+      .withColumn("expected_raw",
+        rowTot * colTot / grand.cast("double"))
+      .select(col("lang"), col("source"), col("n"),
+        round(col("expected_raw") + 1e-9, 6).as("expected"),
+        round(pow(col("n") - col("expected_raw"), 2) / col("expected_raw")
+          + 1e-9, 6).as("contrib"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks"       -> (dqChecks _),
+    "value_histogram" -> (valueHistogram _),
+    "crosstab_assoc"  -> (crosstabAssoc _))
+
+  val oracle: Map[String, String] = Map(
+    "dq_checks" ->
+      """WITH j AS (
+        |  SELECT l.l_orderkey, l.l_shipdate, l.l_discount,
+        |         o.o_orderkey, o.o_orderdate
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |lc AS (
+        |  SELECT
+        |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS orphan_lineitem,
+        |    SUM(CASE WHEN o_orderkey IS NOT NULL
+        |             AND l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        |      AS ship_before_order,
+        |    SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+        |      AS bad_discount,
+        |    COUNT(*) AS total
+        |  FROM j),
+        |rws AS (
+        |  SELECT 'orphan_lineitem' AS check_name,
+        |         orphan_lineitem AS violations, total FROM lc
+        |  UNION ALL
+        |  SELECT 'ship_before_order', ship_before_order, total FROM lc
+        |  UNION ALL
+        |  SELECT 'bad_discount', bad_discount, total FROM lc
+        |  UNION ALL
+        |  SELECT 'dup_orderkey',
+        |         (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+        |         (SELECT COUNT(*) FROM orders)
+        |  UNION ALL
+        |  SELECT 'blank_doc_text',
+        |         (SELECT SUM(CASE WHEN text IS NULL OR trim(text) = ''
+        |                          THEN 1 ELSE 0 END) FROM documents),
+        |         (SELECT COUNT(*) FROM documents))
+        |SELECT check_name, violations, total,
+        |       ROUND(1.0 - violations::DOUBLE / total + 1e-9, 6) AS pass_rate
+        |FROM rws ORDER BY check_name""".stripMargin,
+    "value_histogram" ->
+      """WITH b AS (
+        |  SELECT least(greatest(CAST(floor(o_totalprice / 25000.0)
+        |           AS BIGINT), 0), 19) AS bin,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT bin, bin * 25000.0 AS lo, (bin + 1) * 25000.0 AS hi, n,
+        |       ROUND(n / SUM(n) OVER () + 1e-9, 6) AS frac
+        |FROM b ORDER BY bin""".stripMargin,
+    "crosstab_assoc" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT lang, source, n,
+        |    SUM(n) OVER (PARTITION BY lang)
+        |      * SUM(n) OVER (PARTITION BY source)
+        |      / (SUM(n) OVER ())::DOUBLE AS e
+        |  FROM cells)
+        |SELECT lang, source, n,
+        |       ROUND(e + 1e-9, 6) AS expected,
+        |       ROUND(pow(n - e, 2) / e + 1e-9, 6) AS contrib
+        |FROM m ORDER BY lang, source""".stripMargin)
+}

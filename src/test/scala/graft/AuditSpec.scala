@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Audit
+
+/** Audit operators: planted-violation fixtures for dq_checks, clamp and
+  * mass-conservation properties for the histogram, marginal identities
+  * for the contingency association. */
+class AuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val plantedDir = TestFixtures.writeDir(Map(
+    "lineitem" -> Seq(
+      // (orderkey, shipdate, discount): 1 orphan (key 99), 1 ship-before-
+      // order (key 2 ships before its 2024-06-01 order), 1 bad discount
+      (1L, ts("2024-05-10 00:00:00"), 0.05),
+      (2L, ts("2024-05-01 00:00:00"), 0.10),
+      (2L, ts("2024-07-01 00:00:00"), 1.50),
+      (99L, ts("2024-05-10 00:00:00"), 0.00))
+      .toDF("l_orderkey", "l_shipdate", "l_discount"),
+    "orders" -> Seq(
+      (1L, ts("2024-05-01 00:00:00"), 10.0),
+      (2L, ts("2024-06-01 00:00:00"), 20.0),
+      (2L, ts("2024-06-02 00:00:00"), 30.0)) // dup key
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice"),
+    "documents" -> Seq(
+      (1L, "hello world", "en", "web"),
+      (2L, "   ", "en", "web"), // blank after trim
+      (3L, "ok", "fr", "book"))
+      .toDF("doc_id", "text", "lang", "source")))
+
+  test("dq_checks counts each planted violation class exactly once") {
+    val rows = Audit.dqChecks(spark, plantedDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the dup order key fans the key-2 lineitems out ×2 in the left join:
+    // population 4+2=6, orphan 1, ship-before-order 2 (the 05-01 row
+    // matches both dup orders), bad discount ×2 for the same reason
+    assert(rows("orphan_lineitem") === (1L, 6L))
+    assert(rows("ship_before_order") === (2L, 6L))
+    assert(rows("bad_discount") === (2L, 6L))
+    assert(rows("dup_orderkey") === (1L, 3L))
+    assert(rows("blank_doc_text") === (1L, 3L))
+  }
+
+  test("dq_checks on the clean fixture: referential + domain checks pass") {
+    val rows = Audit.dqChecks(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("orphan_lineitem") === 0L, "fixture lineitem has no orphans")
+    assert(m("dup_orderkey") === 0L, "fixture orderkeys are unique")
+  }
+
+  test("value_histogram: bins clamped to [0,19], counts conserve mass, " +
+       "fracs sum to ~1") {
+    val rows = Audit.valueHistogram(spark, dir).collect()
+    val total = Tables.t(spark, dir, "orders").count()
+    assert(rows.map(_.getLong(3)).sum === total)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    // independent recompute of one bin
+    val bin3 = Tables.t(spark, dir, "orders")
+      .filter(col("o_totalprice") >= 75000.0 &&
+              col("o_totalprice") < 100000.0).count()
+    assert(rows.find(_.getLong(0) == 3L).map(_.getLong(3)).getOrElse(0L)
+      === bin3)
+  }
+
+  test("crosstab_assoc: expected preserves marginals, contrib >= 0") {
+    val rows = Audit.crosstabAssoc(spark, dir).collect()
+    val total = Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    // per-cell identity against an independent driver-side recompute
+    // (marginal sums only match on a FULL cartesian grid — absent cells
+    // are structural zeros, so the per-cell check is the right one)
+    val langTot = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val srcTot = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    rows.foreach { r =>
+      val e = langTot(r.getString(0)) * srcTot(r.getString(1)) /
+        total.toDouble
+      assert(math.abs(r.getDouble(3) - e) < 1e-5,
+        s"expected drift at (${r.getString(0)},${r.getString(1)})")
+    }
+    assert(rows.forall(_.getDouble(4) >= 0.0))
+  }
+}
