@@ -439,7 +439,76 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Trailing-5-row discrete median of value per user — the robust
+    * rolling center a monitoring pipeline layers over the rolling mean
+    * (one whale event can't drag it). Median choice is DISCRETE (the
+    * lower-middle element, sorted index (n−1)/2): an actual data value,
+    * so cross-engine parity is exact — no interpolation arithmetic whose
+    * accumulation order could differ. The frame is materialized with
+    * collect_list over the 5-row window: bounded O(5) state per row,
+    * same single (user) shuffle + sort as every other per-user window. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    Tables.events(spark, dir)
+      .withColumn("frame", collect_list(col("value")).over(w))
+      .select(col("event_id"), col("user_id"),
+        // lower-middle element of the sorted frame = DuckDB quantile_disc
+        expr("element_at(array_sort(frame), " +
+             "CAST((size(frame) - 1) / 2 AS INT) + 1)").as("med5"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Daily active / new / cumulative distinct users — the canonical
+    * growth-accounting rollup. Exact cumulative distincts WITHOUT a
+    * giant running-distinct state: each user collapses to one
+    * first-seen day (groupBy user), days aggregate those firsts, and
+    * the running sum over the |days| row aggregate equals the distinct
+    * count of everything seen so far. The unpartitioned cumsum window
+    * touches only |days| rows (bounded by calendar time, not corpus
+    * size), so the single-task window is fine at any scale. */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val newU = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val active = e.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    // a user's first day is an active day, so the left join loses nothing
+    active.join(newU, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("active_users"), col("new_users"),
+              col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** First-order event-type transition matrix per user stream (the
+    * Markov-chain view of user behavior): count of each (from → to)
+    * adjacent pair, plus the row-normalized transition probability.
+    * One per-user window pass for the lead, one bounded groupBy
+    * (|types|² keys, map-side combinable); the normalizing sum is a
+    * window over the aggregated matrix, never the event stream. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n") / sum(col("n")).over(Window.partitionBy(col("from_type")))
+          + 1e-9, 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_median"    -> (rollingMedian _),
+    "cumulative_users"  -> (cumulativeUsers _),
+    "event_transitions" -> (eventTransitions _),
     "mad_outlier"      -> (madOutliers _),
     "events_range_frame" -> (rangeFrame _),
     "scd2_history"     -> (scdHistory _),
@@ -461,6 +530,39 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "rolling_median" ->
+      """SELECT event_id, user_id,
+        |  quantile_disc(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cumulative_users" ->
+      """WITH e AS (
+        |  SELECT user_id, (ts::TIMESTAMP)::DATE AS day FROM events),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM e GROUP BY 1),
+        |nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1),
+        |ac AS (SELECT day, COUNT(DISTINCT user_id) AS active_users
+        |       FROM e GROUP BY 1)
+        |SELECT ac.day, ac.active_users,
+        |  COALESCE(nu.new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (
+        |    ORDER BY ac.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM ac LEFT JOIN nu USING (day) ORDER BY day""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts::TIMESTAMP, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(n / SUM(n) OVER (PARTITION BY from_type)::DOUBLE + 1e-9, 6)
+        |    AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     "mad_outlier" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

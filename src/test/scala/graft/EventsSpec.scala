@@ -104,4 +104,49 @@ class EventsSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(flagged === Set(21L, 22L, 23L))
   }
+
+  test("rolling_median equals a naive per-row trailing-5 lower-middle") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Events.rollingMedian(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+                 r.getDouble(3)))
+    raw.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._4)
+          .sorted
+        val want = frame((frame.length - 1) / 2)
+        assert(got(ordered(i)._1) === want)
+      }
+    }
+  }
+
+  test("cumulative_users: final cumulative equals total distinct users, " +
+       "cum is monotone, active >= new") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.cumulativeUsers(spark, sf).collect()
+    val distinctUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(rows.last.getLong(3) === distinctUsers)
+    val cums = rows.map(_.getLong(3)).toSeq
+    assert(cums === cums.sorted)
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+  }
+
+  test("event_transitions: probabilities row-normalize to 1, pair total " +
+       "= events - users") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.eventTransitions(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    // each user stream of k events yields k-1 adjacent pairs
+    assert(rows.map(_.getLong(2)).sum === nEvents - nUsers)
+  }
 }
