@@ -299,7 +299,48 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document collocation mining over a BOUNDED vocabulary: for
+    * the top-64 document-frequency terms, count document co-occurrence
+    * of each term pair and score it with independence lift
+    * c_ab·N / (c_a·c_b) (the log-free core of PMI — no transcendental,
+    * so cross-engine float parity is exact division arithmetic).
+    *
+    * The vocabulary bound is the scale defense: the per-doc pair
+    * fan-out is capped at C(64,2) regardless of document length, and in
+    * practice each doc contributes C(|doc ∩ vocab|, 2) pairs. Pairing is
+    * a self-equi-join on doc_id (hash join on the doc key — never an
+    * all-pairs token join); the vocab restriction rides into the scan as
+    * a broadcast semi-join. Support floor c_ab ≥ 5 keeps the output the
+    * statistically meaningful tail. */
+  def collocLift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), "\\s+"))).as("term"))
+    val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // bounded top-k vocabulary (TakeOrderedAndProject, never a global
+    // sort); (df desc, term asc) is a deterministic total order
+    val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(64)
+    val dv = toks.join(broadcast(vocab).select(col("term")), Seq("term"))
+    val n = docs.count()
+    val pairs = dv.as("a")
+      .join(dv.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    pairs
+      .join(broadcast(vocab).select(col("term").as("t1"),
+                                    col("df").as("df1")), Seq("t1"))
+      .join(broadcast(vocab).select(col("term").as("t2"),
+                                    col("df").as("df2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("c_ab"),
+        round(col("c_ab") * lit(n) / (col("df1") * col("df2")) + 1e-9, 6)
+          .as("lift"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "colloc_lift"       -> (collocLift _),
     "corpus_curate"     -> (curate _),
     "tfidf_topterms"    -> (tfidfTopTerms _),
     "bm25_topk"         -> (bm25TopK _),
@@ -311,6 +352,27 @@ object Corpus {
     "weighted_sample"   -> (weightedSample _))
 
   val oracle: Map[String, String] = Map(
+    "colloc_lift" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY 1),
+        |vocab AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 64),
+        |dv AS (SELECT t.doc_id, t.term FROM tok t JOIN vocab USING (term)),
+        |pairs AS (
+        |  SELECT a.term AS t1, b.term AS t2, COUNT(*) AS c_ab
+        |  FROM dv a JOIN dv b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 5),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT t1, t2, c_ab,
+        |  ROUND(c_ab * n.n / (va.df * vb.df)::DOUBLE + 1e-9, 6) AS lift
+        |FROM pairs CROSS JOIN n
+        |  JOIN vocab va ON va.term = t1
+        |  JOIN vocab vb ON vb.term = t2
+        |ORDER BY t1, t2""".stripMargin,
     "weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

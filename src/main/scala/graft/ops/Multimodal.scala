@@ -129,13 +129,50 @@ object Multimodal {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Exact binary dedup over the opaque payload column — the asset-level
+    * twin of Dedup.exact: identical media files collapse to one digest
+    * group (min doc_id canonical), with copy count and reclaimable
+    * bytes. The md5 digest is computed MAP-SIDE so only 16-byte keys
+    * shuffle, never payloads — at 100 TB of media that is the difference
+    * between shuffling hashes and shuffling the corpus. */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("digest"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("canonical_doc"),
+           count(lit(1)).as("n_copies"),
+           sum(col("n_bytes")).as("total_bytes"))
+      .withColumn("reclaim_bytes",
+        col("total_bytes") - col("total_bytes") / col("n_copies"))
+      .select(col("digest"), col("canonical_doc"), col("n_copies"),
+              col("total_bytes"),
+              round(col("reclaim_bytes"), 2).as("reclaim_bytes"))
+      .orderBy(col("digest"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup"  -> (payloadDedup _),
     "mm_meta"   -> (meta _),
     "mm_frames" -> (frames _),
     "mm_chunks" -> (chunks _),
     "mm_resize" -> (resize _))
 
   val oracle: Map[String, String] = Map(
+    "mm_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, md5(text) AS digest,
+        |         octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents),
+        |g AS (
+        |  SELECT digest, MIN(doc_id) AS canonical_doc,
+        |         COUNT(*) AS n_copies,
+        |         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |  FROM p GROUP BY 1)
+        |SELECT digest, canonical_doc, n_copies, total_bytes,
+        |       ROUND(total_bytes - total_bytes / n_copies, 2)
+        |         AS reclaim_bytes
+        |FROM g ORDER BY digest""".stripMargin,
     "mm_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, text, length(text)::BIGINT AS n_chars

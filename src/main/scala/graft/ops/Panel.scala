@@ -186,7 +186,32 @@ object Panel {
       .orderBy(col("suppkey"), col("year"))
   }
 
+  /** Gaps-and-islands: maximal runs of consecutive years per supplier in
+    * the activity panel — the "which entities have unbroken history"
+    * question behind coverage audits and panel-balance checks. Classic
+    * one-window trick: year − row_number is constant within a
+    * consecutive run, so islands fall out of ONE per-entity window pass
+    * plus one bounded groupBy ((entity, run) keys, map-side combinable).
+    * No self-join, no iteration — the plan scales exactly like any other
+    * per-entity window. */
+  def panelIslands(spark: SparkSession, dir: String): DataFrame = {
+    val years = Tables.t(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"),
+              year(col("l_shipdate")).cast("long").as("year"))
+      .distinct()
+    val w = Window.partitionBy(col("suppkey")).orderBy(col("year"))
+    years
+      .withColumn("grp", col("year") - row_number().over(w))
+      .groupBy(col("suppkey"), col("grp"))
+      .agg(min(col("year")).as("start_year"),
+           max(col("year")).as("end_year"),
+           count(lit(1)).as("len"))
+      .select(col("suppkey"), col("start_year"), col("end_year"), col("len"))
+      .orderBy(col("suppkey"), col("start_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "panel_islands" -> (panelIslands _),
     "pipeline_cleaned" -> (pipelineCleaned _),
     "union_panels"     -> (unionPanels _),
     "panel_fill"       -> (panelFill _),
@@ -229,6 +254,19 @@ object Panel {
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "panel_islands" ->
+      """WITH p AS (
+        |  SELECT DISTINCT l_suppkey AS suppkey, year(l_shipdate) AS year
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT suppkey, year,
+        |    year - ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY year)
+        |      AS grp
+        |  FROM p)
+        |SELECT suppkey, MIN(year) AS start_year, MAX(year) AS end_year,
+        |       COUNT(*) AS len
+        |FROM r GROUP BY suppkey, grp
+        |ORDER BY suppkey, start_year""".stripMargin,
     "panel_growth" ->
       """WITH a AS (
         |  SELECT l_suppkey AS suppkey,

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Corpus, Dedup, Events, Relational}
+import graft.ops.{Corpus, Dedup, Events, Multimodal, Panel, Relational}
 
 /** Round-2 operator families on the real sf0.001 fixtures: corpus
   * retrieval/curation (Corpus), near-dup clustering (Dedup), grouping
@@ -300,5 +300,73 @@ class ExtendedOpsSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(rows.toSeq === Seq(
       (0L, 64L, m("x" * 64)), (1L, 64L, m("y" * 64)), (2L, 2L, m("zz"))))
+  }
+
+  test("panel_islands: islands tile each supplier's year set with gaps " +
+       "between them") {
+    val islands = Panel.panelIslands(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val years = Tables.t(spark, dir, "lineitem")
+      .select(col("l_suppkey").cast("long"),
+              year(col("l_shipdate")).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    islands.groupBy(_._1).foreach { case (supp, runs) =>
+      // each island is a dense run, islands are disjoint with real gaps,
+      // and together they cover exactly the supplier's year set
+      val sorted = runs.sortBy(_._2)
+      sorted.foreach { case (_, s, e, len) => assert(e - s + 1 === len) }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+        case _ =>
+      }
+      val covered = sorted.flatMap { case (_, s, e, _) => s to e }.toSet
+      assert(covered === years(supp))
+    }
+  }
+
+  test("colloc_lift: counts and lift agree with an independent recompute") {
+    val rows = Corpus.collocLift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3)))
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet)
+    val n = docs.length.toLong
+    val df = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    rows.foreach { case (t1, t2, cab, lift) =>
+      assert(t1 < t2)
+      val want = docs.count { case (_, ts) => ts(t1) && ts(t2) }
+      assert(cab === want, s"pair ($t1,$t2)")
+      assert(cab >= 5)
+      val wantLift = BigDecimal(cab * n / (df(t1) * df(t2)).toDouble + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(lift - wantLift) < 1e-9, s"lift ($t1,$t2)")
+    }
+  }
+
+  test("mm_dedup: groups conserve docs, canonical is the min id, unique " +
+       "payloads reclaim nothing") {
+    val rows = Multimodal.payloadDedup(spark, dir).collect()
+    val nDocs = Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum === nDocs)
+    rows.filter(_.getLong(2) == 1L)
+      .foreach(r => assert(r.getDouble(4) === 0.0))
+    // planted duplicate group: 3 copies of an 11-byte payload collapse
+    // to the min doc_id, reclaiming 2/3 of the group bytes
+    import spark.implicits._
+    val pdir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (7L, "same bytes!", "en", "web"),
+        (3L, "same bytes!", "en", "web"),
+        (5L, "same bytes!", "fr", "web"),
+        (9L, "unique text", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val planted = Multimodal.payloadDedup(spark, pdir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+                                 r.getDouble(4))).toMap
+    assert(planted(3L) === ((3L, 33L, 22.0)))
+    assert(planted(9L) === ((1L, 11L, 0.0)))
   }
 }
