@@ -318,21 +318,45 @@ object Corpus {
       explode(array_distinct(split(col("text"), "\\s+"))).as("term"))
     val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // bounded top-k vocabulary (TakeOrderedAndProject, never a global
-    // sort); (df desc, term asc) is a deterministic total order
+    // sort); (df desc, term asc) is a deterministic total order. The 64
+    // (term, df) rows are a MODEL PARAMETER (same stance as the k-means
+    // codebook / lm_score stats): collected once, shipped as literals.
     val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(64)
-    val dv = toks.join(broadcast(vocab).select(col("term")), Seq("term"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // term-sorted vocab: index order == lexicographic order, so pair
+    // (i < j) ⇔ (term_i < term_j) and the int code i*64+j IS the pair
+    val sorted = vocab.map(_._1).sorted.toIndexedSeq
+    val vlit = array(sorted.map(lit): _*)
+    val idxMap = map(sorted.zipWithIndex.flatMap {
+      case (t, i) => Seq(lit(t), lit(i)) }: _*)
     val n = docs.count()
-    val pairs = dv.as("a")
-      .join(dv.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
-      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
-      .agg(count(lit(1)).as("c_ab"))
+    // Pair generation is ARRAY-LOCAL: restrict each doc's distinct-token
+    // set to the vocab, map terms to ints, and emit i<j combinations as
+    // single int codes with higher-order functions — no token explode,
+    // no self-join; the only shuffle is the pair groupBy, whose key
+    // space is ≤ C(64,2) = 2016 plain ints, collapsed map-side by
+    // partial aggregation. (Measured on the 100× probe: a doc_id
+    // self-join re-shuffles the token stream twice, and a struct<str,
+    // str> pair explode pays per-pair string hashing — int codes beat
+    // both; the shuffle is corpus-size-independent either way.)
+    val pairs = docs
+      .select(transform(
+        array_sort(array_intersect(
+          array_distinct(split(col("text"), "\\s+")), vlit)),
+        t => element_at(idxMap, t)).as("is"))
+      .select(explode(flatten(expr(
+        """transform(is, (x, i) ->
+          |  transform(slice(is, i + 2, size(is)), y -> x * 64 + y))
+          |""".stripMargin))).as("pc"))
+      .groupBy(col("pc")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)
+    val dfMap = map(vocab.toIndexedSeq.flatMap {
+      case (t, d) => Seq(lit(t), lit(d)) }: _*)
     pairs
-      .join(broadcast(vocab).select(col("term").as("t1"),
-                                    col("df").as("df1")), Seq("t1"))
-      .join(broadcast(vocab).select(col("term").as("t2"),
-                                    col("df").as("df2")), Seq("t2"))
+      .withColumn("t1", element_at(vlit, (col("pc") / 64).cast("int") + 1))
+      .withColumn("t2", element_at(vlit, pmod(col("pc"), lit(64)) + 1))
+      .withColumn("df1", element_at(dfMap, col("t1")))
+      .withColumn("df2", element_at(dfMap, col("t2")))
       .select(col("t1"), col("t2"), col("c_ab"),
         round(col("c_ab") * lit(n) / (col("df1") * col("df2")) + 1e-9, 6)
           .as("lift"))

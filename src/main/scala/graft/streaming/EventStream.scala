@@ -359,4 +359,25 @@ object EventStream {
           g => mightContain(g))).cast("long").as("n_candidates"))
       .withColumn("might_contaminated", col("n_candidates") > 0)
   }
+
+  /** Stream-static enrichment: each arriving event joined against a
+    * STATIC per-user profile dimension (first-seen time, lifetime event
+    * count, computed batch-side once). The static side is broadcast, so
+    * every micro-batch is a map-side hash join — no watermark, no state,
+    * no shuffle of the stream; the profile refreshes only when the query
+    * restarts (the standard slowly-changing-dimension cadence for
+    * stream enrichment). Left join: an unseen user still flows through,
+    * profile columns null. */
+  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_seen"),
+           count(lit(1)).as("lifetime_events"))
+    readEvents(spark, dir)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("first_seen"), col("lifetime_events"),
+        (unix_micros(col("ts")) - unix_micros(col("first_seen")))
+          .as("us_since_first"))
+  }
 }

@@ -265,4 +265,47 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 0,
       s"assignment must not shuffle the corpus:\n$p")
   }
+
+  test("colloc_lift: pair generation is array-local — one bounded-key " +
+       "exchange, no join of any kind in the plan") {
+    val p = plan(Corpus.collocLift(spark, sf))
+    // the ≤C(64,2)-key pair groupBy is the only hash exchange; the vocab
+    // is a collected model parameter (literals), not a join side
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected only the pair-count exchange:\n$p")
+    assert(!p.contains("Join"), "pairing must not join — it is map-side")
+    assert(p.contains("Generate"), "expected the combination explode")
+  }
+
+  test("value_histogram: single hash exchange — bin id computed map-side, " +
+       "fraction window runs over the 20-row aggregate") {
+    val p = plan(graft.ops.Audit.valueHistogram(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"histogram should shuffle once (the groupBy), got $shuffles")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "bin counts must partially aggregate map-side")
+  }
+
+  test("rolling_median: one per-user window pass, no join, no extra " +
+       "exchange") {
+    val p = plan(graft.ops.Events.rollingMedian(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"expected only the user-window exchange, got $shuffles")
+    assert("Window".r.findAllIn(p).length >= 1)
+  }
+
+  test("mm_dedup: only 16-byte digests shuffle — the payload column " +
+       "never crosses the exchange") {
+    val p = plan(graft.ops.Multimodal.payloadDedup(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(digest"),
+      "grouping must key on the map-side digest")
+    // the binary payload is consumed by the map-side md5/octet_length
+    // projection below the exchange; the reduce side (printed ABOVE the
+    // Exchange line) must never reference the text column
+    val reduceSide = p.split("Exchange hashpartitioning")(0)
+    assert(!reduceSide.contains("text#"),
+      "payload bytes must not cross the shuffle")
+  }
 }

