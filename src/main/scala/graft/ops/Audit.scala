@@ -130,12 +130,80 @@ object Audit {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Benford's-law expected first-digit frequencies log10(1+1/d), pinned
+    * as 6-dp decimal literals: JVM Math.log10 and DuckDB log10 disagree
+    * by 1 ulp on d=3 (measured), so the expectation table is a shared
+    * CONSTANT, not a per-engine computation. */
+  private val Benford = Seq(0.30103, 0.176091, 0.124939, 0.09691,
+    0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** Benford first-digit audit of o_totalprice — the classic synthetic-
+    * data / fraud smoke test: compare the observed leading-digit
+    * distribution with Benford's expectation. The leading digit is
+    * derived with PURE INTEGER arithmetic (a CASE ladder of integer
+    * divisions — no log10 on data values, whose cross-engine ulp drift
+    * would flip digits at power-of-10 boundaries), computed map-side;
+    * the shuffle carries 9 groups. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val expMap = map((1 to 9).flatMap(d =>
+      Seq(lit(d.toLong), lit(Benford(d - 1)))): _*)
+    val n = Tables.t(spark, dir, "orders")
+      .filter(col("o_totalprice") >= 1.0)
+      .withColumn("v", floor(col("o_totalprice")).cast("long"))
+      .withColumn("digit", expr(
+        """CASE WHEN v >= 100000000 THEN v div 100000000
+          |     WHEN v >= 10000000  THEN v div 10000000
+          |     WHEN v >= 1000000   THEN v div 1000000
+          |     WHEN v >= 100000    THEN v div 100000
+          |     WHEN v >= 10000     THEN v div 10000
+          |     WHEN v >= 1000      THEN v div 1000
+          |     WHEN v >= 100       THEN v div 100
+          |     WHEN v >= 10        THEN v div 10
+          |     ELSE v END""".stripMargin))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    n.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"),
+        col("n"),
+        round(col("n") / col("total") + 1e-9, 6).as("obs_frac"),
+        element_at(expMap, col("digit")).as("exp_frac"))
+      .withColumn("dev", round(abs(col("obs_frac") - col("exp_frac")), 6))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks"       -> (dqChecks _),
     "value_histogram" -> (valueHistogram _),
+    "benford_digits"  -> (benfordDigits _),
     "crosstab_assoc"  -> (crosstabAssoc _))
 
   val oracle: Map[String, String] = Map(
+    "benford_digits" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |d AS (
+        |  SELECT CASE WHEN v >= 100000000 THEN v // 100000000
+        |              WHEN v >= 10000000  THEN v // 10000000
+        |              WHEN v >= 1000000   THEN v // 1000000
+        |              WHEN v >= 100000    THEN v // 100000
+        |              WHEN v >= 10000     THEN v // 10000
+        |              WHEN v >= 1000      THEN v // 1000
+        |              WHEN v >= 100       THEN v // 100
+        |              WHEN v >= 10        THEN v // 10
+        |              ELSE v END AS digit
+        |  FROM v),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |e(digit, exp_frac) AS (VALUES
+        |  (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+        |  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        |  (9, 0.045757))
+        |SELECT g.digit, g.n,
+        |  ROUND(g.n / SUM(g.n) OVER () + 1e-9, 6) AS obs_frac,
+        |  CAST(e.exp_frac AS DOUBLE) AS exp_frac,
+        |  ROUND(abs(ROUND(g.n / SUM(g.n) OVER () + 1e-9, 6)
+        |            - e.exp_frac), 6) AS dev
+        |FROM g JOIN e ON e.digit = g.digit
+        |ORDER BY g.digit""".stripMargin,
     "dq_checks" ->
       """WITH j AS (
         |  SELECT l.l_orderkey, l.l_shipdate, l.l_discount,

@@ -334,7 +334,54 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** Sparse text cosine similarity join over the RARE-term space — the
+    * token-based twin of the dense embedding ops: documents as sparse
+    * tf vectors, pairs formed only through shared terms (the inverted-
+    * index meet), similarity = dot/(|a|·|b|) over terms with df ≤ 32.
+    *
+    * The df cap is the prefix-filtering scale defense every sparse
+    * all-pairs system uses: a term's pair fan-out is ≤ C(df,2), so
+    * capping df bounds per-term work at C(32,2) while stopword-class
+    * terms (which dominate token volume but carry no discriminative
+    * signal) never form pairs at all. Total pair work is
+    * Θ(Σ_rare-terms df²), independent of the worst key.
+    *
+    * Float parity is EXACT, not rounded-into-agreement: tf counts are
+    * integers, so dot and the two squared norms are integer sums (order-
+    * insensitive); sqrt and one division are correctly-rounded IEEE ops
+    * applied in the same order by both engines. */
+  def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.t(spark, dir, "documents"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val rare = tf
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term"))))
+      .filter(col("df") <= 32)
+      .select(col("doc_id"), col("term"), col("tf"))
+    val norms = rare.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("ssq"))
+    val pairs = rare.as("a")
+      .join(rare.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("ssq").as("ssq_a")),
+            Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("ssq").as("ssq_b")),
+            Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        round(col("dot") / (sqrt(col("ssq_a")) * sqrt(col("ssq_b")))
+          + 1e-9, 6).as("sim"))
+      .filter(col("sim") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sparse_cosine"  -> (sparseCosine _),
     "cluster_purity" -> (clusterPurity _),
     "kmeans_assign"  -> (kmeansAssign _),
     "ann_recall"     -> (annRecall _),
@@ -393,6 +440,35 @@ object Similarity {
        |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sparse_cosine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |rare AS (
+        |  SELECT doc_id, term, tf FROM (
+        |    SELECT doc_id, term, tf,
+        |           COUNT(*) OVER (PARTITION BY term) AS df
+        |    FROM tf)
+        |  WHERE df <= 32),
+        |norms AS (
+        |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS ssq
+        |  FROM rare GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM rare a JOIN rare b
+        |    ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot, sim FROM (
+        |  SELECT p.doc_a, p.doc_b, p.dot,
+        |         ROUND(p.dot / (sqrt(na.ssq) * sqrt(nb.ssq)) + 1e-9, 6)
+        |           AS sim
+        |  FROM pairs p
+        |    JOIN norms na ON na.doc_id = p.doc_a
+        |    JOIN norms nb ON nb.doc_id = p.doc_b)
+        |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "kmeans_assign" ->
       (duckKmeansCtes +
         "\nSELECT vec_id, cell AS cluster FROM a2 ORDER BY vec_id"),

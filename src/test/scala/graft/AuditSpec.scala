@@ -75,6 +75,23 @@ class AuditSpec extends AnyFunSuite {
       === bin3)
   }
 
+  test("benford_digits: integer-derived leading digits, fracs sum to 1, " +
+       "pinned expectation table") {
+    val rows = Audit.benfordDigits(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    assert(rows.find(_.getLong(0) == 1L).map(_.getDouble(3))
+      .contains(0.30103))
+    // planted leading digits across magnitudes
+    val pd = TestFixtures.writeDir(Map(
+      "orders" -> Seq((1L, 9.5), (2L, 92.0), (3L, 905.0), (4L, 1234.0),
+                      (5L, 0.5)) // < 1 excluded
+        .toDF("o_orderkey", "o_totalprice")))
+    val planted = Audit.benfordDigits(spark, pd).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(planted === Map(9L -> 3L, 1L -> 1L))
+  }
+
   test("crosstab_assoc: expected preserves marginals, contrib >= 0") {
     val rows = Audit.crosstabAssoc(spark, dir).collect()
     val total = Tables.t(spark, dir, "documents").count()

@@ -237,4 +237,32 @@ class TextSimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("sparse_cosine: hand-computed rare-term cosine; ubiquitous terms " +
+       "(df > cap) never pair") {
+    // docs 1/2 share rare terms (zebra quark), doc 3 shares only the
+    // ubiquitous filler ("common", df = 34 > 32 — planted above cap by
+    // 34 docs), doc 4 overlaps 1 on one rare term with tf 2 vs 1
+    val filler = (100L until 134L).map(i =>
+      (i, "common", "en", "web"))
+    val rows = Seq(
+      (1L, "zebra quark common", "en", "web"),
+      (2L, "zebra quark common", "en", "web"),
+      (3L, "common only here", "en", "web"),
+      (4L, "zebra zebra common", "en", "web")) ++ filler
+    val dir = TestFixtures.writeDir(Map(
+      "documents" -> rows.toDF("doc_id", "text", "lang", "source")))
+    val got = Similarity.sparseCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+                 r.getDouble(3))).toMap
+    // rare spaces: d1 = {zebra:1, quark:1}, d2 same, d4 = {zebra:2};
+    // d3 = {only:1, here:1} shares no rare term with anyone
+    assert(got((1L, 2L)) === ((2L, 1.0)))          // identical rare vectors
+    val s14 = BigDecimal(2.0 / (math.sqrt(2) * 2) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 4L)) === ((2L, s14)))          // 2/(√2·√4) ≈ 0.707107
+    assert(got((2L, 4L)) === ((2L, s14)))
+    assert(got.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      "no pair may form through a ubiquitous term")
+  }
 }
