@@ -453,6 +453,42 @@ object Relational {
     * filter runs on the aggregate BEFORE the joins, so only qualifying
     * keys (a tiny set) reach the join — the orders/customer probes
     * broadcast against it at any scale. */
+  /** TPC-H q7-shape nation-pair trade volume: lineitem up through
+    * supplier→nation on one side and orders→customer→nation on the
+    * other, revenue per (supp_nation, cust_nation, ship year) for
+    * cross-nation flows. The q5 snowflake's plan stance, but with TWO
+    * independent nation legs: every dimension (supplier, customer, both
+    * nation copies) broadcasts, so the only shuffles are the
+    * lineitem⋈orders fact join and the final
+    * |nations|²·|years| aggregate. */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+    val ord = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.t(spark, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+                                 col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+                                 col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+                 4).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   def sqlHaving(spark: SparkSession, dir: String): DataFrame = {
     // Filter on the RAW sum (like the oracle's HAVING), round only for
     // display — thresholding the rounded value would diverge for sums
@@ -615,6 +651,7 @@ object Relational {
     "profile_table"  -> (profileTable _),
     "cond_agg"       -> (condAgg _),
     "sql_having"     -> (sqlHaving _),
+    "q7_volume"      -> (q7Volume _),
     "disjunctive"    -> (disjunctiveFilter _),
     "sql_exists"     -> (sqlExists _),
     "sql_text"       -> (sqlText _),
@@ -708,6 +745,21 @@ object Relational {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "sql_having" ->
       """WITH big AS (
         |  SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty

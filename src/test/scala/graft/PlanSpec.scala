@@ -266,6 +266,18 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must not shuffle the corpus:\n$p")
   }
 
+  test("q7_volume: both nation legs broadcast — only the fact join and " +
+       "the final aggregate shuffle") {
+    val p = plan(Relational.q7Volume(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      "supplier, customer and both nation copies must broadcast")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 3,
+      s"expected fact join + final agg shuffles only, got $shuffles")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "ship-year window must reach the scan")
+  }
+
   test("colloc_lift: pair generation is array-local — one bounded-key " +
        "exchange, no join of any kind in the plan") {
     val p = plan(Corpus.collocLift(spark, sf))
