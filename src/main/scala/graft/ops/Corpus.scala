@@ -363,7 +363,24 @@ object Corpus {
       .orderBy(col("t1"), col("t2"))
   }
 
+  /** Exact-k deterministic uniform sample (k = 100): order by a seeded
+    * content-independent hash and take the k smallest — compiles to
+    * TakeOrderedAndProject, so each task keeps a k-row heap and only
+    * k·#partitions rows ever move (no count pass, no global sort, no
+    * rand() nondeterminism). The complement of stratified/mixture/
+    * weighted sampling: one exact-size draw over the whole corpus. */
+  def globalSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .withColumn("h",
+        md5(concat(lit("gs42|"), col("doc_id").cast("string"))
+          .cast("binary")))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "global_sample"     -> (globalSample _),
     "colloc_lift"       -> (collocLift _),
     "corpus_curate"     -> (curate _),
     "tfidf_topterms"    -> (tfidfTopTerms _),
@@ -376,6 +393,12 @@ object Corpus {
     "weighted_sample"   -> (weightedSample _))
 
   val oracle: Map[String, String] = Map(
+    "global_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         md5('gs42|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents ORDER BY h, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     "colloc_lift" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id,

@@ -306,7 +306,32 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic stratified train/val/test split: every document gets
+    * a split label from a seeded hash of (lang | doc_id), thresholded at
+    * 0xcc (~79.7% train) and 0xe6 (~10.2% val, remainder test). Because
+    * lang is inside the hash key, the draw is uniform WITHIN each
+    * language — per-stratum fractions hold without a count pass or any
+    * shuffle at all: the label is a pure map-side expression that
+    * composes with partition pruning (same stance as stratified_sample).
+    * Output includes the per-(lang, split) tallies a release manifest
+    * records; the tally aggregate is the only exchange. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .withColumn("h", substring(
+        md5(concat(lit("split42|"), col("lang"), lit("|"),
+                   col("doc_id").cast("string")).cast("binary")), 1, 2))
+      .withColumn("split",
+        when(col("h") < "cc", lit("train"))
+          .when(col("h") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("n_chars"),
+           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_split"    -> (datasetSplit _),
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
     "lm_score"         -> (lmScore _),
@@ -317,6 +342,19 @@ object Curation {
     "bloom_prefilter"  -> (bloomPrefilter _))
 
   val oracle: Map[String, String] = Map(
+    "dataset_split" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    substring(md5('split42|' || lang || '|'
+        |      || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN h < 'cc' THEN 'train'
+        |       WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "shard_manifest" ->
       """WITH t AS (
         |  SELECT doc_id,

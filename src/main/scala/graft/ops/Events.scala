@@ -505,7 +505,33 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Last-touch attribution: for every purchase, the most recent
+    * preceding click in the same user's stream — last click time, lag to
+    * purchase, and how many clicks came before. One conditional window
+    * pass (CASE inside MAX/COUNT over an unbounded-preceding frame), one
+    * user shuffle; all outputs are timestamps/integers, so cross-engine
+    * parity is exact. Purchases with no prior click keep NULLs (direct
+    * conversions — the row a marketing report must not drop). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("clicks_before",
+        count(when(col("event_type") === "click", lit(1))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+          .as("us_since_click"),
+        col("clicks_before"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution"       -> (attribution _),
     "rolling_median"    -> (rollingMedian _),
     "cumulative_users"  -> (cumulativeUsers _),
     "event_transitions" -> (eventTransitions _),
@@ -530,6 +556,25 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts END) OVER win
+        |      AS last_click_ts,
+        |    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER win
+        |      AS BIGINT) AS clicks_before
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+        |  epoch_us(ts) - epoch_us(last_click_ts) AS us_since_click,
+        |  clicks_before
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "rolling_median" ->
       """SELECT event_id, user_id,
         |  quantile_disc(value, 0.5) OVER (

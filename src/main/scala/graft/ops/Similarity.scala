@@ -380,7 +380,29 @@ object Similarity {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Per-vector profiling with higher-order array functions — the
+    * embedding-column twin of profile_table: dimension, L2 norm
+    * (aggregate over the array with per-element double promotion:
+    * float·float would round at float precision and drift from the
+    * oracle's DOUBLE[] arithmetic), component min/max (exact float
+    * widening, no rounding needed), and the non-negative count. All
+    * map-side array-local work — the only exchange is the presentation
+    * sort. */
+  def vectorStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
+          .as("l2_norm"),
+        array_min(col("embedding")).cast("double").as("min_c"),
+        array_max(col("embedding")).cast("double").as("max_c"),
+        size(filter(col("embedding"), x => x >= 0)).cast("long")
+          .as("n_nonneg"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vector_stats"   -> (vectorStats _),
     "sparse_cosine"  -> (sparseCosine _),
     "cluster_purity" -> (clusterPurity _),
     "kmeans_assign"  -> (kmeansAssign _),
@@ -440,6 +462,16 @@ object Similarity {
        |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "vector_stats" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+        |                              embedding::DOUBLE[])), 6) AS l2_norm,
+        |  CAST(list_min(embedding) AS DOUBLE) AS min_c,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_c,
+        |  CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT)
+        |    AS n_nonneg
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "sparse_cosine" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term

@@ -105,6 +105,27 @@ class EventsSpec extends AnyFunSuite {
     assert(flagged === Set(21L, 22L, 23L))
   }
 
+  test("attribution: purchases credit the latest preceding click; " +
+       "direct conversions keep NULLs") {
+    val adir = TestFixtures.writeDir(Map(
+      "events" -> Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click",    1.0, "{}"),
+        (2L, ts("2024-01-01 10:05:00"), 1L, "click",    1.0, "{}"),
+        (3L, ts("2024-01-01 10:20:00"), 1L, "purchase", 9.0, "{}"),
+        (4L, ts("2024-01-01 11:00:00"), 1L, "purchase", 5.0, "{}"),
+        (5L, ts("2024-01-01 09:00:00"), 2L, "purchase", 7.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    val got = graft.ops.Events.attribution(spark, adir).collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toMap
+    assert(got(3L) === ((Some(ts("2024-01-01 10:05:00")),
+      Some(15L * 60 * 1000000), 2L)))       // latest of the two clicks
+    assert(got(4L) === ((Some(ts("2024-01-01 10:05:00")),
+      Some(55L * 60 * 1000000), 2L)))       // purchases don't reset it
+    assert(got(5L) === ((None, None, 0L)))  // direct conversion survives
+  }
+
   test("rolling_median equals a naive per-row trailing-5 lower-middle") {
     val sf = "/root/testdata/sf0.001"
     val got = Events.rollingMedian(spark, sf).collect()

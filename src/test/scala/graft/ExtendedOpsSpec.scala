@@ -369,4 +369,29 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(planted(3L) === ((3L, 33L, 22.0)))
     assert(planted(9L) === ((1L, 11L, 0.0)))
   }
+
+  test("global_sample: exactly 100 rows, deterministic, a subset of the " +
+       "corpus") {
+    val a = Corpus.globalSample(spark, dir).collect().map(_.getLong(0))
+    val b = Corpus.globalSample(spark, dir).collect().map(_.getLong(0))
+    assert(a.length === 100)
+    assert(a.toSeq === b.toSeq)
+    val ids = Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a.forall(ids))
+  }
+
+  test("dataset_split: tallies conserve the corpus, every lang splits " +
+       "~80/10/10") {
+    val rows = graft.ops.Curation.datasetSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = Tables.t(spark, dir, "documents").count()
+    assert(rows.values.sum === total)
+    rows.groupBy(_._1._1).foreach { case (lang, cells) =>
+      val n = cells.values.sum.toDouble
+      val train = cells.getOrElse((lang, "train"), 0L) / n
+      // small strata are noisy; the hash threshold targets 79.7%
+      assert(train > 0.6 && train < 0.95, s"$lang train frac $train")
+    }
+  }
 }

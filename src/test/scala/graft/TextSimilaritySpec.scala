@@ -238,6 +238,22 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("vector_stats: hand-computed norm/extremes/counts on a planted " +
+       "vector") {
+    val vdir = TestFixtures.writeDir(Map(
+      "embeddings" -> Seq(
+        (1L, Seq(3.0f, -4.0f, 0.0f), 0),
+        (2L, Seq(-1.5f, 2.5f), 1))
+        .toDF("vec_id", "embedding", "label")))
+    val got = graft.ops.Similarity.vectorStats(spark, vdir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(got(1L) === ((3L, 5.0, -4.0, 3.0, 2L)))
+    val n2 = BigDecimal(math.sqrt(1.5 * 1.5 + 2.5 * 2.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) === ((2L, n2, -1.5, 2.5, 1L)))
+  }
+
   test("sparse_cosine: hand-computed rare-term cosine; ubiquitous terms " +
        "(df > cap) never pair") {
     // docs 1/2 share rare terms (zebra quark), doc 3 shares only the
