@@ -109,6 +109,31 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** ASOF-FORWARD: the time-reversed twin of asofJoin — attach to every
+    * click the NEXT purchase of the same user (at or after the click),
+    * plus the wait in µs. Same scalable composition, mirrored frame:
+    * first(ignoreNulls) over current-row→unbounded-FOLLOWING in the one
+    * per-user window pass. Completes the as-of family
+    * (backward / forward) without a range join or per-row probe. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("p_ts",
+        when(col("event_type") === "purchase", col("ts")))
+      .withColumn("p_value",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("next_purchase_ts", first(col("p_ts"), true).over(w))
+      .withColumn("next_purchase_value", first(col("p_value"), true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("next_purchase_ts"), col("next_purchase_value"),
+        (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
+          .as("us_to_purchase"))
+      .orderBy(col("event_id"))
+  }
+
   /** Skew-resistant two-phase aggregation (salting): partial aggregate on
     * (key, salt), then final aggregate on key. With a hot key (one
     * event_type dominating), the salt spreads the partial agg across
@@ -531,6 +556,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_forward"      -> (asofForward _),
     "attribution"       -> (attribution _),
     "rolling_median"    -> (rollingMedian _),
     "cumulative_users"  -> (cumulativeUsers _),
@@ -556,6 +582,25 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, ts::TIMESTAMP AS ts
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END
+        |                IGNORE NULLS) OVER win AS next_purchase_ts,
+        |    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+        |                IGNORE NULLS) OVER win AS next_purchase_value
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN CURRENT ROW
+        |                          AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ts, next_purchase_ts,
+        |  next_purchase_value,
+        |  epoch_us(next_purchase_ts) - epoch_us(ts) AS us_to_purchase
+        |FROM w WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
     "attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts

@@ -186,7 +186,32 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Sentence segmentation + per-sentence length stats — the NLP
+    * preprocessing step between raw text and tokenization: split on
+    * sentence-ending punctuation runs followed by whitespace, then
+    * count/profile sentences ENTIRELY array-locally (split → filter →
+    * transform → aggregate higher-order chain, zero data shuffles; the
+    * only exchange is the presentation sort). The final sentence keeps
+    * its terminal punctuation (no trailing separator to split on) —
+    * stated so the oracle encodes the same convention. */
+  def sentStats(spark: SparkSession, dir: String): DataFrame = {
+    val sents = filter(
+      split(col("text"), "[.!?]+\\s+"), s => trim(s) =!= "")
+    val toks = transform(sents, s => size(split(trim(s), "\\s+")))
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(sents).cast("long").as("n_sents"),
+        when(size(sents) > 0, round(
+          aggregate(toks, lit(0L), (acc, x) => acc + x)
+            / size(sents).cast("double") + 1e-9, 4)).as("avg_sent_toks"),
+        when(size(sents) > 0, array_max(toks).cast("long"))
+          .as("max_sent_toks"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sent_stats"   -> (sentStats _),
     "token_encode"  -> (tokenEncode _),
     "token_entropy" -> (tokenEntropy _),
     "text_clean"   -> (textClean _),
@@ -197,6 +222,25 @@ object Text {
     "fingerprint"  -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "sent_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[.!?]+\s+'),
+        |                x -> trim(x) <> '') AS sents
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT doc_id, sents,
+        |    list_transform(sents,
+        |      x -> len(string_split_regex(trim(x), '\s+'))) AS toks
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS BIGINT) AS n_sents,
+        |  CASE WHEN len(sents) > 0 THEN
+        |    ROUND(list_sum(toks) / CAST(len(sents) AS DOUBLE) + 1e-9, 4)
+        |  END AS avg_sent_toks,
+        |  CASE WHEN len(sents) > 0 THEN CAST(list_max(toks) AS BIGINT)
+        |  END AS max_sent_toks
+        |FROM t ORDER BY doc_id""".stripMargin,
     "token_encode" ->
       """WITH u AS (
         |  SELECT doc_id,

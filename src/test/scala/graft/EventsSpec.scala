@@ -126,6 +126,24 @@ class EventsSpec extends AnyFunSuite {
     assert(got(5L) === ((None, None, 0L)))  // direct conversion survives
   }
 
+  test("asof_forward: clicks see the NEXT purchase; clicks after the " +
+       "last purchase keep NULLs") {
+    val adir = TestFixtures.writeDir(Map(
+      "events" -> Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click",    1.0, "{}"),
+        (2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 9.0, "{}"),
+        (3L, ts("2024-01-01 10:45:00"), 1L, "click",    1.0, "{}"),
+        (4L, ts("2024-01-01 11:00:00"), 1L, "purchase", 5.0, "{}"),
+        (5L, ts("2024-01-01 12:00:00"), 1L, "click",    1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    val got = graft.ops.Events.asofForward(spark, adir).collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L) === ((Some(ts("2024-01-01 10:30:00")), Some(9.0))))
+    assert(got(3L) === ((Some(ts("2024-01-01 11:00:00")), Some(5.0))))
+    assert(got(5L) === ((None, None)))
+  }
+
   test("rolling_median equals a naive per-row trailing-5 lower-middle") {
     val sf = "/root/testdata/sf0.001"
     val got = Events.rollingMedian(spark, sf).collect()

@@ -238,6 +238,25 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("sent_stats: hand-checked segmentation — terminal punctuation " +
+       "binds to the last sentence, blank splits drop") {
+    val sdir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (1L, "one two. three four five! six", "en", "web"),
+        (2L, "only one sentence", "en", "web"),
+        (3L, "ends hard.  ", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val got = graft.ops.Text.sentStats(spark, sdir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // doc 1: ["one two", "three four five", "six"] → 3 sents, avg 2.0
+    assert(got(1L) === ((3L, Some(2.0), Some(3L))))
+    assert(got(2L) === ((1L, Some(3.0), Some(3L))))
+    // doc 3: "ends hard.  " splits to ["ends hard", ""] → blank dropped
+    assert(got(3L) === ((1L, Some(2.0), Some(2L))))
+  }
+
   test("vector_stats: hand-computed norm/extremes/counts on a planted " +
        "vector") {
     val vdir = TestFixtures.writeDir(Map(
