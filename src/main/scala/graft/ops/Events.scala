@@ -555,7 +555,48 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Daily engagement rollup over sessionize's output: sessions started,
+    * bounce rate (single-event sessions), mean events per session, mean
+    * session seconds. Stacks the gap-sessionization pass (one user
+    * shuffle) with one bounded |days| aggregate — the report an
+    * engagement dashboard refreshes nightly. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .groupBy(to_date(col("session_start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        round(avg(col("n_events")) + 1e-9, 4).as("avg_events"),
+        round(avg(unix_micros(col("session_end"))
+          - unix_micros(col("session_start"))) / 1e6 + 1e-9, 4)
+          .as("avg_session_sec"))
+      .withColumn("bounce_rate",
+        round(col("n_bounce") / col("n_sessions") + 1e-9, 4))
+      .orderBy(col("day"))
+
+  /** Inter-arrival latency profile per event type: p50/p90/p99 of the
+    * µs gaps between a user's consecutive events of that type. Deltas
+    * are one lag-window pass (integer µs — exact); the percentiles are
+    * exact interpolating quantiles per |types| group (quantile_cont
+    * convention, like mad_outlier; at 100 TB the documented swap is
+    * approx_percentile — same mergeable-sketch note applies). */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("delta_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("delta_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(delta_us, 0.5)") + 1e-9, 2).as("p50_us"),
+        round(expr("percentile(delta_us, 0.9)") + 1e-9, 2).as("p90_us"),
+        round(expr("percentile(delta_us, 0.99)") + 1e-9, 2).as("p99_us"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_stats"     -> (sessionStats _),
+    "interarrival"      -> (interarrival _),
     "asof_forward"      -> (asofForward _),
     "attribution"       -> (attribution _),
     "rolling_median"    -> (rollingMedian _),
@@ -582,6 +623,51 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts_us FROM events),
+        |l AS (
+        |  SELECT *, LAG(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts_us) - epoch_us(prev_ts) > 1800000000
+        |            THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |         MIN(ts_us) AS session_start, MAX(ts_us) AS session_end,
+        |         COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT session_start::DATE AS day,
+        |  COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  ROUND(AVG(n_events) + 1e-9, 4) AS avg_events,
+        |  ROUND(AVG(epoch_us(session_end) - epoch_us(session_start)) / 1e6
+        |        + 1e-9, 4) AS avg_session_sec,
+        |  ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |        / COUNT(*)::DOUBLE + 1e-9, 4) AS bounce_rate
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "interarrival" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    epoch_us(ts::TIMESTAMP) - epoch_us(LAG(ts::TIMESTAMP) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts::TIMESTAMP, event_id)) AS delta_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  ROUND(quantile_cont(delta_us, 0.5) + 1e-9, 2) AS p50_us,
+        |  ROUND(quantile_cont(delta_us, 0.9) + 1e-9, 2) AS p90_us,
+        |  ROUND(quantile_cont(delta_us, 0.99) + 1e-9, 2) AS p99_us
+        |FROM d WHERE delta_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_forward" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value, ts::TIMESTAMP AS ts

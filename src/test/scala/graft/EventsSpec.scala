@@ -126,6 +126,30 @@ class EventsSpec extends AnyFunSuite {
     assert(got(5L) === ((None, None, 0L)))  // direct conversion survives
   }
 
+  test("session_stats: bounce and averages over the 3-session fixture") {
+    val r = graft.ops.Events.sessionStats(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // sessions: u1 (2 events), u1 (1 event → bounce), u2 (2 events)
+    assert(row.getLong(1) === 3L)
+    assert(row.getLong(2) === 1L)
+    assert(row.getDouble(3) === 1.6667)
+    assert(row.getDouble(5) === 0.3333)
+  }
+
+  test("interarrival: gap count = events minus (user, type) streams") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Events.interarrival(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    val nStreams = Tables.events(spark, sf)
+      .select($"user_id", $"event_type").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nEvents - nStreams)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) &&
+             r.getDouble(3) <= r.getDouble(4), "p50 <= p90 <= p99")
+    }
+  }
+
   test("asof_forward: clicks see the NEXT purchase; clicks after the " +
        "last purchase keep NULLs") {
     val adir = TestFixtures.writeDir(Map(
