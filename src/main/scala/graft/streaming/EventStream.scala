@@ -143,6 +143,44 @@ object EventStream {
               col("value"))
   }
 
+  /** MULTI-WAY stream-stream join: view → click (≤ 6 h later) →
+    * purchase (≤ 12 h after the click), all three sides unbounded. Spark
+    * executes this as two cascaded watermarked interval joins; each
+    * stage's state is bounded by its interval + watermark horizon, and
+    * both joins co-partition on user_id, so the second join reuses the
+    * first's shuffle layout. The time-ordering predicates are strict on
+    * event time (not event_id), so the shape works on streams that
+    * carry no global sequence — the common case at ingest. */
+  def funnelJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    def leg(t: String, tsName: String, extra: org.apache.spark.sql.Column*)
+        : DataFrame =
+      readEvents(spark, dir).filter(col("event_type") === t)
+        .select((Seq(col("user_id").as(s"${t}_user"),
+                     col("ts").as(tsName)) ++ extra): _*)
+        .withWatermark(tsName, "2 hours")
+    val views = leg("view", "view_ts")
+    val clicks = leg("click", "click_ts")
+    val purchases = leg("purchase", "purchase_ts", col("value"))
+    views
+      .join(clicks,
+        col("view_user") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+      // a stream may carry at most ONE event-time column into the next
+      // stateful operator: demote view_ts to a plain value (rebuilding it
+      // through µs round-trip drops the watermark metadata) and let
+      // click_ts drive the second join's state eviction
+      .withColumn("view_ts_v", expr("timestamp_micros(unix_micros(view_ts))"))
+      .drop("view_ts")
+      .join(purchases,
+        col("click_user") === col("purchase_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("view_user").as("user_id"),
+              col("view_ts_v").as("view_ts"),
+              col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming exact-dedup: first event per (user, type) survives, state
     * expiring with the watermark (dropDuplicatesWithinWatermark) — the
     * streaming twin of batch exact dedup, with bounded key state. */

@@ -176,6 +176,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("3-way stream-stream funnel join matches the batch cascade") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.funnelJoinStream(dir = dir, spark = spark)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_funnel3").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_funnel3").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                   r.getTimestamp(3), r.getDouble(4))).toSet
+      val e = Tables.events(spark, dir)
+      def leg(t: String, n: String) = e.filter(col("event_type") === t)
+        .select(col("user_id").as(s"${n}_u"), col("ts").as(s"${n}_ts"),
+                col("value").as(s"${n}_v"))
+      val batch = leg("view", "v")
+        .join(leg("click", "c"), col("v_u") === col("c_u") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + org.apache.spark.sql.functions
+            .expr("INTERVAL 6 HOURS"))
+        .join(leg("purchase", "p"), col("c_u") === col("p_u") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + org.apache.spark.sql.functions
+            .expr("INTERVAL 12 HOURS"))
+        .select(col("v_u"), col("v_ts"), col("c_ts"), col("p_ts"),
+                col("p_v")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                   r.getTimestamp(3), r.getDouble(4))).toSet
+      assert(batch.nonEmpty, "fixture must contain full funnels")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment matches the batch join, every event " +
        "delivered exactly once") {
     val dir = "/root/testdata/sf0.001"
