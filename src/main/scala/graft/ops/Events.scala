@@ -594,7 +594,29 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Telemetry coverage-gap report: the hour cells with ZERO events
+    * inside each event type's observed [first, last] hour range — the
+    * monitoring complement of resample (which fills gaps; this one
+    * reports them). Per-type min/max collapse map-side; the hour spine
+    * explodes from |types| aggregate rows (Θ(range/hour) cells, not
+    * Θ(events)); observed hours pre-aggregate before the anti join. */
+  def gapDetect(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+    val observed = hours.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = observed.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(observed, Seq("event_type", "hour"), "left_anti")
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gap_detect"        -> (gapDetect _),
     "session_stats"     -> (sessionStats _),
     "interarrival"      -> (interarrival _),
     "asof_forward"      -> (asofForward _),
@@ -623,6 +645,23 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "gap_detect" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour
+        |  FROM events),
+        |obs AS (SELECT DISTINCT event_type, hour FROM h),
+        |m AS (
+        |  SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        |  FROM obs GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM m)
+        |SELECT s.event_type, s.hour
+        |FROM spine s LEFT JOIN obs o
+        |  ON s.event_type = o.event_type AND s.hour = o.hour
+        |WHERE o.hour IS NULL
+        |ORDER BY s.event_type, s.hour""".stripMargin,
     "session_stats" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts_us FROM events),

@@ -489,6 +489,61 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** RFM customer segmentation — the classic marketing rollup: per
+    * customer recency (days since last order, anchored at the corpus
+    * max order date so the result is reproducible), frequency, monetary
+    * total, each scored into quintiles. One fact aggregate; the anchor
+    * and all three ntile windows run over the |customers| aggregate,
+    * never the fact table. Quintile order keys use ROUNDED measures
+    * with custkey tie-breaks, so the segment boundaries are
+    * deterministic cross-engine. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+           count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 4).as("spend"))
+    val anchor = max(col("last_order")).over(Window.partitionBy())
+    def quintile(keys: Column*) =
+      ntile(5).over(Window.orderBy(keys: _*)).cast("long")
+    per
+      .withColumn("recency_days",
+        datediff(anchor, col("last_order")).cast("long"))
+      .withColumn("r_score",
+        quintile(col("recency_days").desc, col("o_custkey")))
+      .withColumn("f_score", quintile(col("n_orders"), col("o_custkey")))
+      .withColumn("m_score", quintile(col("spend"), col("o_custkey")))
+      .select(col("o_custkey"), col("recency_days"), col("n_orders"),
+              col("spend"), col("r_score"), col("f_score"), col("m_score"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Pareto / revenue-concentration analysis: suppliers ranked by
+    * revenue, cumulative share, and the is-top-80% flag (the 80/20
+    * question every sourcing review asks). The fact table aggregates
+    * once; ranking and the running share are windows over the
+    * |suppliers| aggregate. Share arithmetic divides ROUNDED revenue by
+    * the rounded total in a fixed order; the rank orders by (rounded
+    * revenue desc, suppkey) so the curve is deterministic. */
+  def paretoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+                 4).as("revenue"))
+    val ord = Window.orderBy(col("revenue").desc, col("l_suppkey"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cum_share",
+        round(sum(col("revenue")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / sum(col("revenue")).over(all) + 1e-9, 6))
+      .withColumn("is_top80", col("cum_share") <= 0.8)
+      .select(col("l_suppkey"), col("revenue"), col("rnk"),
+              col("cum_share"), col("is_top80"))
+      .orderBy(col("rnk"))
+  }
+
   def sqlHaving(spark: SparkSession, dir: String): DataFrame = {
     // Filter on the RAW sum (like the oracle's HAVING), round only for
     // display — thresholding the rounded value would diverge for sums
@@ -652,6 +707,8 @@ object Relational {
     "cond_agg"       -> (condAgg _),
     "sql_having"     -> (sqlHaving _),
     "q7_volume"      -> (q7Volume _),
+    "rfm_segments"   -> (rfmSegments _),
+    "pareto_suppliers" -> (paretoSuppliers _),
     "disjunctive"    -> (disjunctiveFilter _),
     "sql_exists"     -> (sqlExists _),
     "sql_text"       -> (sqlText _),
@@ -745,6 +802,41 @@ object Relational {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |         COUNT(*) AS n_orders,
+        |         ROUND(SUM(o_totalprice), 4) AS spend
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    CAST(MAX(last_order) OVER ()::DATE - last_order::DATE
+        |         AS BIGINT) AS recency_days
+        |  FROM per)
+        |SELECT o_custkey, recency_days, n_orders, spend,
+        |  CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+        |       AS BIGINT) AS r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
+        |    AS f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY spend, o_custkey) AS BIGINT)
+        |    AS m_score
+        |FROM r ORDER BY o_custkey""".stripMargin,
+    "pareto_suppliers" ->
+      """WITH per AS (
+        |  SELECT l_suppkey,
+        |    ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_suppkey, revenue,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+        |    ROUND(SUM(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |                             AND CURRENT ROW)
+        |          / SUM(revenue) OVER () + 1e-9, 6) AS cum_share
+        |  FROM per
+        |  WINDOW w AS (ORDER BY revenue DESC, l_suppkey))
+        |SELECT l_suppkey, revenue, rnk, cum_share,
+        |       cum_share <= 0.8 AS is_top80
+        |FROM r ORDER BY rnk""".stripMargin,
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       year(l_shipdate) AS l_year,

@@ -370,6 +370,48 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(planted(9L) === ((1L, 11L, 0.0)))
   }
 
+  test("rfm_segments: quintiles balanced, recency anchored at corpus max") {
+    val rows = Relational.rfmSegments(spark, dir).collect()
+    val n = rows.length
+    Seq(4, 5, 6).foreach { i =>
+      val counts = rows.groupBy(_.getLong(i)).view.mapValues(_.size)
+      assert(counts.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      // NTILE sizes differ by at most 1
+      assert(counts.values.max - counts.values.min <= 1,
+        s"col $i unbalanced: $counts")
+    }
+    assert(rows.exists(_.getLong(1) == 0L),
+      "the customer holding the anchor order has recency 0")
+    assert(rows.length === Tables.t(spark, dir, "orders")
+      .select(col("o_custkey")).distinct().count())
+    assert(n > 0)
+  }
+
+  test("pareto_suppliers: cumulative share is monotone and ends at 1") {
+    val rows = Relational.paretoSuppliers(spark, dir).collect()
+      .sortBy(_.getLong(2))
+    val shares = rows.map(_.getDouble(3)).toSeq
+    assert(shares === shares.sorted)
+    assert(math.abs(shares.last - 1.0) < 1e-4)
+    val revs = rows.map(_.getDouble(1)).toSeq
+    assert(revs === revs.sorted.reverse)
+    rows.foreach(r => assert(r.getBoolean(4) === (r.getDouble(3) <= 0.8)))
+  }
+
+  test("gap_detect reports exactly the planted missing hour") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val gdir = TestFixtures.writeDir(Map(
+      "events" -> Seq(
+        (1L, ts("2024-01-01 10:15:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 12:45:00"), 1L, "click", 1.0, "{}"),
+        (3L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    val gaps = graft.ops.Events.gapDetect(spark, gdir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    assert(gaps.toSeq === Seq(("click", ts("2024-01-01 11:00:00"))))
+  }
+
   test("global_sample: exactly 100 rows, deterministic, a subset of the " +
        "corpus") {
     val a = Corpus.globalSample(spark, dir).collect().map(_.getLong(0))
