@@ -544,6 +544,36 @@ object Relational {
       .orderBy(col("rnk"))
   }
 
+  /** Open-order backlog over time — interval counting by the classic
+    * event-calculus trick: each order contributes +1 at its order date
+    * and −1 at its fulfillment date (max lineitem ship date), daily
+    * deltas aggregate (map-side combinable), and one running sum over
+    * the |days| aggregate yields the backlog curve. No interval
+    * self-join, no per-day scan: Θ(orders) delta rows, Θ(days) final
+    * state. Days with no transitions are absent by construction (the
+    * backlog is constant there — stated so the oracle encodes the same
+    * convention). */
+  def ordersOpen(spark: SparkSession, dir: String): DataFrame = {
+    val fulfilled = Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("ship_end"))
+    val j = Tables.t(spark, dir, "orders")
+      .join(fulfilled, col("o_orderkey") === col("l_orderkey"))
+    val deltas = j.select(to_date(col("o_orderdate")).as("day"),
+        lit(1L).as("d"))
+      .unionByName(j.select(to_date(col("ship_end")).as("day"),
+        lit(-1L).as("d")))
+    deltas.groupBy(col("day"))
+      .agg(sum(col("d")).as("net"),
+           sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_opened"),
+           sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_closed"))
+      .withColumn("n_open",
+        sum(col("net")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("n_opened"), col("n_closed"), col("n_open"))
+      .orderBy(col("day"))
+  }
+
   def sqlHaving(spark: SparkSession, dir: String): DataFrame = {
     // Filter on the RAW sum (like the oracle's HAVING), round only for
     // display — thresholding the rounded value would diverge for sums
@@ -707,6 +737,7 @@ object Relational {
     "cond_agg"       -> (condAgg _),
     "sql_having"     -> (sqlHaving _),
     "q7_volume"      -> (q7Volume _),
+    "orders_open"    -> (ordersOpen _),
     "rfm_segments"   -> (rfmSegments _),
     "pareto_suppliers" -> (paretoSuppliers _),
     "disjunctive"    -> (disjunctiveFilter _),
@@ -802,6 +833,31 @@ object Relational {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orders_open" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, MAX(l_shipdate) AS ship_end
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderdate, f.ship_end
+        |  FROM orders o JOIN f ON o.o_orderkey = f.l_orderkey),
+        |d AS (
+        |  SELECT (o_orderdate::TIMESTAMP)::DATE AS day, 1::BIGINT AS d
+        |  FROM j
+        |  UNION ALL
+        |  SELECT (ship_end::TIMESTAMP)::DATE AS day, -1::BIGINT AS d
+        |  FROM j),
+        |g AS (
+        |  SELECT day, CAST(SUM(d) AS BIGINT) AS net,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_opened,
+        |    CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_closed
+        |  FROM d GROUP BY 1)
+        |SELECT day, n_opened, n_closed,
+        |  CAST(SUM(net) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_open
+        |FROM g ORDER BY day""".stripMargin,
     "rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, MAX(o_orderdate) AS last_order,

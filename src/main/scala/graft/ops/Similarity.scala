@@ -401,7 +401,37 @@ object Similarity {
           .as("n_nonneg"))
       .orderBy(col("vec_id"))
 
+  /** Int8 symmetric quantization of the embedding column — the vector-
+    * compression stage an ANN index build runs before sharding: per-
+    * vector scale = max|x|/127, q_i = round(x_i/scale), plus the L2
+    * reconstruction error. Entirely array-local (transform/aggregate
+    * chains, zero data shuffles); every division/round happens on
+    * identically-derived doubles in both engines (components promoted
+    * from float BEFORE any arithmetic), and both engines round halves
+    * away from zero, so parity is exact up to the documented 6-dp
+    * rounding of the error sum. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val absMax = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = greatest(absMax / 127.0, lit(1e-12))
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") / col("scale")).cast("int"))
+    val err = sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) =>
+      acc + pow(x.cast("double")
+        - round(x.cast("double") / col("scale")) * col("scale"), 2)))
+    Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .withColumn("scale", scale)
+      .withColumn("qs", q)
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        array_min(col("qs")).cast("long").as("q_min"),
+        array_max(col("qs")).cast("long").as("q_max"),
+        round(err, 6).as("l2_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_quantize" -> (embeddingQuantize _),
     "vector_stats"   -> (vectorStats _),
     "sparse_cosine"  -> (sparseCosine _),
     "cluster_purity" -> (clusterPurity _),
@@ -462,6 +492,23 @@ object Similarity {
        |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+        |             1e-12) AS scale
+        |  FROM e)
+        |SELECT vec_id,
+        |  ROUND(scale, 6) AS scale6,
+        |  CAST(list_min(list_transform(v, x -> round(x / scale, 0)))
+        |       AS BIGINT) AS q_min,
+        |  CAST(list_max(list_transform(v, x -> round(x / scale, 0)))
+        |       AS BIGINT) AS q_max,
+        |  ROUND(sqrt(list_sum(list_transform(v,
+        |    x -> pow(x - round(x / scale, 0) * scale, 2)))), 6) AS l2_err
+        |FROM s ORDER BY vec_id""".stripMargin,
     "vector_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

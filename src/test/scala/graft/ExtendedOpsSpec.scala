@@ -412,6 +412,20 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(gaps.toSeq === Seq(("click", ts("2024-01-01 11:00:00"))))
   }
 
+  test("orders_open: backlog starts positive, never dips negative, and " +
+       "drains to zero") {
+    val rows = Relational.ordersOpen(spark, dir).collect()
+    assert(rows.head.getLong(3) > 0L)
+    rows.foreach(r => assert(r.getLong(3) >= 0L))
+    assert(rows.last.getLong(3) === 0L,
+      "every joined order opens and later closes")
+    val joined = Tables.t(spark, dir, "orders").join(
+      Tables.t(spark, dir, "lineitem"),
+      col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(rows.map(_.getLong(1)).sum === joined)
+    assert(rows.map(_.getLong(2)).sum === joined)
+  }
+
   test("global_sample: exactly 100 rows, deterministic, a subset of the " +
        "corpus") {
     val a = Corpus.globalSample(spark, dir).collect().map(_.getLong(0))

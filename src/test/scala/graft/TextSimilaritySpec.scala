@@ -257,6 +257,26 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got(3L) === ((1L, Some(2.0), Some(2L))))
   }
 
+  test("embedding_quantize: hand-computed int8 codes and reconstruction " +
+       "error") {
+    val vdir = TestFixtures.writeDir(Map(
+      "embeddings" -> Seq((1L, Seq(3.0f, -4.0f, 0.0f), 0))
+        .toDF("vec_id", "embedding", "label")))
+    val r = graft.ops.Similarity.embeddingQuantize(spark, vdir).head()
+    val scale = 4.0 / 127.0
+    assert(r.getDouble(1) ===
+      BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(r.getLong(2) === -127L) // -4/scale = -127
+    assert(r.getLong(3) === math.round(3.0 / scale)) // 95
+    val err = math.sqrt(
+      math.pow(3.0 - math.round(3.0 / scale) * scale, 2) +
+      math.pow(-4.0 + 127.0 * scale, 2))
+    assert(r.getDouble(4) ===
+      BigDecimal(err).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
   test("vector_stats: hand-computed norm/extremes/counts on a planted " +
        "vector") {
     val vdir = TestFixtures.writeDir(Map(
