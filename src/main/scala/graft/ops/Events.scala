@@ -615,7 +615,44 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Lag-1 autocorrelation of the daily event-count series per type —
+    * the "is today predicted by yesterday" seasonality smoke test. The
+    * series aggregates map-side to |types|·|days| rows; the lag and the
+    * corr aggregate run over that bounded panel (corr's moment sketches
+    * are the stats_agg precedent for cross-engine parity). */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("n"), col("prev_n")) + 1e-9, 6).as("lag1_corr"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hour-of-day × day-of-week activity heatmap with per-cell share —
+    * the seasonality profile behind capacity planning. Cell keys are
+    * map-side expressions (Spark's Sunday=1 dayofweek shifted to the
+    * 0-based convention), so the shuffle carries ≤ 7·24 groups; the
+    * share denominator windows over the aggregate. */
+  def heatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+               hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(Window.partitionBy()) + 1e-9, 6))
+      .orderBy(col("dow"), col("hod"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_autocorr"   -> (autocorr _),
+    "events_heatmap"    -> (heatmap _),
     "gap_detect"        -> (gapDetect _),
     "session_stats"     -> (sessionStats _),
     "interarrival"      -> (interarrival _),
@@ -645,6 +682,28 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, (ts::TIMESTAMP)::DATE AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, n,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM daily)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  ROUND(corr(n, prev_n) + 1e-9, 6) AS lag1_corr
+        |FROM l WHERE prev_n IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_heatmap" ->
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(ts::TIMESTAMP) AS BIGINT) AS dow,
+        |         CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hod,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hod, n,
+        |  ROUND(n / SUM(n) OVER () + 1e-9, 6) AS share
+        |FROM c ORDER BY dow, hod""".stripMargin,
     "gap_detect" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour

@@ -150,6 +150,35 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_heatmap: cells cover every event, shares sum to 1, keys " +
+       "in range") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Events.heatmap(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 6))
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+  }
+
+  test("events_autocorr: a perfectly alternating series has lag-1 " +
+       "correlation -1") {
+    // one event on even days, three on odd days → n alternates 1,3
+    val base = (0 until 10).map(i =>
+      (i * 10L, ts(f"2024-01-${i + 1}%02d 10:00:00"), 1L, "click", 1.0,
+       "{}"))
+    val extra = (0 until 5).flatMap(i => Seq(
+      (1000L + i * 2, ts(f"2024-01-${2 * i + 2}%02d 11:00:00"), 1L,
+       "click", 1.0, "{}"),
+      (1001L + i * 2, ts(f"2024-01-${2 * i + 2}%02d 12:00:00"), 1L,
+       "click", 1.0, "{}")))
+    val adir = TestFixtures.writeDir(Map(
+      "events" -> (base ++ extra)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    val r = graft.ops.Events.autocorr(spark, adir).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(math.abs(r("click") - (-1.0)) < 1e-4)
+  }
+
   test("asof_forward: clicks see the NEXT purchase; clicks after the " +
        "last purchase keep NULLs") {
     val adir = TestFixtures.writeDir(Map(
