@@ -121,8 +121,13 @@ object Audit {
     val colTot = sum(col("n")).over(Window.partitionBy(col("source")))
     val grand = sum(col("n")).over(Window.partitionBy())
     cells
+      // ratio-first evaluation: (row/grand)·col keeps the intermediate
+      // below the marginal magnitude — a long·long marginal product
+      // overflows once row·col totals pass 2^63 (≈3B docs per side);
+      // the oracle evaluates the same ops in the same order, so parity
+      // is exact at every scale
       .withColumn("expected_raw",
-        rowTot * colTot / grand.cast("double"))
+        rowTot.cast("double") / grand * colTot)
       .select(col("lang"), col("source"), col("n"),
         round(col("expected_raw") + 1e-9, 6).as("expected"),
         round(pow(col("n") - col("expected_raw"), 2) / col("expected_raw")
@@ -143,7 +148,8 @@ object Audit {
     * derived with PURE INTEGER arithmetic (a CASE ladder of integer
     * divisions — no log10 on data values, whose cross-engine ulp drift
     * would flip digits at power-of-10 boundaries), computed map-side;
-    * the shuffle carries 9 groups. */
+    * the shuffle carries 9 groups. The ladder covers magnitudes to
+    * 1e18 (the full BIGINT money range), not just the fixture's. */
   def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
     val expMap = map((1 to 9).flatMap(d =>
       Seq(lit(d.toLong), lit(Benford(d - 1)))): _*)
@@ -151,7 +157,16 @@ object Audit {
       .filter(col("o_totalprice") >= 1.0)
       .withColumn("v", floor(col("o_totalprice")).cast("long"))
       .withColumn("digit", expr(
-        """CASE WHEN v >= 100000000 THEN v div 100000000
+        """CASE WHEN v >= 100000000000000000 THEN v div 100000000000000000
+          |     WHEN v >= 10000000000000000 THEN v div 10000000000000000
+          |     WHEN v >= 1000000000000000 THEN v div 1000000000000000
+          |     WHEN v >= 100000000000000 THEN v div 100000000000000
+          |     WHEN v >= 10000000000000 THEN v div 10000000000000
+          |     WHEN v >= 1000000000000 THEN v div 1000000000000
+          |     WHEN v >= 100000000000 THEN v div 100000000000
+          |     WHEN v >= 10000000000 THEN v div 10000000000
+          |     WHEN v >= 1000000000 THEN v div 1000000000
+          |     WHEN v >= 100000000 THEN v div 100000000
           |     WHEN v >= 10000000  THEN v div 10000000
           |     WHEN v >= 1000000   THEN v div 1000000
           |     WHEN v >= 100000    THEN v div 100000
@@ -182,7 +197,16 @@ object Audit {
         |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
         |  FROM orders WHERE o_totalprice >= 1.0),
         |d AS (
-        |  SELECT CASE WHEN v >= 100000000 THEN v // 100000000
+        |  SELECT CASE WHEN v >= 100000000000000000 THEN v // 100000000000000000
+        |              WHEN v >= 10000000000000000 THEN v // 10000000000000000
+        |              WHEN v >= 1000000000000000 THEN v // 1000000000000000
+        |              WHEN v >= 100000000000000 THEN v // 100000000000000
+        |              WHEN v >= 10000000000000 THEN v // 10000000000000
+        |              WHEN v >= 1000000000000 THEN v // 1000000000000
+        |              WHEN v >= 100000000000 THEN v // 100000000000
+        |              WHEN v >= 10000000000 THEN v // 10000000000
+        |              WHEN v >= 1000000000 THEN v // 1000000000
+        |              WHEN v >= 100000000 THEN v // 100000000
         |              WHEN v >= 10000000  THEN v // 10000000
         |              WHEN v >= 1000000   THEN v // 1000000
         |              WHEN v >= 100000    THEN v // 100000
@@ -254,9 +278,9 @@ object Audit {
         |  FROM documents GROUP BY 1, 2),
         |m AS (
         |  SELECT lang, source, n,
-        |    SUM(n) OVER (PARTITION BY lang)
-        |      * SUM(n) OVER (PARTITION BY source)
-        |      / (SUM(n) OVER ())::DOUBLE AS e
+        |    SUM(n) OVER (PARTITION BY lang)::DOUBLE
+        |      / SUM(n) OVER ()
+        |      * SUM(n) OVER (PARTITION BY source) AS e
         |  FROM cells)
         |SELECT lang, source, n,
         |       ROUND(e + 1e-9, 6) AS expected,

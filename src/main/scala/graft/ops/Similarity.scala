@@ -355,11 +355,15 @@ object Similarity {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // df via groupBy + join, NEVER a per-term window: a window partition
+    // must fully co-locate each term's rows, so one stopword key becomes
+    // an unsplittable straggler (the lm_score hazard). The groupBy is
+    // map-side combinable, and the df join's probe side is
+    // skew-splittable by AQE — no operator in the plan needs all of a
+    // hot term's rows in one task.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val rare = tf
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("term"))))
-      .filter(col("df") <= 32)
+      .join(dfreq.filter(col("df") <= 32), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"))
     val norms = rare.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("ssq"))

@@ -90,6 +90,13 @@ class AuditSpec extends AnyFunSuite {
     val planted = Audit.benfordDigits(spark, pd).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(planted === Map(9L -> 3L, 1L -> 1L))
+    // ladder covers the full BIGINT money range, not just fixture sizes
+    val big = TestFixtures.writeDir(Map(
+      "orders" -> Seq((1L, 7.2e17), (2L, 3.0e12), (3L, 8.0e9))
+        .toDF("o_orderkey", "o_totalprice")))
+    val bigDigits = Audit.benfordDigits(spark, big).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bigDigits === Map(7L -> 1L, 3L -> 1L, 8L -> 1L))
   }
 
   test("crosstab_assoc: expected preserves marginals, contrib >= 0") {

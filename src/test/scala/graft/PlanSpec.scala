@@ -278,6 +278,15 @@ class PlanSpec extends AnyFunSuite {
       "ship-year window must reach the scan")
   }
 
+  test("sparse_cosine: df via groupBy+join, never a per-term window " +
+       "(the stopword-straggler hazard)") {
+    val p = plan(Similarity.sparseCosine(spark, sf))
+    assert(!p.contains("windowspecdefinition(term"),
+      "a per-term window co-locates every stopword row in one task")
+    assert(p.contains("HashAggregate"),
+      "df must partially aggregate map-side")
+  }
+
   test("colloc_lift: pair generation is array-local — one bounded-key " +
        "exchange, no join of any kind in the plan") {
     val p = plan(Corpus.collocLift(spark, sf))
