@@ -99,6 +99,16 @@ object Pipeline {
     else None
   }
 
+  /** Read a layer whose batches were written under EVOLVING schemas
+    * (a later generation added columns): mergeSchema unions the parquet
+    * footers, older rows surface the new columns as nulls. This is the
+    * read-side half of schema evolution; the write side needs no help —
+    * parquet batch writes are self-describing. Merging pays a per-file
+    * footer read at planning time, so at 100 TB pin the merged schema in
+    * a table catalog once evolution settles (same note as the swap-in). */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   private def deleteRec(p: Path): Unit = {
     val s = Files.walk(p)
     try s.sorted(Comparator.reverseOrder[Path]())

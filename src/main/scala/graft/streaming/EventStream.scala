@@ -398,6 +398,38 @@ object EventStream {
       .withColumn("might_contaminated", col("n_candidates") > 0)
   }
 
+  /** Per-user streaming admission control: the first `cap` events of
+    * each user (in event-time order within a batch, arrival order
+    * across batches) are admitted, the rest rejected — the ingest
+    * quota/rate-limit shape every multi-tenant pipeline runs at the
+    * front door. State per user is ONE long (the admitted count):
+    * bounded by the key space, not the stream; every micro-batch
+    * touches only the keys it carries. Rejected events still flow
+    * through tagged (an ingest pipeline audits what it drops). */
+  def quotaStream(spark: SparkSession, dir: String,
+                  cap: Int = 100): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = readEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long, Boolean, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._1)).map { r =>
+            val admit = n < cap
+            if (admit) n += 1
+            (r._1, uid, admit, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "admitted", "n_admitted")
+  }
+
   /** Stream-static enrichment: each arriving event joined against a
     * STATIC per-user profile dimension (first-seen time, lifetime event
     * count, computed batch-side once). The static side is broadcast, so

@@ -96,4 +96,18 @@ class PipelineSpec extends AnyFunSuite {
     // prior rows were restored and merged — not silently dropped
     assert(spark.read.parquet(path).count() === 2)
   }
+
+  test("readEvolved: a later batch's new column surfaces, old rows " +
+       "backfill null") {
+    val g1 = Files.createTempDirectory("graft_evo1").toString
+    val g2 = Files.createTempDirectory("graft_evo2").toString
+    Seq((1L, "a")).toDF("id", "x").write.mode("overwrite").parquet(g1)
+    Seq((2L, "b", 9.5)).toDF("id", "x", "score")
+      .write.mode("overwrite").parquet(g2)
+    val merged = Pipeline.readEvolved(spark, g1, g2)
+    assert(merged.columns.toSet === Set("id", "x", "score"))
+    val byId = merged.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId === Map(1L -> None, 2L -> Some(9.5)))
+  }
 }

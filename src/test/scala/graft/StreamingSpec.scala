@@ -176,6 +176,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quota admits exactly the first 100 events per user " +
+       "in (ts, id) order") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.quotaStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_quota").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_quota").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val total = Tables.events(spark, dir).count()
+      assert(rows.length === total, "every event flows through, tagged")
+      val admitted = rows.filter(_._3).groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap
+      val events = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      events.groupBy(_._2).foreach { case (uid, es) =>
+        val want = es.sortBy(e => (e._3.getTime, e._1)).take(100)
+          .map(_._1).toSet
+        assert(admitted.getOrElse(uid, Set.empty) === want, s"user $uid")
+      }
+    } finally q.stop()
+  }
+
   test("3-way stream-stream funnel join matches the batch cascade") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.funnelJoinStream(dir = dir, spark = spark)
