@@ -129,6 +129,32 @@ object Multimodal {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Overlapping-window framing: 64-unit frames advancing by a 32-unit
+    * hop (50% overlap) — the STFT / acoustic-feature frame layout that
+    * precedes any audio analysis, where mm_chunks is the storage-split
+    * layout. Each payload yields ⌈n/hop⌉ frames (tail frames run
+    * short); framing is a map-side posexplode over a per-row sequence —
+    * zero hash exchanges, fan-out ≈ 2× the chunk layout by
+    * construction. */
+  def frames5050(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64
+    val hop = 32
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            expr(s"(n_chars + ${hop - 1}) div $hop").cast("int") - 1),
+          i => col("text").substr(i * hop + 1, lit(w)))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("frame_idx"),
+        (col("pos") * hop).cast("long").as("offset"),
+        length(col("col")).cast("long").as("frame_chars"),
+        md5(col("col").cast("binary")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Exact binary dedup over the opaque payload column — the asset-level
     * twin of Dedup.exact: identical media files collapse to one digest
     * group (min doc_id canonical), with copy count and reclaimable
@@ -153,12 +179,30 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup"  -> (payloadDedup _),
+    "mm_frames5050" -> (frames5050 _),
     "mm_meta"   -> (meta _),
     "mm_frames" -> (frames _),
     "mm_chunks" -> (chunks _),
     "mm_resize" -> (resize _))
 
   val oracle: Map[String, String] = Map(
+    "mm_frames5050" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS n_chars
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, list_transform(range(0, (n_chars + 31) // 32),
+        |      i -> substr(text, CAST(i * 32 + 1 AS INT), 64)) AS frames
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, unnest(frames) AS frame,
+        |         generate_subscripts(frames, 1) AS p
+        |  FROM c)
+        |SELECT doc_id, (p - 1)::BIGINT AS frame_idx,
+        |       ((p - 1) * 32)::BIGINT AS offset,
+        |       length(frame)::BIGINT AS frame_chars,
+        |       md5(frame) AS frame_md5
+        |FROM u ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_dedup" ->
       """WITH p AS (
         |  SELECT doc_id, md5(text) AS digest,

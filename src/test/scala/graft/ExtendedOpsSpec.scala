@@ -412,6 +412,30 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(gaps.toSeq === Seq(("click", ts("2024-01-01 11:00:00"))))
   }
 
+  test("mm_frames5050: 50%-overlap framing — consecutive full frames " +
+       "share their halves") {
+    import spark.implicits._
+    val fdir = TestFixtures.writeDir(Map(
+      "documents" -> Seq((1L, "ab" * 80, "en", "web")) // 160 chars
+        .toDF("doc_id", "text", "lang", "source")))
+    val frames = graft.ops.Multimodal.frames5050(spark, fdir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 160 chars, hop 32 → 5 frames at offsets 0,32,64,96,128; the last
+    // runs short (32 chars), the one before ends exactly at the payload
+    assert(frames.map(f => (f._1, f._2)).toSeq ===
+      Seq((0L, 0L), (1L, 32L), (2L, 64L), (3L, 96L), (4L, 128L)))
+    assert(frames.map(_._3).toSeq === Seq(64L, 64L, 64L, 64L, 32L))
+    val text = "ab" * 80
+    val full = graft.ops.Multimodal.frames5050(spark, fdir)
+      .collect().map(_.getString(4))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    frames.indices.foreach { i =>
+      val off = (i * 32).toInt
+      assert(full(i) === m(text.slice(off, off + 64)))
+    }
+  }
+
   test("orders_open: backlog starts positive, never dips negative, and " +
        "drains to zero") {
     val rows = Relational.ordersOpen(spark, dir).collect()
