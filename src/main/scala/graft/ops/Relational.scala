@@ -574,6 +574,41 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Recursive CTE through the SQL front (WITH RECURSIVE, new in Spark
+    * 4): a year spine generated inductively, left-joined to yearly order
+    * totals — zero-filling any silent years. Bounds are collected once
+    * and inlined as literals: a correlated MAX() in the recursion guard
+    * re-scans the fact table EVERY level (measured 22 s vs 5 s for an
+    * 80-level month spine at sf0.1).
+    *
+    * Scale stance, measured: Spark executes recursion level-by-level —
+    * one job per level — so recursion depth is a DRIVER cost, not a data
+    * cost. A ≤10-level year spine is fine; deep calendar spines belong
+    * to `sequence()` (panel_fill's shape). Recursion earns its place for
+    * genuinely inductive queries, and this query pins the feature
+    * working end to end against the same SQL in DuckDB. */
+  def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders")
+    val Array(y0, y1) = Tables.t(spark, dir, "orders")
+      .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate"))))
+      .head().toSeq.map(_.asInstanceOf[Int]).toArray
+    spark.sql(
+      s"""WITH RECURSIVE years(y) AS (
+         |  SELECT $y0
+         |  UNION ALL
+         |  SELECT y + 1 FROM years WHERE y < $y1
+         |),
+         |g AS (
+         |  SELECT year(o_orderdate) AS y, COUNT(*) AS n,
+         |         ROUND(SUM(o_totalprice), 4) AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT CAST(years.y AS BIGINT) AS year,
+         |       CAST(COALESCE(g.n, 0) AS BIGINT) AS n_orders,
+         |       COALESCE(g.revenue, 0.0) AS revenue
+         |FROM years LEFT JOIN g ON years.y = g.y
+         |ORDER BY year""".stripMargin)
+  }
+
   def sqlHaving(spark: SparkSession, dir: String): DataFrame = {
     // Filter on the RAW sum (like the oracle's HAVING), round only for
     // display — thresholding the rounded value would diverge for sums
@@ -737,6 +772,7 @@ object Relational {
     "cond_agg"       -> (condAgg _),
     "sql_having"     -> (sqlHaving _),
     "q7_volume"      -> (q7Volume _),
+    "sql_recursive"  -> (sqlRecursive _),
     "orders_open"    -> (ordersOpen _),
     "rfm_segments"   -> (rfmSegments _),
     "pareto_suppliers" -> (paretoSuppliers _),
@@ -833,6 +869,22 @@ object Relational {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_recursive" ->
+      """WITH RECURSIVE years(y) AS (
+        |  SELECT year(MIN(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT y + 1 FROM years
+        |  WHERE y < (SELECT year(MAX(o_orderdate)) FROM orders)
+        |),
+        |g AS (
+        |  SELECT year(o_orderdate) AS y, COUNT(*) AS n,
+        |         ROUND(SUM(o_totalprice), 4) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(years.y AS BIGINT) AS year,
+        |       CAST(COALESCE(g.n, 0) AS BIGINT) AS n_orders,
+        |       COALESCE(g.revenue, 0.0) AS revenue
+        |FROM years LEFT JOIN g ON years.y = g.y
+        |ORDER BY year""".stripMargin,
     "orders_open" ->
       """WITH f AS (
         |  SELECT l_orderkey, MAX(l_shipdate) AS ship_end
