@@ -88,6 +88,26 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Confusion matrix of the lang_id heuristic against the ground-truth
+    * lang column — the evaluation loop that belongs next to every
+    * classifier-style signal (ann_recall and cluster_purity are the
+    * embedding-side precedents). Per (actual, predicted) cell: count and
+    * row-normalized rate; plus each cell flags whether it sits on the
+    * diagonal. The matrix aggregate is ≤ |langs|² rows at any corpus
+    * size; the rate window runs over that aggregate. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("lang").as("actual"), col("pred_lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("rate", round(
+        col("n") / sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("actual"))) + 1e-9, 6))
+      .withColumn("is_correct", col("actual") === col("predicted"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
   /** BPE-ish regex token counting: alpha runs, digit runs, other symbols —
     * the shape of a byte-pair pre-tokenizer's word splitter. */
   def tokenRegex(spark: SparkSession, dir: String): DataFrame =
@@ -212,6 +232,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sent_stats"   -> (sentStats _),
+    "lang_confusion" -> (langConfusion _),
     "token_encode"  -> (tokenEncode _),
     "token_entropy" -> (tokenEntropy _),
     "text_clean"   -> (textClean _),
@@ -309,6 +330,36 @@ object Text {
         |  ROUND((1.0 - punct_ratio) *
         |        LEAST(1.0, n_tokens / 100.0) + 1e-9, 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and')))::BIGINT AS hits_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','ist')))::BIGINT AS hits_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','que')))::BIGINT AS hits_es,
+        |    len(list_filter(toks, t -> t IN ('le','les','des','est')))::BIGINT AS hits_fr,
+        |    len(list_filter(toks, t -> t IN ('de5','shi4','le5','zai4')))::BIGINT AS hits_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT lang AS actual,
+        |    CASE
+        |      WHEN hits_en >= hits_de AND hits_en >= hits_es
+        |       AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |      WHEN hits_de >= hits_es AND hits_de >= hits_fr
+        |       AND hits_de >= hits_zh THEN 'de'
+        |      WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |      WHEN hits_fr >= hits_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted
+        |  FROM h),
+        |c AS (
+        |  SELECT actual, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT actual, predicted, n,
+        |  ROUND(n / SUM(n) OVER (PARTITION BY actual)::DOUBLE + 1e-9, 6)
+        |    AS rate,
+        |  actual = predicted AS is_correct
+        |FROM c ORDER BY actual, predicted""".stripMargin,
     "lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks

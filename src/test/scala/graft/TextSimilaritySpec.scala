@@ -238,6 +238,19 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("lang_confusion: cells conserve the corpus, rates row-normalize, " +
+       "diagonal flagged") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Text.langConfusion(spark, sf).collect()
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    rows.foreach(r =>
+      assert(r.getBoolean(4) === (r.getString(0) == r.getString(1))))
+  }
+
   test("sent_stats: hand-checked segmentation — terminal punctuation " +
        "binds to the last sentence, blank splits drop") {
     val sdir = TestFixtures.writeDir(Map(
