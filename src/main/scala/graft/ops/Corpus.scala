@@ -379,7 +379,30 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Corpus top-50 adjacency bigrams — the n-gram frequency table an
+    * LM-data report leads with (lm_score consumes these counts
+    * internally; this exposes them). Bigram formation is ARRAY-LOCAL
+    * (adjacent-pair transform over each doc's token array, no explode-
+    * then-self-join); counts partial-aggregate map-side and the final
+    * ranking is a bounded TakeOrdered — never a global sort. */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      // single-token docs: sequence(0, -1) counts DOWN in Spark — guard
+      // them out (they carry no bigrams either way)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))""".stripMargin))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_bigrams"       -> (topBigrams _),
     "global_sample"     -> (globalSample _),
     "colloc_lift"       -> (collocLift _),
     "corpus_curate"     -> (curate _),
@@ -393,6 +416,16 @@ object Corpus {
     "weighted_sample"   -> (weightedSample _))
 
   val oracle: Map[String, String] = Map(
+    "top_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "global_sample" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -605,7 +605,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Survivorship / golden-record construction — the step AFTER dedup
+    * decides clusters: merge each MinHash near-dup cluster (the groups
+    * dedup_clusters labels) into one canonical record under explicit
+    * field policies — min id wins the identity, lexicographically-first
+    * source wins provenance, max n_chars wins the payload, distinct
+    * langs are counted as a merge diagnostic. One join of the cluster
+    * labels back to the corpus + one cluster groupBy (field policies
+    * reduce map-side); emitted only for real merges (≥ 2 members). */
+  def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables.t(spark, dir, "documents")
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("doc_id")).as("canonical_doc"),
+           min(col("source")).as("best_source"),
+           max(col("n_chars")).as("max_chars"),
+           countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_survivorship" -> (survivorship _),
     "editdist_pairs" -> (editdistPairs _),
     "dedup_incremental" -> (dedupIncremental _),
     "intradoc_dedup" -> (intradocDedup _),
@@ -692,6 +716,21 @@ object Dedup {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "dedup_survivorship" ->
+      (duckReachCtes +
+        """,
+          |labels AS (
+          |  SELECT id AS doc_id, MIN(r) AS cluster_id
+          |  FROM reach GROUP BY id)
+          |SELECT l.cluster_id,
+          |  COUNT(*) AS n_members,
+          |  MIN(d.doc_id) AS canonical_doc,
+          |  MIN(d.source) AS best_source,
+          |  CAST(MAX(d.n_chars) AS BIGINT) AS max_chars,
+          |  COUNT(DISTINCT d.lang) AS n_langs
+          |FROM documents d JOIN labels l USING (doc_id)
+          |GROUP BY 1 HAVING COUNT(*) >= 2
+          |ORDER BY cluster_id""".stripMargin),
     "dedup_incremental" ->
       """WITH d AS (
         |  SELECT doc_id, md5(text) AS h

@@ -609,6 +609,32 @@ object Relational {
          |ORDER BY year""".stripMargin)
   }
 
+  /** Cohort lifetime-value curves: customers grouped by first-order
+    * year, revenue tracked by cohort age (order year − cohort year),
+    * cumulative per cohort — the revenue twin of events_retention's
+    * count matrix. Two fact aggregates (first-order per customer is
+    * map-side combinable; the cohort join broadcasts the |customers|
+    * first-year table relative to orders at fixture scale, sort-merge
+    * beyond) and a running sum over the |cohorts|·|ages| aggregate. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.t(spark, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+              col("o_totalprice"))
+    val firstYear = ord.groupBy(col("o_custkey"))
+      .agg(min(col("y")).as("cohort_year"))
+    val cells = ord.join(firstYear, Seq("o_custkey"))
+      .groupBy(col("cohort_year").cast("long").as("cohort_year"),
+               (col("y") - col("cohort_year")).cast("long").as("age"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 4).as("revenue"))
+    val byAge = Window.partitionBy(col("cohort_year")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue",
+        round(sum(col("revenue")).over(byAge) + 1e-9, 4))
+      .orderBy(col("cohort_year"), col("age"))
+  }
+
   def sqlHaving(spark: SparkSession, dir: String): DataFrame = {
     // Filter on the RAW sum (like the oracle's HAVING), round only for
     // display — thresholding the rounded value would diverge for sums
@@ -773,6 +799,7 @@ object Relational {
     "sql_having"     -> (sqlHaving _),
     "q7_volume"      -> (q7Volume _),
     "sql_recursive"  -> (sqlRecursive _),
+    "cohort_ltv"     -> (cohortLtv _),
     "orders_open"    -> (ordersOpen _),
     "rfm_segments"   -> (rfmSegments _),
     "pareto_suppliers" -> (paretoSuppliers _),
@@ -869,6 +896,24 @@ object Relational {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, year(o_orderdate) AS y, o_totalprice
+        |  FROM orders),
+        |fy AS (
+        |  SELECT o_custkey, MIN(y) AS cohort_year FROM o GROUP BY 1),
+        |cells AS (
+        |  SELECT CAST(fy.cohort_year AS BIGINT) AS cohort_year,
+        |         CAST(o.y - fy.cohort_year AS BIGINT) AS age,
+        |         COUNT(*) AS n_orders,
+        |         ROUND(SUM(o.o_totalprice), 4) AS revenue
+        |  FROM o JOIN fy USING (o_custkey)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_year, age, n_orders, revenue,
+        |  ROUND(SUM(revenue) OVER (PARTITION BY cohort_year ORDER BY age
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        + 1e-9, 4) AS cum_revenue
+        |FROM cells ORDER BY cohort_year, age""".stripMargin,
     "sql_recursive" ->
       """WITH RECURSIVE years(y) AS (
         |  SELECT year(MIN(o_orderdate)) FROM orders

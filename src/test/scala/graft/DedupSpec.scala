@@ -183,4 +183,28 @@ class DedupSpec extends AnyFunSuite {
       assert(lev >= 0L && ned >= 0.0 && ned <= 0.5)
     }
   }
+
+  test("survivorship: golden records agree with an independent per-" +
+       "cluster recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val gold = Dedup.survivorship(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    val labels = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getString(3)))
+    val want = docs.groupBy(d => labels(d._1))
+      .filter(_._2.length >= 2)
+      .map { case (c, ms) => c -> (ms.length.toLong, ms.map(_._1).min,
+        ms.map(_._2).min, ms.map(_._3).max,
+        ms.map(_._4).distinct.length.toLong) }
+    assert(gold === want)
+    assert(gold.nonEmpty, "fixture must contain near-dup merge groups")
+  }
 }
