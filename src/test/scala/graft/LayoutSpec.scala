@@ -52,4 +52,30 @@ class LayoutSpec extends AnyFunSuite {
     val clickFiles = parquetFiles(s"$path/event_type=click").size
     assert(clickFiles === 1)
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact " +
+       "partitions at RUNTIME, not just static predicates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_layout").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Pipeline.writePartitioned(ev, s"$dir/by_type", Seq("event_type"))
+    val fact = spark.read.parquet(s"$dir/by_type")
+    // the fact query never names the surviving types — only the dim's
+    // filter knows them, so pruning must be DYNAMIC (planned as a
+    // subquery filter on the partition column). The dim must be a real
+    // file scan: a local relation constant-folds its filter away and
+    // leaves no selective predicate for the DPP rule to latch onto.
+    Seq(("click", 1.5), ("view", 1.0), ("purchase", 9.0),
+        ("error", 0.0), ("signup", 0.0))
+      .toDF("event_type", "weight")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val j = fact.join(dim.filter(col("weight") > 0.5), Seq("event_type"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a runtime partition-pruning subquery:\n$plan")
+    assert(j.count() ===
+      ev.filter(col("event_type").isin("click", "view", "purchase"))
+        .count())
+  }
 }
