@@ -635,6 +635,48 @@ object Relational {
       .orderBy(col("cohort_year"), col("age"))
   }
 
+  /** TPC-H q13-shape customer order-count distribution: LEFT join keeps
+    * zero-order customers (the row an inner join silently drops — the
+    * point of the query), per-customer counts, then the distribution of
+    * those counts. Two aggregations, both map-side combinable; the
+    * second one's key space is bounded by the max order count. */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer").select(col("c_custkey"))
+    val o = Tables.t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  /** TPC-H q22-shape: above-average-balance customers with no RECENT
+    * orders (the "idle rich" churn report; every fixture customer has
+    * SOME order, so idleness is recency-scoped) — a scalar aggregate
+    * subquery in the filter plus an anti join, grouped by segment. The threshold is
+    * ROUNDED (+1e-9, 4 dp) before comparison: a raw float-average
+    * threshold sits at a different ulp in each engine, and a customer
+    * exactly on it would flip membership. Catalyst plans the scalar
+    * subquery once (broadcast literal) and the NOT EXISTS as an anti
+    * hash join — no per-row subqueries. */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |       ROUND(SUM(c_acctbal), 4) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal) + 1e-9, 4)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   def sqlHaving(spark: SparkSession, dir: String): DataFrame = {
     // Filter on the RAW sum (like the oracle's HAVING), round only for
     // display — thresholding the rounded value would diverge for sums
@@ -800,6 +842,8 @@ object Relational {
     "q7_volume"      -> (q7Volume _),
     "sql_recursive"  -> (sqlRecursive _),
     "cohort_ltv"     -> (cohortLtv _),
+    "q13_custdist"   -> (q13Custdist _),
+    "q22_idle_rich"  -> (q22IdleRich _),
     "orders_open"    -> (ordersOpen _),
     "rfm_segments"   -> (rfmSegments _),
     "pareto_suppliers" -> (paretoSuppliers _),
@@ -896,6 +940,25 @@ object Relational {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM pc GROUP BY 1
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+    "q22_idle_rich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |       ROUND(SUM(c_acctbal), 4) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal) + 1e-9, 4)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "cohort_ltv" ->
       """WITH o AS (
         |  SELECT o_custkey, year(o_orderdate) AS y, o_totalprice

@@ -278,6 +278,26 @@ class PlanSpec extends AnyFunSuite {
       "ship-year window must reach the scan")
   }
 
+  test("q22_idle_rich: scalar threshold plans once, NOT EXISTS becomes " +
+       "an anti hash join") {
+    val p = plan(Relational.q22IdleRich(spark, sf))
+    assert(p.contains("LeftAnti"),
+      "recency NOT EXISTS must decorrelate to an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q13_custdist: left join keeps zero-order customers, both " +
+       "aggregations partial") {
+    val p = plan(Relational.q13Custdist(spark, sf))
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"),
+      "customers without orders must survive the join")
+    assert("partial_count".r.findAllIn(p).length >= 1)
+    val zeroKept = Relational.q13Custdist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zeroKept.values.sum ===
+      Tables.t(spark, sf, "customer").count())
+  }
+
   test("sparse_cosine: df via groupBy+join, never a per-term window " +
        "(the stopword-straggler hazard)") {
     val p = plan(Similarity.sparseCosine(spark, sf))
