@@ -628,7 +628,45 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** MinHash estimator-quality evaluation: for every LSH candidate pair,
+    * the signature-agreement Jaccard ESTIMATE (k = 4 seeds → exact
+    * quarter steps, no float drift) against the TRUE shingle-set Jaccard,
+    * with the absolute error — the "is k big enough" measurement that
+    * decides signature width before shipping (ann_recall's twin for the
+    * text path). Candidates come from the same single-pass band
+    * pipeline; truth is one shingle equi-join per pair side (never an
+    * all-pairs scan). */
+  def minhashEstError(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val sig = signatures(spark, dir)
+    val sh = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      seeds.map(s => col("mh_" + s).as(s + "_a")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      seeds.map(s => col("mh_" + s).as(s + "_b")): _*)
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val agree = seeds.map(s =>
+      when(col(s + "_a") === col(s + "_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
+      .withColumn("est", agree / lit(4.0))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jacc_raw", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("est"),
+        round(col("jacc_raw") + 1e-9, 6).as("jacc"),
+        round(abs(col("est") - col("jacc_raw")) + 1e-9, 6).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_est_error"  -> (minhashEstError _),
     "dedup_survivorship" -> (survivorship _),
     "editdist_pairs" -> (editdistPairs _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -716,6 +754,34 @@ object Dedup {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "minhash_est_error" ->
+      (duckPairsCtes +
+        """,
+          |shs AS (SELECT DISTINCT doc_id, sh FROM sh),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shs GROUP BY 1),
+          |ix AS (
+          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          |  FROM pairs p
+          |    JOIN shs a ON a.doc_id = p.doc_a
+          |    JOIN shs b ON b.doc_id = p.doc_b AND b.sh = a.sh
+          |  GROUP BY 1, 2),
+          |e AS (
+          |  SELECT p.doc_a, p.doc_b,
+          |    ((sa.mh_s0 = sb.mh_s0)::INT + (sa.mh_s1 = sb.mh_s1)::INT
+          |     + (sa.mh_s2 = sb.mh_s2)::INT + (sa.mh_s3 = sb.mh_s3)::INT)
+          |      / 4.0 AS est,
+          |    COALESCE(ix.i, 0)
+          |      / (ca.n + cb.n - COALESCE(ix.i, 0))::DOUBLE AS jacc_raw
+          |  FROM pairs p
+          |    JOIN sig sa ON sa.doc_id = p.doc_a
+          |    JOIN sig sb ON sb.doc_id = p.doc_b
+          |    JOIN cnt ca ON ca.doc_id = p.doc_a
+          |    JOIN cnt cb ON cb.doc_id = p.doc_b
+          |    LEFT JOIN ix ON ix.doc_a = p.doc_a AND ix.doc_b = p.doc_b)
+          |SELECT doc_a, doc_b, est,
+          |  ROUND(jacc_raw + 1e-9, 6) AS jacc,
+          |  ROUND(abs(est - jacc_raw) + 1e-9, 6) AS abs_err
+          |FROM e ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_survivorship" ->
       (duckReachCtes +
         """,

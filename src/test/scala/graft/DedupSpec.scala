@@ -184,6 +184,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_est_error: estimates are quarter steps over exactly the " +
+       "candidate pairs; identical texts score est=jacc=1, err=0") {
+    val rows = Dedup.minhashEstError(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val cand = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.keySet === cand)
+    val steps = Set(0.0, 0.25, 0.5, 0.75, 1.0)
+    rows.values.foreach { case (est, jacc, err) =>
+      assert(steps(est))
+      assert(jacc >= 0.0 && jacc <= 1.0)
+      assert(err >= 0.0 && err <= 1.0)
+    }
+    // the planted identical pair (docs 0/1 duplicate texts in the
+    // fixture — editdistPairs pins lev 0 for it)
+    assert(rows((0L, 1L)) === ((1.0, 1.0, 0.0)))
+  }
+
   test("survivorship: golden records agree with an independent per-" +
        "cluster recompute") {
     val sf = "/root/testdata/sf0.001"
