@@ -398,6 +398,17 @@ object EventStream {
       .withColumn("might_contaminated", col("n_candidates") > 0)
   }
 
+  /** Running per-type totals in COMPLETE output mode — the live
+    * dashboard aggregation (append mode suits finalized windows; a
+    * dashboard wants the CURRENT totals re-emitted each batch). State is
+    * one (count, sum) pair per event type — bounded by the key space —
+    * and no watermark is needed because nothing is ever finalized. */
+  def runningTypeTotals(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+
   /** Per-user streaming admission control: the first `cap` events of
     * each user (in event-time order within a batch, arrival order
     * across batches) are admitted, the rest rejected — the ingest

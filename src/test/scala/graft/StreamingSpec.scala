@@ -176,6 +176,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("complete-mode running totals equal the batch aggregate after " +
+       "the last batch") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.runningTypeTotals(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_totals").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_totals").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val want = Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(org.apache.spark.sql.functions.count(
+               org.apache.spark.sql.functions.lit(1)).as("n"),
+             org.apache.spark.sql.functions.round(
+               org.apache.spark.sql.functions.sum(col("value")), 4)
+               .as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1),
+          r.getDouble(2))).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming quota admits exactly the first 100 events per user " +
        "in (ts, id) order") {
     val dir = "/root/testdata/sf0.001"
