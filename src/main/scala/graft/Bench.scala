@@ -50,10 +50,22 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def asJson(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver parses only the LAST ~2000 chars of stdout; the full
+    // 137-query map is ~7 KB, so a single line carrying it starts mid-JSON
+    // in the captured tail and has never parsed (BENCH_r01–r04 all
+    // `parsed: null`). Emit a compact final line — total plus the slowest
+    // 10 queries, comfortably under the tail window — and write the
+    // complete per-query map to BENCH_DETAIL.json next to the build.
+    val detail = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detail,
+      (s"""{"metric":"total","value":$total,"unit":"sec",""" +
+       s""""queries":${asJson(results)},"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${asJson(slowest)},"n":${results.size},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

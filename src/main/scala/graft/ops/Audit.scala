@@ -260,7 +260,9 @@ object Audit {
         |         (SELECT SUM(CASE WHEN text IS NULL OR trim(text) = ''
         |                          THEN 1 ELSE 0 END) FROM documents),
         |         (SELECT COUNT(*) FROM documents))
-        |SELECT check_name, violations, total,
+        |SELECT check_name,
+        |       CAST(violations AS BIGINT) AS violations,
+        |       CAST(total AS BIGINT) AS total,
         |       ROUND(1.0 - violations::DOUBLE / total + 1e-9, 6) AS pass_rate
         |FROM rws ORDER BY check_name""".stripMargin,
     "value_histogram" ->

@@ -78,7 +78,13 @@ object Corpus {
     * from per-term totals, no per-doc pass needed). Ends in a top-k
     * (TakeOrderedAndProject, no global sort). */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    // aux: one row per term — df and total token count.
+    // aux: one row per term — df and total token count. Three subtrees
+    // consume the tf lineage (this aux via two broadcasts + the main
+    // scoring pass) and all three re-run the token explode — REMEASURED
+    // round 5 and deliberately left uncached: persisting tf (2.2s) or
+    // even just vocab-sized aux (2.1s) is slower than the 3-explode
+    // pipelined form (1.7s isolated at sf0.1); the r4 bench's 5.7s was
+    // full-suite contention, not this plan (isolated r5 == r3 times).
     val aux = termFreq(spark, dir).groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_tok"))
     val q = aux.orderBy(col("df").desc, col("term")).limit(3)

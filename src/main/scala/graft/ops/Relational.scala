@@ -258,12 +258,30 @@ object Relational {
     * exact twins (distinct_agg, percentiles) are the oracle-checked
     * versions. At 100 TB these mergeable sketches replace their exact
     * twins on hot paths. */
+  /** Sketch estimates are engine-specific (HLL++ / quantile digest), so
+    * the raw values can't be oracle-hashed — instead the query emits the
+    * EXACT values (computable on both engines) plus booleans asserting
+    * the sketch landed inside its published error bound. DuckDB's oracle
+    * emits the exact values and literal TRUE; the hash gate then fails
+    * precisely when a sketch drifts out of spec. Bounds: HLL++ default
+    * rsd 5% → allow 3σ = 15%; percentile_approx(accuracy=1000) is
+    * rank-exact within 1/1000, far inside the exact p45..p55 corridor. */
   def approxSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("nd_parts"),
+      .agg(countDistinct(col("l_partkey")).as("nd_exact"),
+           approx_count_distinct(col("l_partkey")).as("nd_approx"),
+           expr("percentile(l_extendedprice, array(0.45D, 0.5D, 0.55D))")
+             .as("p_exact"),
            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-             .as("p50_price_approx"))
+             .as("p50_approx"))
+      .select(col("l_returnflag"),
+        col("nd_exact"),
+        (abs(col("nd_approx") - col("nd_exact")).cast("double")
+          / col("nd_exact") <= 0.15).as("nd_ok"),
+        round(element_at(col("p_exact"), 2) + lit(1e-9), 6).as("p50_exact"),
+        (col("p50_approx") >= element_at(col("p_exact"), 1) &&
+         col("p50_approx") <= element_at(col("p_exact"), 3)).as("p50_ok"))
       .orderBy(col("l_returnflag"))
 
   /** SQL-text front: the same engine consumed as SQL over registered
@@ -489,30 +507,118 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Distributed global ranking — the replacement for an UNPARTITIONED
+    * `Window.orderBy(...)` whenever the ranked relation grows with the
+    * corpus (per-customer / per-supplier aggregates do: a dimension is
+    * only "small" until the corpus is 100 TB). An unpartitioned window
+    * funnels every row through ONE task's sort; this keeps the exact
+    * same semantics with bounded per-task work:
+    *
+    *  1. P−1 range boundaries over `rangeCol` via approxQuantile — a
+    *     MODEL PARAMETER (doubles, collected once, embedded as an array
+    *     literal), same deployment shape as the IVF codebook.
+    *  2. Deterministic map-side bucket id: #boundaries strictly below
+    *     (asc) / above (desc) the row's value — monotone along the sort
+    *     order by construction, so bucket i's rows all precede bucket
+    *     i+1's. Boundary skew only mis-BALANCES buckets (ties share
+    *     one), it can never mis-ORDER them, so rank exactness does not
+    *     depend on the sketch.
+    *  3. Per-bucket parallel sorts (`row_number` over a PARTITIONED
+    *     window) plus a P-row offset table (cumulative counts — and
+    *     cumulative sums of `carrySum`, for running-total callers)
+    *     broadcast back: global_rank = offset(bucket) + local rank.
+    *
+    * The only unpartitioned window left runs over the P-row offset
+    * aggregate — bounded by the parts constant, not the data. Columns
+    * added: `rankName`, and with carrySum: `_cumsum` (running sum in
+    * rank order) and `_stotal` (grand total); caller drops `_`-temps. */
+  private def distributedRank(
+      df: DataFrame, rangeCol: String, asc: Boolean, order: Seq[Column],
+      rankName: String, carrySum: Option[String] = None,
+      parts: Int = 32): DataFrame = {
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds = df.stat.approxQuantile(rangeCol, probs, 0.01)
+      .distinct.sorted
+    val v = col(rangeCol).cast("double")
+    val bucket =
+      if (asc) size(filter(typedLit(bounds), b => v > b))
+      else size(filter(typedLit(bounds), b => v < b))
+    val withB = df.withColumn("_bkt", bucket)
+    val carry = carrySum.map(c => sum(col(c))).getOrElse(sum(lit(0.0)))
+    // cumulative offsets over the P-row bucket aggregate; the window is
+    // bounded by `parts`, never by the data
+    val wOff = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col("_bkt"))
+      .agg(count(lit(1)).as("_c"), carry.as("_s"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("_soff", coalesce(sum(col("_s")).over(wOff), lit(0.0)))
+      .withColumn("_stotal", sum(col("_s")).over(
+        Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_bkt"), col("_off"), col("_soff"), col("_stotal"))
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(order: _*)
+    val ranked = withB.join(broadcast(offs), "_bkt")
+      .withColumn(rankName,
+        (col("_off") + row_number().over(wIn)).cast("long"))
+    if (carrySum.isDefined)
+      ranked.withColumn("_cumsum",
+          col("_soff") + sum(col(carrySum.get)).over(
+            wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("_bkt", "_off", "_soff")
+    else ranked.drop("_bkt", "_off", "_soff", "_stotal")
+  }
+
+  /** Exact NTILE(k) bucket from a global 1-based rank: the first n%k
+    * buckets take ceil(n/k) rows, the rest floor(n/k) — the ANSI
+    * definition both Spark and DuckDB implement. Computing it from the
+    * distributed rank keeps quintile scoring off the single-task
+    * unpartitioned-window path. */
+  private def ntileFromRank(rn: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val r = n % k
+    when(rn <= r * (q + 1),
+        floor((rn - 1) / lit((q + 1).toDouble)) + 1)
+      .otherwise(lit(r) +
+        floor((rn - 1 - r * (q + 1)) / lit(math.max(q, 1L).toDouble)) + 1)
+      .cast("long")
+  }
+
   /** RFM customer segmentation — the classic marketing rollup: per
     * customer recency (days since last order, anchored at the corpus
     * max order date so the result is reproducible), frequency, monetary
     * total, each scored into quintiles. One fact aggregate; the anchor
-    * and all three ntile windows run over the |customers| aggregate,
-    * never the fact table. Quintile order keys use ROUNDED measures
-    * with custkey tie-breaks, so the segment boundaries are
-    * deterministic cross-engine. */
+    * is a 1-row broadcast scalar and each quintile comes from
+    * `distributedRank` + `ntileFromRank` over the |customers| aggregate
+    * — a relation that GROWS with the corpus, so none of the three
+    * rankings may route through a single-task unpartitioned window.
+    * Quintile order keys use ROUNDED measures with custkey tie-breaks,
+    * so the segment boundaries are deterministic cross-engine. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
            count(lit(1)).as("n_orders"),
            round(sum(col("o_totalprice")), 4).as("spend"))
-    val anchor = max(col("last_order")).over(Window.partitionBy())
-    def quintile(keys: Column*) =
-      ntile(5).over(Window.orderBy(keys: _*)).cast("long")
-    per
+    val n = per.count()
+    val anchor = per.agg(max(col("last_order")).as("_anchor"))
+    val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
-        datediff(anchor, col("last_order")).cast("long"))
-      .withColumn("r_score",
-        quintile(col("recency_days").desc, col("o_custkey")))
-      .withColumn("f_score", quintile(col("n_orders"), col("o_custkey")))
-      .withColumn("m_score", quintile(col("spend"), col("o_custkey")))
+        datediff(col("_anchor"), col("last_order")).cast("long"))
+      .drop("_anchor")
+    def score(df: DataFrame, m: String, asc: Boolean, name: String) = {
+      val order =
+        if (asc) Seq(col(m), col("o_custkey"))
+        else Seq(col(m).desc, col("o_custkey"))
+      distributedRank(df, m, asc, order, "_rn")
+        .withColumn(name, ntileFromRank(col("_rn"), n, 5))
+        .drop("_rn")
+    }
+    val scored = score(score(score(base,
+      "recency_days", asc = false, "r_score"),
+      "n_orders", asc = true, "f_score"),
+      "spend", asc = true, "m_score")
+    scored
       .select(col("o_custkey"), col("recency_days"), col("n_orders"),
               col("spend"), col("r_score"), col("f_score"), col("m_score"))
       .orderBy(col("o_custkey"))
@@ -521,23 +627,25 @@ object Relational {
   /** Pareto / revenue-concentration analysis: suppliers ranked by
     * revenue, cumulative share, and the is-top-80% flag (the 80/20
     * question every sourcing review asks). The fact table aggregates
-    * once; ranking and the running share are windows over the
-    * |suppliers| aggregate. Share arithmetic divides ROUNDED revenue by
-    * the rounded total in a fixed order; the rank orders by (rounded
-    * revenue desc, suppkey) so the curve is deterministic. */
+    * once; rank AND running share come from one `distributedRank` pass
+    * over the |suppliers| aggregate (carrySum threads the cumulative
+    * revenue through the same bucketed layout), because suppliers grow
+    * with the corpus — the unpartitioned ROW_NUMBER/SUM window the
+    * naive form uses is a single-reducer sort at scale. Share
+    * arithmetic divides ROUNDED revenue by the rounded total; the rank
+    * orders by (rounded revenue desc, suppkey) so the curve is
+    * deterministic (6-dp round + 1e-9 absorbs partial-sum association
+    * ulps, the file's standard doctrine). */
   def paretoSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.t(spark, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
                  4).as("revenue"))
-    val ord = Window.orderBy(col("revenue").desc, col("l_suppkey"))
-    val all = Window.partitionBy()
-    per
-      .withColumn("rnk", row_number().over(ord).cast("long"))
+    distributedRank(per, "revenue", asc = false,
+        Seq(col("revenue").desc, col("l_suppkey")), "rnk",
+        carrySum = Some("revenue"))
       .withColumn("cum_share",
-        round(sum(col("revenue")).over(
-            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          / sum(col("revenue")).over(all) + 1e-9, 6))
+        round(col("_cumsum") / col("_stotal") + 1e-9, 6))
       .withColumn("is_top80", col("cum_share") <= 0.8)
       .select(col("l_suppkey"), col("revenue"), col("rnk"),
               col("cum_share"), col("is_top80"))
@@ -1246,7 +1354,18 @@ object Relational {
         |  SELECT DISTINCT o_custkey AS c FROM orders
         |  WHERE EXTRACT(year FROM o_orderdate) = 1997)
         |ORDER BY segment, c""".stripMargin,
-    // approx_sketch: intentionally no oracle — engine-specific sketches
+    // approx_sketch: the sketch values themselves are engine-specific,
+    // so the oracle checks the EXACT columns and expects the bound
+    // booleans to be TRUE — an out-of-spec sketch hash-fails the gate.
+    "approx_sketch" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey)::BIGINT AS nd_exact,
+        |  TRUE AS nd_ok,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 6) AS p50_exact,
+        |  TRUE AS p50_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "join_semi_anti" ->
       """SELECT 'has_urgent' AS segment, c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -135,10 +135,15 @@ object Similarity {
     * centroids broadcast (assignment is map-side), corpus shuffles once
     * on cell id, per-cell candidate scoring via hash join. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val q = ivfAssigned(spark, dir)
+    // One ivfAssigned per operator: both join legs derive from the same
+    // assignment DataFrame, so the codebook setup (footer count + C-row
+    // collect/sort) runs once, not once per leg (the execution-time
+    // self-join still scans twice — that's the join, not the setup).
+    val asg = ivfAssigned(spark, dir)
+    val q = asg
       .select(col("cell"), col("vec_id").as("query_id"),
               col("embedding").as("q_emb"))
-    val c = ivfAssigned(spark, dir)
+    val c = asg
       .select(col("cell"), col("vec_id").as("neighbor_id"),
               col("embedding").as("n_emb"))
     rankTopK(

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-checkable entry points for the streaming twins whose FINAL
+  * tables are deterministic: each runs the actual Structured Streaming
+  * query to completion (file source → memory sink, processAllAvailable)
+  * and returns the result as a static DataFrame, so the DuckDB
+  * correctness gate exercises the streaming execution path itself — not
+  * just a batch re-statement of its semantics (StreamingSpec covers the
+  * other six twins, whose emitted sets depend on watermark horizons in
+  * ways plain SQL can't restate).
+  *
+  * Determinism argument, per query:
+  *  - `streaming_totals` (complete mode): the last micro-batch re-emits
+  *    the full running aggregate, which over a bounded source equals the
+  *    batch GROUP BY exactly — no watermark involved.
+  *  - `streaming_range_frame` (append mode): the fixture is one parquet
+  *    file, so batch 0 carries every row (watermark still at its initial
+  *    0 → nothing emits), then the registered event-time timers fire once
+  *    the watermark jumps to max(ts)−2h and emit exactly the events with
+  *    event-time µs < watermark — a set the oracle reproduces with the
+  *    same floor-to-ms arithmetic Spark's watermark tracker uses. The
+  *    per-event frame values equal the batch RANGE window because every
+  *    frame member of an emitted event is ≤ it in event time and
+  *    therefore also present (StreamingSpec pins bit-equality).
+  */
+object StreamingBatch {
+
+  /** Run a (bounded-source) streaming DataFrame to completion into a
+    * memory sink and hand back the final table. The sink's temp view
+    * survives stop(); a fixed per-query name keeps repeated runs
+    * (Bench warmup + timed repeats) from leaking views. */
+  private def runToTable(df: DataFrame, mode: String, name: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  def streamingTotals(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.runningTypeTotals(spark, dir),
+      "complete", "sq_totals")
+      .orderBy("event_type")
+
+  def streamingRangeFrame(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.rangeFrameStream(spark, dir),
+      "append", "sq_rangeframe")
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_totals"      -> (streamingTotals _),
+    "streaming_range_frame" -> (streamingRangeFrame _))
+
+  val oracle: Map[String, String] = Map(
+    // complete-mode final table == the plain batch aggregate
+    "streaming_totals" ->
+      """SELECT event_type,
+        |  COUNT(*)::BIGINT AS n_events,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // append-mode emission = events strictly below the final watermark
+    // (max event-time floored to ms, minus the 2h delay — Spark tracks
+    // event-time stats in whole milliseconds); frame arithmetic is the
+    // batch events_range_frame oracle unchanged
+    "streaming_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |         epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |wm AS (
+        |  SELECT (MAX(us) // 1000 - 7200000) * 1000 AS wm_us FROM e)
+        |SELECT event_id, user_id, n_1h, sum_1h FROM (
+        |  SELECT event_id, user_id, us,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |    ROUND(SUM(value) OVER w + 1e-9, 4) AS sum_1h
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |) q, wm
+        |WHERE q.us < wm.wm_us
+        |ORDER BY event_id""".stripMargin)
+}

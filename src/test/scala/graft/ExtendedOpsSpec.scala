@@ -249,22 +249,25 @@ class ExtendedOpsSpec extends AnyFunSuite {
   }
 
   test("approx_sketch estimates stay within bounds of their exact twins") {
-    val approx = Relational.approxSketches(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // The query now carries its own bound checks as columns (the oracle
+    // expects both booleans TRUE); assert them here too so a drift fails
+    // with a named message rather than an opaque hash diff, and pin the
+    // exact columns against an independently-computed twin.
+    val rows = Relational.approxSketches(spark, dir).collect()
+    assert(rows.nonEmpty)
     val exact = Tables.t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("nd"),
-           expr("percentile(l_extendedprice, 0.5)").as("p50"))
+           expr("round(percentile(l_extendedprice, 0.5) + 1e-9, 6)")
+             .as("p50"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
-    exact.foreach { case (k, (nd, p50)) =>
-      val (andv, ap50) = approx(k)
-      // HLL++ default rsd is 5%; allow 3 sigma. percentile_approx with
-      // accuracy=1000 is rank-exact within n/1000.
-      assert(math.abs(andv - nd).toDouble / nd < 0.15,
-        s"$k: approx distinct $andv vs exact $nd")
-      assert(math.abs(ap50 - p50) / math.abs(p50) < 0.05,
-        s"$k: approx p50 $ap50 vs exact $p50")
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getBoolean(2), s"$k: nd_approx outside 15% of nd_exact")
+      assert(r.getBoolean(4), s"$k: p50_approx outside exact p45..p55")
+      assert(r.getLong(1) === exact(k)._1, s"$k: nd_exact mismatch")
+      assert(r.getDouble(3) === exact(k)._2, s"$k: p50_exact mismatch")
     }
   }
 

@@ -125,6 +125,23 @@ class PlanSpec extends AnyFunSuite {
       s"share ONE (lang, shard) exchange, got $shuffles lang exchanges")
   }
 
+  test("pareto_suppliers + rfm_segments: ranking windows are partitioned " +
+       "by range bucket — no single-task sort of the dimension aggregate") {
+    for ((name, df) <- Seq(
+        "pareto" -> Relational.paretoSuppliers(spark, sf),
+        "rfm" -> Relational.rfmSegments(spark, sf))) {
+      val p = plan(df)
+      // every row_number runs under the _bkt-partitioned window; the only
+      // unpartitioned windows left are the P-row offset cumsums
+      assert(p.contains("windowspecdefinition(_bkt"),
+        s"$name: expected bucket-partitioned ranking windows")
+      assert(!"row_number\\(\\) windowspecdefinition\\((?!_bkt)".r
+          .findAllIn(p).hasNext,
+        s"$name: a row_number window not partitioned by _bkt is the " +
+          "single-reducer global sort this shape exists to avoid")
+    }
+  }
+
   test("source_cap: bounded-heap aggregation, never a per-source window " +
        "sort") {
     val p = plan(Corpus.sourceCap(spark, sf))
