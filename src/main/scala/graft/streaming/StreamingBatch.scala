@@ -24,6 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    per-event frame values equal the batch RANGE window because every
   *    frame member of an emitted event is ≤ it in event time and
   *    therefore also present (StreamingSpec pins bit-equality).
+  *  - `streaming_quota` (append mode, no watermark): every event flows
+  *    through tagged, and with the whole fixture in one micro-batch the
+  *    admission order is the state function's explicit (ms, event_id)
+  *    sort — the oracle's ROW_NUMBER reproduces it (µs//1000 mirrors
+  *    Timestamp.getTime's millisecond floor).
+  *  - `streaming_enrich` (append mode, stateless): a map-side
+  *    broadcast join against a static profile — emission is the full
+  *    input regardless of batching.
   */
 object StreamingBatch {
 
@@ -50,9 +58,21 @@ object StreamingBatch {
       "append", "sq_rangeframe")
       .orderBy("event_id")
 
+  def streamingQuota(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.quotaStream(spark, dir),
+      "append", "sq_quota")
+      .orderBy("event_id")
+
+  def streamingEnrich(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.enrichStream(spark, dir),
+      "append", "sq_enrich")
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_totals"      -> (streamingTotals _),
-    "streaming_range_frame" -> (streamingRangeFrame _))
+    "streaming_range_frame" -> (streamingRangeFrame _),
+    "streaming_quota"       -> (streamingQuota _),
+    "streaming_enrich"      -> (streamingEnrich _))
 
   val oracle: Map[String, String] = Map(
     // complete-mode final table == the plain batch aggregate
@@ -63,6 +83,40 @@ object StreamingBatch {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // single-batch admission order is (Timestamp.getTime ms, event_id) —
+    // µs//1000 reproduces the millisecond floor; after the 100-cap the
+    // per-user counter stops moving, so rejected rows carry 100
+    "streaming_quota" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY us // 1000, event_id) AS rn
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |  rn <= 100 AS admitted,
+        |  CAST(CASE WHEN rn <= 100 THEN rn ELSE 100 END AS BIGINT)
+        |    AS n_admitted
+        |FROM r ORDER BY event_id""".stripMargin,
+    // stateless broadcast enrichment: output = input joined to the
+    // per-user profile the batch side derives
+    "streaming_enrich" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, MIN(us) AS first_us,
+        |         COUNT(*)::BIGINT AS lifetime_events
+        |  FROM e GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  make_timestamp(d.first_us) AS first_seen,
+        |  d.lifetime_events,
+        |  (e.us - d.first_us) AS us_since_first
+        |FROM e JOIN d USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
     // append-mode emission = events strictly below the final watermark
     // (max event-time floored to ms, minus the 2h delay — Spark tracks
     // event-time stats in whole milliseconds); frame arithmetic is the
