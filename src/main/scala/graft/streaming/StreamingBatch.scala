@@ -88,6 +88,16 @@ object StreamingBatch {
       "append", "sq_enrich")
       .orderBy("event_id")
 
+  def streamingResample(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.resampleStream(spark, dir),
+      "append", "sq_resample")
+      .orderBy("user_id", "bucket")
+
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.sessions(spark, dir),
+      "append", "sq_sessions")
+      .orderBy("user_id", "session_start")
+
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     runToTable(EventStream.clickPurchaseJoin(spark, dir),
       "append", "sq_interval")
@@ -104,7 +114,9 @@ object StreamingBatch {
     "streaming_quota"         -> (streamingQuota _),
     "streaming_enrich"        -> (streamingEnrich _),
     "streaming_interval_join" -> (streamingIntervalJoin _),
-    "streaming_funnel"        -> (streamingFunnel _))
+    "streaming_funnel"        -> (streamingFunnel _),
+    "streaming_resample"      -> (streamingResample _),
+    "streaming_sessions"      -> (streamingSessions _))
 
   val oracle: Map[String, String] = Map(
     // complete-mode final table == the plain batch aggregate
@@ -149,6 +161,70 @@ object StreamingBatch {
         |  (e.us - d.first_us) AS us_since_first
         |FROM e JOIN d USING (user_id)
         |ORDER BY e.event_id""".stripMargin,
+    // timer-driven gap emission: per user, the 6h grid from the first
+    // data bucket, gap cells included, emitted while bucket+6h clears
+    // the final watermark and the bucket is not past the user's last
+    // data (both rules from the state function's emission loop, in the
+    // same millisecond arithmetic)
+    "streaming_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, time_bucket(INTERVAL 6 HOURS, ts::TIMESTAMP)
+        |           AS bucket, value, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |wm AS (SELECT MAX(us) // 1000 - 7200000 AS wm_ms FROM e),
+        |b AS (
+        |  SELECT user_id, bucket, COUNT(*) AS n_events,
+        |         ROUND(SUM(value), 4) AS sum_value
+        |  FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |  FROM b GROUP BY 1),
+        |s AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(b0, b1, INTERVAL 6 HOURS)) AS bucket
+        |  FROM m)
+        |SELECT s.user_id, s.bucket,
+        |       COALESCE(b.n_events, 0) AS n_events, b.sum_value
+        |FROM s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket, wm
+        |WHERE epoch_us(s.bucket) // 1000 + 21600000 <= wm.wm_ms
+        |ORDER BY 1, 2""".stripMargin,
+    // native session_window emission: sessions whose end (last event +
+    // 30min gap) the final watermark has passed; session_window starts
+    // a NEW session at gap >= 30min (the batch islands oracle uses
+    // strictly >, so the boundary rule here mirrors the streaming
+    // operator, not the batch twin)
+    "streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, ts::TIMESTAMP AS ts_us,
+        |         epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |wm AS (SELECT MAX(us) // 1000 - 7200000 AS wm_ms FROM e),
+        |l AS (
+        |  SELECT *, LAG(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts_us) - epoch_us(prev_ts)
+        |                      >= 1800000000
+        |            THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, session_id,
+        |         MIN(ts_us) AS session_start,
+        |         MAX(ts_us) AS session_end,
+        |         COUNT(*)::BIGINT AS n_events,
+        |         ROUND(SUM(value), 4) AS sum_value
+        |  FROM s GROUP BY 1, 2)
+        |SELECT session_start, user_id, n_events, sum_value
+        |FROM g, wm
+        |WHERE epoch_us(session_end) // 1000 + 1800000 <= wm.wm_ms
+        |ORDER BY user_id, session_start""".stripMargin,
     // inner stream-stream joins emit every match (watermarks bound
     // state, not emission; single-batch source → nothing late)
     "streaming_interval_join" ->
