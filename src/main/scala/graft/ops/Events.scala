@@ -484,6 +484,30 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Trailing exponentially-weighted moving average (α = 0.3) of value
+    * per user — the classic time-decayed feature a monitoring/feature
+    * pipeline layers beside the rolling mean and median (recent events
+    * dominate, old ones decay geometrically). The textbook recurrence
+    * acc ← α·x + (1−α)·acc is folded LEFT over a trailing 50-row frame
+    * (collect_list preserves frame order), seeded with the frame's
+    * oldest element — at 50 terms the truncated tail weighs (1−α)^49 ≈
+    * 3e-8, and because both engines fold the SAME ≤50 doubles in the
+    * SAME order with the same IEEE mul/add, cross-engine parity is
+    * exact, not approximate (DuckDB's list_reduce seeds with the first
+    * element too). Bounded O(50) state per row, one (user) shuffle +
+    * sort — the rolling_median stance; an unbounded running EWMA would
+    * instead be the streaming twin's mapGroupsWithState shape. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
+    Tables.events(spark, dir)
+      .withColumn("frame", collect_list(col("value")).over(w))
+      .select(col("event_id"), col("user_id"),
+        round(expr("aggregate(slice(frame, 2, size(frame) - 1), frame[0], " +
+          "(acc, x) -> 0.3D * x + 0.7D * acc)") + 1e-9, 4).as("ewma50"))
+      .orderBy(col("event_id"))
+  }
+
   /** Daily active / new / cumulative distinct users — the canonical
     * growth-accounting rollup. Exact cumulative distincts WITHOUT a
     * giant running-distinct state: each user collapses to one
@@ -659,6 +683,7 @@ object Events {
     "asof_forward"      -> (asofForward _),
     "attribution"       -> (attribution _),
     "rolling_median"    -> (rollingMedian _),
+    "events_ewma"       -> (ewma _),
     "cumulative_users"  -> (cumulativeUsers _),
     "event_transitions" -> (eventTransitions _),
     "mad_outlier"      -> (madOutliers _),
@@ -810,6 +835,18 @@ object Events {
         |    PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
         |FROM events ORDER BY event_id""".stripMargin,
+    "events_ewma" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id,
+        |    list(value) OVER (
+        |      PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+        |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  ROUND(list_reduce(frame, (acc, x) ->
+        |    CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)
+        |    + 1e-9, 4) AS ewma50
+        |FROM f ORDER BY event_id""".stripMargin,
     "cumulative_users" ->
       """WITH e AS (
         |  SELECT user_id, (ts::TIMESTAMP)::DATE AS day FROM events),

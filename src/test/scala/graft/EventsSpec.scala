@@ -216,6 +216,28 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_ewma equals a naive per-row trailing-50 left fold") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Events.ewma(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+                 r.getDouble(3)))
+    raw.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 49), i + 1).map(_._4)
+        val want = frame.tail.foldLeft(frame.head)((acc, x) =>
+          0.3 * x + 0.7 * acc)
+        val rounded = BigDecimal(want + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(ordered(i)._1) === rounded,
+          s"event ${ordered(i)._1}")
+      }
+    }
+  }
+
   test("cumulative_users: final cumulative equals total distinct users, " +
        "cum is monotone, active >= new") {
     val sf = "/root/testdata/sf0.001"
