@@ -21,7 +21,7 @@ object SparkEntry {
     Panel.queries ++ Relational.queries ++ Ingest.queries ++
       Events.queries ++ Text.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Corpus.queries ++
-      Curation.queries ++ Audit.queries ++
+      Curation.queries ++ Audit.queries ++ Graph.queries ++
       graft.streaming.StreamingBatch.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +30,6 @@ object SparkEntry {
     Panel.oracle ++ Relational.oracle ++ Ingest.oracle ++
       Events.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ Corpus.oracle ++
-      Curation.oracle ++ Audit.oracle ++
+      Curation.oracle ++ Audit.oracle ++ Graph.oracle ++
       graft.streaming.StreamingBatch.oracle
 }

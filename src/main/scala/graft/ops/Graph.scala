@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over the part co-purchase graph (parts linked when they
+  * appear in the same order) — the iterative-algorithm family of the
+  * extension surface: PageRank (fixed-point iteration), triangle counting
+  * (oriented wedge join) and the degree-distribution audit.
+  *
+  * Scale doctrine:
+  *  - Edge construction self-joins lineitem on l_orderkey. Order size is
+  *    bounded by the schema (max 17 items on the fixtures, 7 in classic
+  *    TPC-H), so per-order fan-out is ≤ |order|², a CONSTANT — the join
+  *    output is Θ(|lineitem|), never quadratic in the table.
+  *  - PageRank ranks carry INTEGER micro-units (scale 1e12) and every
+  *    per-edge contribution is an integer floor-division: integer sums are
+  *    associative and order-independent, so the DuckDB oracle matches
+  *    bit-for-bit — the sparse_cosine exact-integer-parity doctrine
+  *    applied to an iterative fixed point. A float PageRank would diverge
+  *    across engines in the 15th decimal on the first shuffle reorder.
+  *  - Each iteration is one edges⋈ranks shuffle on src + one groupBy(dst)
+  *    with map-side partial sums; edges are persisted once and reused by
+  *    all iterations. At 100 TB you'd checkpoint the rank table every few
+  *    iterations to truncate lineage — here 5 iterations keep the DAG
+  *    shallow (and the oracle unrollable).
+  *  - Triangle counting orients each undirected edge from its
+  *    (degree, id)-smaller endpoint to the larger: out-degrees are then
+  *    bounded by O(√|E|) (arboricity argument), so the wedge join is
+  *    Θ(Σ outdeg²) ≲ |E|^1.5 — the standard distributed-triangle bound —
+  *    instead of Σ deg², which a hub node makes quadratic.
+  *  - PageRank/triangles run on a shipdate-sliced subgraph (a year / six
+  *    months): the slice predicate reaches the parquet scan, and the
+  *    algorithms are identical at any slice width.
+  */
+object Graph {
+
+  /** Distinct (order, part) incidences, optionally shipdate-sliced. */
+  private def incidences(spark: SparkSession, dir: String,
+                         fromDate: String, untilDate: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+    val sliced =
+      if (fromDate.isEmpty) li
+      else li.filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+                     col("l_shipdate") < lit(untilDate).cast("timestamp"))
+    sliced.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+  }
+
+  /** Directed co-purchase edges (both directions, deduplicated). */
+  private def directedEdges(inc: DataFrame): DataFrame = {
+    val a = inc.select(col("ok"), col("pk").as("src"))
+    val b = inc.select(col("ok"), col("pk").as("dst"))
+    a.join(b, "ok").filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** PageRank over the 1997 co-purchase subgraph, 5 iterations, d = 0.85,
+    * in integer micro-units (S = 1e12):
+    *
+    *   rank⁰(v)   = S div N
+    *   rankᵏ⁺¹(v) = (15·S) div (100·N)
+    *              + Σ_{u→v} (rankᵏ(u)·85) div (100·deg(u))
+    *
+    * Every node has deg ≥ 1 (edges are symmetric), so there are no
+    * dangling nodes and the mass lost to floors is < N + |E| micro-units
+    * per iteration (GraphSpec pins the bound). N is a collected scalar —
+    * a bounded model parameter (|parts|), same stance as the IVF codebook
+    * size. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val S = 1000000000000L
+    // Pre-partition the persisted edge table by src: the cached relation
+    // reports hashpartitioning(src), so each iteration's edges⋈ranks
+    // shuffles ONLY the skinny rank table — the big side moves once, not
+    // five times (the 100 TB shape; locally the planner may still prefer
+    // broadcasting the rank side, which is equally shuffle-free).
+    val edges = directedEdges(
+      incidences(spark, dir, "1997-01-01", "1998-01-01"))
+      .repartition(col("src")).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    val base = (15L * S) / (100L * n)
+    var ranks = deg.select(col("src").as("node"), col("deg"),
+      lit(S / n).as("rank"))
+    for (_ <- 1 to 5) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("(rank * 85L) div (100L * deg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = deg.select(col("src").as("node"), col("deg"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+    }
+    val out = ranks
+      .select(col("node").as("part"), col("deg"),
+        col("rank").as("rank_micro"),
+        round(col("rank") / lit(1.0e12), 8).as("pr"))
+      .orderBy(col("part"))
+    out
+  }
+
+  /** Per-part triangle count on the 1997-H1 co-purchase subgraph.
+    * Undirected edges (u < v) are oriented from the (deg, id)-smaller
+    * endpoint; triangles enumerate once as (a→b, b→c, a→c) and each
+    * corner is credited. Nodes in no triangle report 0. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val inc = incidences(spark, dir, "1997-01-01", "1997-07-01")
+    val undirected = directedEdges(inc).filter(col("src") < col("dst"))
+      .persist()
+    val deg = undirected.select(col("src").as("x"))
+      .union(undirected.select(col("dst").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val withDeg = undirected
+      .join(deg.withColumnRenamed("x", "src").withColumnRenamed("deg", "ds"),
+        "src")
+      .join(deg.withColumnRenamed("x", "dst").withColumnRenamed("deg", "dd"),
+        "dst")
+    val oriented = withDeg.select(
+      when(col("ds") < col("dd") ||
+           (col("ds") === col("dd") && col("src") < col("dst")),
+        col("src")).otherwise(col("dst")).as("a"),
+      when(col("ds") < col("dd") ||
+           (col("ds") === col("dd") && col("src") < col("dst")),
+        col("dst")).otherwise(col("src")).as("b"))
+      .persist()
+    val e1 = oriented
+    val e2 = oriented.select(col("a").as("b"), col("b").as("c"))
+    val e3 = oriented.select(col("a").as("ta"), col("b").as("tc"))
+    val tri = e1.join(e2, "b")
+      .join(e3, col("a") === col("ta") && col("c") === col("tc"))
+      .select(col("a"), col("b"), col("c"))
+    val corners = tri.select(explode(array(col("a"), col("b"), col("c")))
+      .as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("triangles"))
+    deg.select(col("x").as("part"))
+      .join(corners, Seq("part"), "left")
+      .select(col("part"), coalesce(col("triangles"), lit(0L))
+        .as("triangles"))
+      .orderBy(col("part"))
+  }
+
+  /** Degree distribution of the FULL co-purchase graph — the audit that
+    * tells you whether hub parts make downstream pairings skew-prone.
+    * Output is |distinct degrees| rows (bounded by max degree). */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = directedEdges(incidences(spark, dir, "", ""))
+    edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("deg"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank"    -> (pagerank _),
+    "triangles"   -> (triangles _),
+    "degree_dist" -> (degreeDist _))
+
+  /** Shared SQL prelude: distinct incidences + directed edges. */
+  private def edgesSql(fromDate: String, untilDate: String): String = {
+    val slice =
+      if (fromDate.isEmpty) ""
+      else s"WHERE l_shipdate >= TIMESTAMP '$fromDate' " +
+           s"AND l_shipdate < TIMESTAMP '$untilDate'"
+    s"""li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem $slice),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b USING (ok) WHERE a.pk <> b.pk)""".stripMargin
+  }
+
+  /** 5 unrolled integer-PageRank iterations (DuckDB's SUM(BIGINT) is
+    * HUGEINT; values are identical, the final select casts back). */
+  private def pagerankSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT d.src AS node, d.deg,
+         |    (15000000000000 // (100 * n.n)) + COALESCE(c.s, 0) AS rank
+         |  FROM d CROSS JOIN n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank * 85) // (100 * r.deg)) AS s
+         |    FROM e JOIN r${k - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) c ON c.node = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql("1997-01-01", "1998-01-01")},
+       |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n FROM d),
+       |r0 AS (
+       |  SELECT d.src AS node, d.deg, 1000000000000 // n.n AS rank
+       |  FROM d CROSS JOIN n),
+       |$iters
+       |SELECT node AS part, deg, CAST(rank AS BIGINT) AS rank_micro,
+       |  ROUND(rank / 1000000000000.0, 8) AS pr
+       |FROM r5 ORDER BY part""".stripMargin
+  }
+
+  private def trianglesSql: String =
+    s"""WITH ${edgesSql("1997-01-01", "1997-07-01")},
+       |u AS (SELECT src, dst FROM e WHERE src < dst),
+       |deg AS (
+       |  SELECT x, COUNT(*) AS deg FROM (
+       |    SELECT src AS x FROM u UNION ALL SELECT dst AS x FROM u)
+       |  GROUP BY x),
+       |o AS (
+       |  SELECT CASE WHEN ds.deg < dd.deg
+       |              OR (ds.deg = dd.deg AND u.src < u.dst)
+       |         THEN u.src ELSE u.dst END AS a,
+       |         CASE WHEN ds.deg < dd.deg
+       |              OR (ds.deg = dd.deg AND u.src < u.dst)
+       |         THEN u.dst ELSE u.src END AS b
+       |  FROM u JOIN deg ds ON ds.x = u.src JOIN deg dd ON dd.x = u.dst),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM o e1 JOIN o e2 ON e2.a = e1.b
+       |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (
+       |  SELECT part, COUNT(*) AS triangles FROM (
+       |    SELECT a AS part FROM tri UNION ALL
+       |    SELECT b AS part FROM tri UNION ALL
+       |    SELECT c AS part FROM tri)
+       |  GROUP BY part)
+       |SELECT deg.x AS part, COALESCE(corners.triangles, 0) AS triangles
+       |FROM deg LEFT JOIN corners ON corners.part = deg.x
+       |ORDER BY part""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "pagerank" -> pagerankSql,
+    "triangles" -> trianglesSql,
+    "degree_dist" ->
+      s"""WITH ${edgesSql("", "")},
+         |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+         |SELECT deg, COUNT(*) AS n_parts FROM d
+         |GROUP BY deg ORDER BY deg""".stripMargin)
+}
