@@ -21,8 +21,14 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
+    // Sorted execution order: Map iteration order shifts as the suite
+    // grows, and suite-context pressure (GC, page cache) inflates whatever
+    // runs late — measured: corpus_curate 2.5s isolated vs 8.2s landing
+    // late in an unsorted 146-query run. A fixed order keeps per-query
+    // numbers comparable round-over-round.
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (k, _) => s(k) })
+      .toSeq.sortBy(_._1)
     // Untimed warmup: first executions pay JVM/codegen/scan-init costs that
     // say nothing about query cost — run everything once, then time.
     selected.foreach { case (_, fn) =>
@@ -50,7 +56,7 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     def asJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // The driver parses only the LAST ~2000 chars of stdout; the full

@@ -508,6 +508,32 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Exact trailing-window distinct users — DAU plus 7-day rolling
+    * distinct (WAU) per day. A rolling DISTINCT has no window-function
+    * form (distinct state doesn't merge like sums), and the naive shape
+    * — a grid⋈events range join — is a nested-loop at scale. Instead
+    * each (user, day) incidence EXPLODES map-side into the ≤ 7 grid
+    * days it covers (sequence + explode, a pure projection): total work
+    * is Θ(incidences·7) with no join before the one (day, user)
+    * aggregate, whose two-phase distinct Spark plans with map-side
+    * partials. The trailing grid days an explosion invents past the
+    * last active day are trimmed by a broadcast semi-join against the
+    * |days| grid (calendar-bounded, always broadcastable). */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d0")).distinct()
+    val grid = ud.select(col("d0").as("day")).distinct()
+    ud.select(col("user_id"), col("d0"),
+        explode(expr("sequence(d0, date_add(d0, 6))")).as("day"))
+      .join(broadcast(grid), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("d0") === col("day"), col("user_id")))
+          .as("dau"),
+        countDistinct(col("user_id")).as("wau7"))
+      .orderBy(col("day"))
+  }
+
   /** Daily active / new / cumulative distinct users — the canonical
     * growth-accounting rollup. Exact cumulative distincts WITHOUT a
     * giant running-distinct state: each user collapses to one
@@ -687,6 +713,7 @@ object Events {
     "cumulative_users"  -> (cumulativeUsers _),
     "event_transitions" -> (eventTransitions _),
     "mad_outlier"      -> (madOutliers _),
+    "rolling_distinct" -> (rollingDistinct _),
     "events_range_frame" -> (rangeFrame _),
     "scd2_history"     -> (scdHistory _),
     "events_resample"  -> (resample _),
@@ -874,6 +901,18 @@ object Events {
         |  ROUND(n / SUM(n) OVER (PARTITION BY from_type)::DOUBLE + 1e-9, 6)
         |    AS p
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS d0
+        |  FROM events),
+        |grid AS (SELECT DISTINCT d0 AS day FROM ud),
+        |w AS (
+        |  SELECT g.day, u.user_id, u.d0
+        |  FROM grid g JOIN ud u ON u.d0 BETWEEN g.day - 6 AND g.day)
+        |SELECT day,
+        |  COUNT(DISTINCT CASE WHEN d0 = day THEN user_id END) AS dau,
+        |  COUNT(DISTINCT user_id) AS wau7
+        |FROM w GROUP BY day ORDER BY day""".stripMargin,
     "mad_outlier" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

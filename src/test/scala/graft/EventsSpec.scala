@@ -238,6 +238,24 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling_distinct equals a naive per-day trailing-7 set union") {
+    val sf = "/root/testdata/sf0.001"
+    // (user, day) incidence set straight off the fixture
+    val ud = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    val want = ud.map(_._2).map { d =>
+      val window = ud.filter { case (_, ed) =>
+        !ed.isAfter(d) && !ed.isBefore(d.minusDays(6)) }
+      d -> (ud.filter(_._2 == d).map(_._1).size.toLong,  // dau
+            window.map(_._1).size.toLong)                // wau7
+    }.toMap
+    val got = Events.rollingDistinct(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
+
   test("cumulative_users: final cumulative equals total distinct users, " +
        "cum is monotone, active >= new") {
     val sf = "/root/testdata/sf0.001"
