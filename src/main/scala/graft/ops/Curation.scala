@@ -330,7 +330,106 @@ object Curation {
            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("lang"), col("split"))
 
+  /** Temperature-weighted source mixing — the sampling schedule a
+    * multi-source training corpus uses to keep small sources from
+    * vanishing (α < 1 flattens the distribution; the mT5/XLM-R
+    * convention, here α = 0.3). Per-source counts are one map-side
+    * combinable aggregate (|sources| rows); the Σ n_i^α normalizer is a
+    * one-row broadcast back over it. expected_docs derives from the
+    * ALREADY-6dp-ROUNDED mixing weight (floor(p·budget + 0.5)), so the
+    * integer column can never disagree across engines on a pow() ulp. */
+  def sourceTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.t(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow(col("n_docs").cast("double"), 0.3))
+    val tot = cnt.agg(sum(col("n_docs")).as("tn"), sum(col("w")).as("tw"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs") / col("tn") + 1e-9, 6).as("p_raw"),
+        round(col("w") / col("tw") + 1e-9, 6).as("p_temp"))
+      .withColumn("expected_docs",
+        floor(col("p_temp") * 10000 + 0.5).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  /** Contrastive negative sampling — 3 deterministic negatives per
+    * anchor document, the pair-generation step a contrastive embedding
+    * trainer (or a hard-negative miner) runs over the whole corpus.
+    * Negatives come from fixed modular strides over the dense doc-id
+    * space (id + j·7919 mod N, j = 1..3): reproducible across engines
+    * and runs (no RNG), collision-free per anchor (the strides are
+    * distinct mod N), and — the scale point — realized as ONE ordinary
+    * key join against the corpus, never a cross join or a per-anchor
+    * sample scan. Self-pairs (stride wrapping to the anchor) are
+    * dropped. same_lang marks in-batch negatives that are linguistic
+    * near-misses — the "hard negative" signal. N is footer metadata. */
+  def negativePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(spark, dir, "documents")
+    val n = d.count()
+    d.select(col("doc_id"), col("lang").as("a_lang"),
+        explode(typedLit(Seq(1, 2, 3))).as("j"))
+      .withColumn("neg_id", (col("doc_id") + col("j") * lit(7919L)) % lit(n))
+      .filter(col("neg_id") =!= col("doc_id"))
+      .join(d.select(col("doc_id").as("neg_id"), col("lang").as("n_lang")),
+            Seq("neg_id"))
+      .select(col("doc_id"), col("j"), col("neg_id"),
+              (col("a_lang") === col("n_lang")).as("same_lang"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  /** Z-order clustering audit — the file-layout decision behind
+    * multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER):
+    * interleaving the bits of two 8-bit rank keys (customer, order-day)
+    * gives every one of 16 z-range files a bounded min-max span on BOTH
+    * dimensions (~64/256 each), where a single-dimension sort leaves
+    * the other dimension's zone map useless (full 256 span — a scan
+    * planner can prune nothing). The audit emits per-file zone maps for
+    * both layouts side by side; span arithmetic is pure integers, so
+    * the comparison is hash-exact. The z computation itself is the
+    * shared [[zExpr]] div/mod SQL text — the SAME string runs in Spark
+    * and the oracle, so bit semantics cannot drift. Everything before
+    * the 32-group aggregate is a map-side projection. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+    val rng = o.agg(max(col("o_custkey")).as("maxc"),
+                    min(to_date(col("o_orderdate"))).as("mind"),
+                    max(to_date(col("o_orderdate"))).as("maxd"))
+    val keyed = o.crossJoin(broadcast(rng))
+      .withColumn("c8", expr("(o_custkey * 256) div (maxc + 1)"))
+      .withColumn("dday",
+        datediff(to_date(col("o_orderdate")), col("mind")))
+      .withColumn("d8", expr(
+        "(CAST(dday AS BIGINT) * 256) div (CAST(datediff(maxd, mind) AS BIGINT) + 1)"))
+      .withColumn("z", expr(zExpr))
+    val zfiles = keyed
+      .withColumn("layout", lit("zorder"))
+      .withColumn("file_id", expr("z div 4096"))
+    val dfiles = keyed
+      .withColumn("layout", lit("bydate"))
+      .withColumn("file_id", expr("d8 div 16"))
+    zfiles.unionByName(dfiles)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c8")).as("c_lo"), max(col("c8")).as("c_hi"),
+        min(col("d8")).as("d_lo"), max(col("d8")).as("d_hi"))
+      .withColumn("c_span", col("c_hi") - col("c_lo") + 1)
+      .withColumn("d_span", col("d_hi") - col("d_lo") + 1)
+      .orderBy(col("layout"), col("file_id"))
+  }
+
+  /** 8+8-bit Morton interleave as div/mod arithmetic — no engine bit
+    * intrinsics, so the identical text is valid Spark SQL and DuckDB
+    * SQL (DuckDB spells integer division `//`; the oracle swaps that
+    * token). Even bits carry the date rank, odd bits the customer. */
+  private[ops] val zExpr: String = (0 until 8).map { i =>
+    val p = 1L << i
+    s"((d8 div $p) % 2) * ${1L << (2 * i)} + ((c8 div $p) % 2) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_temperature" -> (sourceTemperature _),
+    "zorder_layout"    -> (zorderLayout _),
+    "negative_pairs"   -> (negativePairs _),
     "dataset_split"    -> (datasetSplit _),
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
@@ -342,6 +441,58 @@ object Curation {
     "bloom_prefilter"  -> (bloomPrefilter _))
 
   val oracle: Map[String, String] = Map(
+    "negative_pairs" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |a AS (
+        |  SELECT doc_id, lang AS a_lang, j
+        |  FROM documents, (VALUES (1), (2), (3)) AS t(j)),
+        |p AS (
+        |  SELECT doc_id, j, (doc_id + j * 7919) % n.n AS neg_id, a_lang
+        |  FROM a, n)
+        |SELECT p.doc_id, p.j, p.neg_id,
+        |       (p.a_lang = d.lang) AS same_lang
+        |FROM p JOIN documents d ON d.doc_id = p.neg_id
+        |WHERE p.neg_id <> p.doc_id
+        |ORDER BY p.doc_id, p.j""".stripMargin,
+    "source_temperature" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         POW(COUNT(*), 0.3) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT SUM(n_docs) AS tn, SUM(w) AS tw FROM c)
+        |SELECT source, n_docs,
+        |  ROUND(n_docs / tn + 1e-9, 6) AS p_raw,
+        |  ROUND(w / tw + 1e-9, 6) AS p_temp,
+        |  CAST(FLOOR(ROUND(w / tw + 1e-9, 6) * 10000 + 0.5) AS BIGINT)
+        |    AS expected_docs
+        |FROM c, t ORDER BY source""".stripMargin,
+    // zorder_layout: the interleave is the SAME zExpr text (DuckDB
+    // spells integer division `//`), so the bit semantics are shared
+    // by construction, not re-derived.
+    "zorder_layout" ->
+      s"""WITH rng AS (
+         |  SELECT MAX(o_custkey) AS maxc,
+         |         MIN((o_orderdate::TIMESTAMP)::DATE) AS mind,
+         |         MAX((o_orderdate::TIMESTAMP)::DATE) AS maxd
+         |  FROM orders),
+         |k AS (
+         |  SELECT (o_custkey * 256) // (maxc + 1) AS c8,
+         |    (CAST(date_diff('day', mind,
+         |       (o_orderdate::TIMESTAMP)::DATE) AS BIGINT) * 256)
+         |      // (CAST(date_diff('day', mind, maxd) AS BIGINT) + 1) AS d8
+         |  FROM orders, rng),
+         |z AS (SELECT c8, d8,
+         |        ${zExpr.replace(" div ", " // ")} AS z FROM k),
+         |f AS (
+         |  SELECT 'zorder' AS layout, z // 4096 AS file_id, c8, d8 FROM z
+         |  UNION ALL
+         |  SELECT 'bydate' AS layout, d8 // 16 AS file_id, c8, d8 FROM z)
+         |SELECT layout, file_id, COUNT(*) AS n_rows,
+         |  MIN(c8) AS c_lo, MAX(c8) AS c_hi,
+         |  MIN(d8) AS d_lo, MAX(d8) AS d_hi,
+         |  MAX(c8) - MIN(c8) + 1 AS c_span,
+         |  MAX(d8) - MIN(d8) + 1 AS d_span
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dataset_split" ->
       """WITH s AS (
         |  SELECT lang, n_chars, doc_id,

@@ -534,6 +534,32 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Top-25 3-step user journeys — the sequential patterns (ordered
+    * event-type trigrams) users actually walk, the product-analytics
+    * cousin of n-gram mining. Sequences are scoped to (user, day) so a
+    * window partition is session-bounded, never one user's full
+    * history: lead(1)/lead(2) inside the partition build each
+    * overlapping step triple as a pure window projection (no per-user
+    * array collect — a whale user's history never materializes in one
+    * task's memory beyond the day slice). One partial-aggregatable
+    * count per distinct triple, then top-k via TakeOrderedAndProject.
+    * Count ties at the cutoff break on the path names so the top-25
+    * membership is deterministic across engines. */
+  def journeyPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(25)
+  }
+
   /** Daily active / new / cumulative distinct users — the canonical
     * growth-accounting rollup. Exact cumulative distincts WITHOUT a
     * giant running-distinct state: each user collapses to one
@@ -714,6 +740,7 @@ object Events {
     "event_transitions" -> (eventTransitions _),
     "mad_outlier"      -> (madOutliers _),
     "rolling_distinct" -> (rollingDistinct _),
+    "journey_paths"    -> (journeyPaths _),
     "events_range_frame" -> (rangeFrame _),
     "scd2_history"     -> (scdHistory _),
     "events_resample"  -> (resample _),
@@ -913,6 +940,19 @@ object Events {
         |  COUNT(DISTINCT CASE WHEN d0 = day THEN user_id END) AS dau,
         |  COUNT(DISTINCT user_id) AS wau7
         |FROM w GROUP BY day ORDER BY day""".stripMargin,
+    "journey_paths" ->
+      """WITH s AS (
+        |  SELECT event_type AS step1,
+        |    LEAD(event_type, 1) OVER w AS step2,
+        |    LEAD(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, (ts::TIMESTAMP)::DATE
+        |               ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, COUNT(*) AS n
+        |FROM s WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 25""".stripMargin,
     "mad_outlier" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -130,6 +130,50 @@ object Panel {
       .orderBy(col("suppkey"), col("year"))
   }
 
+  /** Gap-fill + LINEAR interpolation: panelFill's densified spine, but
+    * missing years get the straight line between their nearest known
+    * neighbors instead of a carried-forward step — the estimator a
+    * numeric time series wants where ffill injects plateaus. Neighbor
+    * values/years come from two ignore-nulls window passes over the
+    * same per-entity sort (last-known over the preceding frame,
+    * first-known over the following), so the cost profile is exactly
+    * panelFill's: per-entity-bounded windows, no extra exchange.
+    * Interior gaps interpolate; edge gaps (no neighbor on one side)
+    * stay NULL — extrapolation is a modeling decision, not a fill. The
+    * arithmetic is written in the same literal shape in both engines
+    * (prev + (next-prev) * (year-py) / (ny-py)) so double evaluation
+    * order is identical. */
+  def panelInterp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+    val base = yearlyPanel(li, "l_suppkey", "l_shipdate",
+        revenueExpr(li), "rev")
+      .filter((col("suppkey") + col("year")) % 5 =!= 0)
+      .select(col("suppkey"), col("year"), round(col("rev"), 4).as("revenue"))
+    val spine = base.groupBy(col("suppkey"))
+      .agg(min(col("year")).as("y0"), max(col("year")).as("y1"))
+      .select(col("suppkey"),
+              explode(sequence(col("y0"), col("y1"))).as("year"))
+    val ord = Window.partitionBy(col("suppkey")).orderBy(col("year"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(base, Seq("suppkey", "year"), "left")
+      .withColumn("pv", last(col("revenue"), ignoreNulls = true).over(wPrev))
+      .withColumn("py", last(when(col("revenue").isNotNull, col("year")),
+                             ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("revenue"), ignoreNulls = true).over(wNext))
+      .withColumn("ny", first(when(col("revenue").isNotNull, col("year")),
+                              ignoreNulls = true).over(wNext))
+      .select(col("suppkey"), col("year"),
+        when(col("revenue").isNotNull, col("revenue"))
+          .otherwise(round(
+            col("pv") + (col("nv") - col("pv")) *
+              (col("year") - col("py")).cast("double") /
+              (col("ny") - col("py")) + 1e-9, 4))
+          .as("revenue_interp"),
+        col("revenue").isNull.as("is_interp"))
+      .orderBy(col("suppkey"), col("year"))
+  }
+
   /** Gap-fill + forward-fill: rebuild each entity's full year spine
     * (sequence from its first to last observed year), left-join the
     * observed panel onto it, and carry the last observation forward
@@ -215,6 +259,7 @@ object Panel {
     "pipeline_cleaned" -> (pipelineCleaned _),
     "union_panels"     -> (unionPanels _),
     "panel_fill"       -> (panelFill _),
+    "panel_interp"     -> (panelInterp _),
     "panel_growth"     -> (panelGrowth _),
     "preview_format"   -> (previewFormat _))
 
@@ -286,6 +331,41 @@ object Panel {
         |       f AS (PARTITION BY suppkey ORDER BY year
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY suppkey, year""".stripMargin,
+    "panel_interp" ->
+      """WITH base AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         EXTRACT(year FROM l_shipdate)::BIGINT AS year,
+        |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  FROM lineitem
+        |  GROUP BY 1, 2
+        |  HAVING (l_suppkey + EXTRACT(year FROM l_shipdate)::BIGINT)
+        |         % 5 <> 0),
+        |rng AS (
+        |  SELECT suppkey, unnest(generate_series(min(year), max(year)))
+        |         AS year
+        |  FROM base GROUP BY suppkey),
+        |j AS (
+        |  SELECT r.suppkey, r.year, b.revenue
+        |  FROM rng r LEFT JOIN base b USING (suppkey, year)),
+        |w AS (
+        |  SELECT suppkey, year, revenue,
+        |    last_value(revenue IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN revenue IS NOT NULL THEN year END
+        |               IGNORE NULLS) OVER wp AS py,
+        |    first_value(revenue IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN revenue IS NOT NULL THEN year END
+        |                IGNORE NULLS) OVER wn AS ny
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY suppkey ORDER BY year
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY suppkey ORDER BY year
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT suppkey, year,
+        |  CASE WHEN revenue IS NOT NULL THEN revenue
+        |       ELSE ROUND(pv + (nv - pv) * (year - py)::DOUBLE / (ny - py)
+        |                  + 1e-9, 4) END AS revenue_interp,
+        |  (revenue IS NULL) AS is_interp
+        |FROM w ORDER BY suppkey, year""".stripMargin,
     "panel_fill" ->
       """WITH base AS (
         |  SELECT l_suppkey AS suppkey,

@@ -936,6 +936,119 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** Equi-depth histogram — 10 equal-count price bins over orders, the
+    * distribution profile an optimizer's statistics collector or a
+    * feature-binning step wants (fixed-width bins — value_histogram —
+    * put 90% of a skewed column in one bin; equi-depth bins adapt).
+    * Exact ANSI NTILE membership WITHOUT a single-task global sort:
+    * the bin comes from [[distributedRank]]'s range-bucketed global
+    * rank (approx-quantile bounds as a collected model parameter,
+    * per-bucket parallel sorts, P-row offset table broadcast back) via
+    * [[ntileFromRank]] — same doctrine as rfm_segments. The oracle is
+    * DuckDB's plain NTILE(10): equality proves the distributed rank
+    * reproduces the ANSI definition bin for bin. */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val n = o.count() // parquet footer metadata, no data scan
+    val ranked = distributedRank(o, "o_totalprice", asc = true,
+      Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+    ranked.withColumn("bin", ntileFromRank(col("rn"), n, 10))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .orderBy(col("bin"))
+  }
+
+  /** Winsorized (clamped-tail) per-group price stats — the robust
+    * feature-scaling step that keeps a fat-tailed column's outliers
+    * from dominating a mean. Cut points are the EXACT interpolating
+    * p05/p95 per return flag (the percentiles-query parity doctrine:
+    * both engines compute lo + (hi-lo)·frac on the same sorted
+    * neighbors, and a clamp comparison against an interpolated cut
+    * cannot flip on an ulp because no data value lies strictly between
+    * two 1-ulp cut variants). Cuts are a |groups|-row broadcast back
+    * into one pass over the fact table — no window, no second sort. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val cuts = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+           expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    li.join(broadcast(cuts), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        round(avg(col("l_extendedprice")) + 1e-9, 4).as("mean_raw"),
+        round(avg(greatest(least(col("l_extendedprice"), col("p95")),
+                           col("p05"))) + 1e-9, 4).as("mean_wins"),
+        round(min(col("p05")) + 1e-9, 4).as("p05"),
+        round(max(col("p95")) + 1e-9, 4).as("p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** 2-D skyline (Pareto frontier): the urgent orders no other urgent
+    * order beats on BOTH objectives (cheaper-or-equal price AND
+    * later-or-equal date, strictly better in one). The naive form is an
+    * all-pairs NOT EXISTS — a nested-loop the oracle can afford but a
+    * 100 TB plan cannot. Distributed shape:
+    *
+    *  1. PREFILTER — prices bucketed fixed-width (B = 256); per-bucket
+    *     max date is a B-row aggregate whose exclusive running max
+    *     (a window over B rows, bucket-bounded like the calendar
+    *     windows) broadcasts back. A row beaten by any strictly-cheaper
+    *     bucket's max date is dominated (bucket monotone in price ⇒
+    *     lower bucket ⇒ strictly lower price) and drops map-side.
+    *     Every dominator itself survives the prefilter (its date ≥ the
+    *     victim's > its own bucket's exclusive cummax, and cummax is
+    *     monotone across buckets), so no skyline member is lost.
+    *  2. EXACT — survivors S (frontier candidates; |S| is
+    *     output-bounded per bucket, like dedup_clusters is
+    *     output-bounded): per-distinct-price max date, running max
+    *     over the ≤|S| distinct prices, keep rows strictly above every
+    *     cheaper price's max (m1) and not beaten within their own
+    *     price group (date = m2). Duplicate (price, date) points tie
+    *     and are all kept — neither dominates the other. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val b = 256
+    val rng = u.agg(min(col("o_totalprice")).as("lo"),
+                    max(col("o_totalprice")).as("hi"))
+    val bucketed = u.crossJoin(broadcast(rng))
+      .withColumn("bkt", least(
+        floor((col("o_totalprice") - col("lo")) * b /
+              (col("hi") - col("lo") + lit(1e-9))).cast("long"), lit(b - 1L)))
+      .drop("lo", "hi")
+    val wB = Window.orderBy(col("bkt"))
+    val bktMax = bucketed.groupBy(col("bkt"))
+      .agg(max(col("o_orderdate")).as("bmax"))
+      .withColumn("cummax_excl",
+        max(col("bmax")).over(wB.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("cummax_excl"))
+    val survivors = bucketed.join(broadcast(bktMax), Seq("bkt"))
+      .filter(col("cummax_excl").isNull ||
+              col("o_orderdate") > col("cummax_excl"))
+      .drop("bkt", "cummax_excl")
+    val wP = Window.orderBy(col("o_totalprice"))
+    val grp = survivors.groupBy(col("o_totalprice"))
+      .agg(max(col("o_orderdate")).as("m2"))
+      .withColumn("m2", max(col("m2"))
+        .over(wP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m1", lag(col("m2"), 1).over(wP))
+    survivors.join(broadcast(grp), Seq("o_totalprice"))
+      .filter((col("m1").isNull || col("o_orderdate") > col("m1")) &&
+              col("o_orderdate") === col("m2"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+  }
+
   /** Incremental aggregate maintenance: per-customer order stats kept as
     * MERGEABLE partials (count, sum, min, max) over two disjoint slices
     * (orders before / since 1998-01-01 — an existing materialization and
@@ -992,6 +1105,9 @@ object Relational {
     "snapshot_diff"  -> (snapshotDiff _),
     "set_ops"        -> (setOps _),
     "approx_sketch"  -> (approxSketches _),
+    "skyline"        -> (skyline _),
+    "equidepth_hist" -> (equidepthHist _),
+    "winsorize"      -> (winsorize _),
     "join_semi_anti" -> (joinSemiAnti _),
     "join_outer"     -> (joinOuter _),
     "string_funcs"   -> (stringFuncs _),
@@ -1391,6 +1507,53 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // equidepth_hist: the oracle's plain NTILE is the ANSI definition
+    // the distributed rank must reproduce bin for bin.
+    "equidepth_hist" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+        |         AS BIGINT) AS bin
+        |  FROM orders)
+        |SELECT bin, COUNT(*) AS n_rows,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+    "winsorize" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_clip_lo,
+        |  SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_clip_hi,
+        |  ROUND(AVG(l_extendedprice) + 1e-9, 4) AS mean_raw,
+        |  ROUND(AVG(GREATEST(LEAST(l_extendedprice, p95), p05)) + 1e-9, 4)
+        |    AS mean_wins,
+        |  ROUND(MIN(p05) + 1e-9, 4) AS p05,
+        |  ROUND(MAX(p95) + 1e-9, 4) AS p95
+        |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    // skyline: the oracle is the textbook all-pairs dominance NOT
+    // EXISTS — quadratic, affordable at oracle scale, and obviously
+    // correct; equality proves the bucketed prefilter + frontier
+    // windows drop exactly the dominated rows.
+    "skyline" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM u s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM u x
+        |  WHERE x.o_totalprice <= s.o_totalprice
+        |    AND x.o_orderdate >= s.o_orderdate
+        |    AND (x.o_totalprice < s.o_totalprice
+        |         OR x.o_orderdate > s.o_orderdate))
+        |ORDER BY o_totalprice, o_orderkey""".stripMargin,
     "join_semi_anti" ->
       """SELECT 'has_urgent' AS segment, c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -230,7 +230,32 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** RAG-style overlapping chunking: fixed 200-char windows every 150
+    * chars (50-char overlap keeps a sentence split across a boundary
+    * recoverable from the next chunk). Start offsets come from a
+    * sequence() the doc's own length bounds, so the whole operator is a
+    * map-side explode + substring projection — zero shuffles before the
+    * presentation sort, and each output row carries the chunk's md5
+    * prefix, not the text, so downstream chunk-level dedup/shuffle
+    * ships 8-char digests (the mm_dedup doctrine applied to text).
+    * Char-position chunking (not token) is deliberate: it needs no
+    * vocabulary and is reproducible across engines byte-for-byte. */
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+                         lit(150))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / 150).cast("long").as("chunk_id"),
+        col("text").substr(col("start"), lit(200)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).cast("long").as("chunk_chars"),
+        substring(md5(col("chunk")), 1, 8).as("fp8"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks"  -> (textChunks _),
     "sent_stats"   -> (sentStats _),
     "lang_confusion" -> (langConfusion _),
     "token_encode"  -> (tokenEncode _),
@@ -243,6 +268,17 @@ object Text {
     "fingerprint"  -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_chunks" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, greatest(length(text), 1), 150)) AS s
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 150 AS BIGINT) AS chunk_id,
+        |  CAST(length(substr(text, s, 200)) AS BIGINT) AS chunk_chars,
+        |  substr(md5(substr(text, s, 200)), 1, 8) AS fp8
+        |FROM s
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "sent_stats" ->
       """WITH s AS (
         |  SELECT doc_id,

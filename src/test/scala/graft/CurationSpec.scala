@@ -265,4 +265,62 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaBloom === viaJoin)
   }
+
+  test("negative_pairs: every pair matches the modular-stride recompute, " +
+       "no self-pairs, anchors cover the corpus") {
+    val langs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = langs.size.toLong
+    val want = (for {
+      id <- langs.keys.toSeq; j <- 1 to 3
+      neg = (id + j * 7919L) % n if neg != id
+    } yield (id, j, neg, langs(id) == langs(neg))).toSet
+    val got = Curation.negativePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got === want)
+    assert(got.map(_._1) === langs.keySet) // every anchor kept >= 1 pair
+  }
+
+  test("source_temperature: weights normalize, alpha<1 provably flattens " +
+       "(small sources gain share, large sources lose it)") {
+    val rows = Curation.sourceTemperature(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+                 r.getDouble(3), r.getLong(4)))
+    val total = Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum === total)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
+    // temperature flattening: any source below the mean share gets
+    // boosted (p_temp > p_raw), any above it gets shaved
+    val meanShare = 1.0 / rows.length
+    rows.foreach { case (src, _, praw, ptemp, exp) =>
+      if (praw < meanShare * 0.9)
+        assert(ptemp > praw, s"$src: small source not boosted")
+      if (praw > meanShare * 1.1)
+        assert(ptemp < praw, s"$src: large source not shaved")
+      assert(math.abs(exp - ptemp * 10000) <= 0.5 + 1e-6)
+    }
+  }
+
+  test("zorder_layout: both layouts partition all orders; z-order bounds " +
+       "BOTH dims' spans while bydate leaves customers unclustered") {
+    val rows = Curation.zorderLayout(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(7), r.getLong(8))) // layout, file, n, c_span, d_span
+    val n = Tables.t(spark, dir, "orders").count()
+    for (layout <- Seq("zorder", "bydate"))
+      assert(rows.filter(_._1 == layout).map(_._3).sum === n, layout)
+    val zf = rows.filter(_._1 == "zorder")
+    val df = rows.filter(_._1 == "bydate")
+    // 16 z-files fix the top 4 interleaved bits (c7 d7 c6 d6): each file
+    // spans <= 64 of 256 on EVERY dimension
+    assert(zf.forall(f => f._4 <= 64 && f._5 <= 64),
+      s"zorder spans: ${zf.map(f => (f._4, f._5)).toSeq}")
+    // a date sort prunes dates hard but leaves customer zone maps useless
+    assert(df.forall(_._5 <= 16))
+    assert(df.map(_._4).max > 64,
+      "bydate c_span unexpectedly bounded — fixture too small to matter?")
+  }
 }

@@ -256,6 +256,28 @@ class EventsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("journey_paths equals a naive per-(user, day) trigram recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day", "ts", "event_id",
+                  "event_type").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+                 r.getTimestamp(2).getTime, r.getLong(3), r.getString(4)))
+    val naive = evs.groupBy(e => (e._1, e._2)).values.toSeq
+      .flatMap { g =>
+        val ordered = g.sortBy(e => (e._3, e._4)).map(_._5)
+        ordered.sliding(3).filter(_.length == 3)
+          .map(t => (t(0), t(1), t(2))).toSeq
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wantTop = naive.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(25)
+    val got = Events.journeyPaths(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+                 r.getLong(3))).toSeq
+    assert(got === wantTop)
+  }
+
   test("cumulative_users: final cumulative equals total distinct users, " +
        "cum is monotone, active >= new") {
     val sf = "/root/testdata/sf0.001"

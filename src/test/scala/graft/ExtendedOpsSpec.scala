@@ -464,6 +464,77 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(a.forall(ids))
   }
 
+  test("skyline equals the brute-force all-pairs dominance recompute") {
+    val u = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .selectExpr("o_orderkey", "o_totalprice",
+                  "CAST(o_orderdate AS STRING)") // NTZ: ISO strings compare
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val want = u.filter { case (_, p, d) =>
+      !u.exists { case (_, p2, d2) =>
+        p2 <= p && d2 >= d && (p2 < p || d2 > d) }
+    }.map(_._1).toSet
+    val got = Relational.skyline(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("equidepth_hist: ANSI ntile balance (first n%k bins take the " +
+       "extra row), bins tile the price range in order") {
+    val rows = Relational.equidepthHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = Tables.t(spark, dir, "orders").count()
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    assert(rows.map(_._2).sum === n)
+    val (q, rem) = (n / 10, n % 10)
+    rows.foreach { case (bin, cnt, _, _) =>
+      assert(cnt === (if (bin <= rem) q + 1 else q), s"bin $bin") }
+    // consecutive bins never overlap except possibly at a tied edge value
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bins ${a._1}/${b._1} overlap") }
+  }
+
+  test("winsorize: clip fractions ~5% per tail, winsorized mean sits " +
+       "inside the clamp interval") {
+    val rows = Relational.winsorize(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (mw, p05, p95) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(lo <= math.ceil(n * 0.06) && hi <= math.ceil(n * 0.06),
+        s"${r.getString(0)}: clip counts $lo/$hi of $n")
+      assert(mw >= p05 - 1e-6 && mw <= p95 + 1e-6)
+    }
+  }
+
+  test("text_chunks: chunk count is ceil-by-stride, overlap region of " +
+       "consecutive chunks agrees (same text both sides)") {
+    val docs = Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = graft.ops.Text.textChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val perDoc = chunks.groupBy(_._1)
+    assert(perDoc.keySet === docs.keySet)
+    perDoc.foreach { case (id, cs) =>
+      val len = docs(id).length.max(1)
+      val expect = (len - 1) / 150 + 1 // starts 1, 151, ... <= len
+      assert(cs.length === expect, s"doc $id")
+      // chunk_id contiguous from 0; fp8 recomputable from the source text
+      assert(cs.map(_._2).sorted.toSeq === (0L until expect).toSeq)
+      cs.foreach { case (_, cid, nch, fp8) =>
+        val s = docs(id).slice((cid * 150).toInt,
+                               (cid * 150 + 200).toInt.min(docs(id).length))
+        assert(nch === s.length.toLong, s"doc $id chunk $cid")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(fp8 === md5.take(8), s"doc $id chunk $cid")
+      }
+    }
+  }
+
   test("dataset_split: tallies conserve the corpus, every lang splits " +
        "~80/10/10") {
     val rows = graft.ops.Curation.datasetSplit(spark, dir).collect()

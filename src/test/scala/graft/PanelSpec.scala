@@ -62,4 +62,34 @@ class PanelSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("suppkey", "year", "revenue", "qty",
       "revenue_lag1", "revenue_roll5", "qty_roll5"))
   }
+
+  test("panel_interp: known rows pass through; gaps lie on the straight " +
+       "line between their known neighbors; edges stay NULL") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Panel.panelInterp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3)))
+    assert(rows.exists(_._4), "fixture planted no gaps?")
+    // recompute from the known points only
+    val known = rows.filter(!_._4)
+      .map(t => (t._1, t._2) -> t._3.get).toMap
+    rows.filter(_._4).foreach { case (sk, y, v, _) =>
+      val ys = known.keys.filter(_._1 == sk).map(_._2)
+      val prev = ys.filter(_ < y)
+      val next = ys.filter(_ > y)
+      if (prev.isEmpty || next.isEmpty) {
+        assert(v.isEmpty, s"edge gap ($sk, $y) should stay NULL")
+      } else {
+        val (py, ny) = (prev.max, next.min)
+        val (pv, nv) = (known((sk, py)), known((sk, ny)))
+        val want = BigDecimal(pv + (nv - pv) * (y - py).toDouble / (ny - py))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) // loose re-round
+        val got = BigDecimal(v.get)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        assert((got - want).abs <= BigDecimal("0.01"),
+          s"($sk, $y): got ${v.get}, line through ($py,$pv)-($ny,$nv)")
+      }
+    }
+  }
 }

@@ -354,6 +354,39 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).length >= 1)
   }
 
+  test("text_chunks: zero hash exchanges — chunking is a pure map-side " +
+       "explode + projection") {
+    val p = plan(graft.ops.Text.textChunks(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle data")
+  }
+
+  test("negative_pairs: one equi hash join, never a nested-loop or " +
+       "cartesian") {
+    val p = plan(Curation.negativePairs(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "negative sampling must stay an equi key join")
+  }
+
+  test("skyline: no join against the full input — only broadcast joins " +
+       "of the bounded bucket/frontier stats") {
+    val p = plan(Relational.skyline(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "skyline must join only broadcast-sized stats relations")
+  }
+
+  test("equidepth_hist: no global Sort of the input — ranking rides " +
+       "the bucket-partitioned distributed rank") {
+    val p = plan(Relational.equidepthHist(spark, sf))
+    // per-bucket sorts appear under a hashpartitioning(_bkt) exchange;
+    // a single-task global sort would print Exchange SinglePartition
+    // followed by Sort — forbid a rangepartitioning Sort of the base
+    assert(!p.contains("Exchange rangepartitioning(o_totalprice"),
+      "NTILE must not route through a global range sort")
+  }
+
   test("mm_dedup: only 16-byte digests shuffle — the payload column " +
        "never crosses the exchange") {
     val p = plan(graft.ops.Multimodal.payloadDedup(spark, sf))
