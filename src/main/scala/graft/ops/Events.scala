@@ -534,6 +534,52 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Closed-form OLS trend per event type — slope/intercept/R² of the
+    * daily event count against the day index, the drift detector a
+    * metrics pipeline fits per series. The regression runs on the
+    * NORMAL-EQUATION SUMS (Σx, Σy, Σxy, Σx², Σy²), which are all
+    * INTEGERS here (day indices × counts) — integer sums are
+    * order-independent across any partitioning, so both engines divide
+    * the same two exact integers and parity holds to the 6dp rounding
+    * with no floating accumulation anywhere. Two map-side-combinable
+    * aggregates (days, then sums); the only broadcast is the 1-row
+    * global min day. Days with zero events don't enter the fit (the
+    * daily relation has no row to count) — stated so the oracle
+    * matches. Large products (the R² numerator square) are cast to
+    * double BEFORE squaring in both engines: the square of a ~1e12
+    * integer overflows BIGINT but is exact in double only as written,
+    * identically, on both sides. */
+  def trendFit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+    val m = e.agg(min(col("d")).as("d0"))
+    val daily = e.crossJoin(broadcast(m))
+      .groupBy(col("event_type"), datediff(col("d"), col("d0")).as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n_days"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") + 1e-9, 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+                .cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") + 1e-9, 6).as("intercept"),
+        round(pow((col("n_days") * col("sxy") - col("sx") * col("sy"))
+                    .cast("double"), 2) /
+              ((col("n_days") * col("sxx") - col("sx") * col("sx"))
+                 .cast("double") *
+               (col("n_days") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")) + 1e-9, 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Top-25 3-step user journeys — the sequential patterns (ordered
     * event-type trigrams) users actually walk, the product-analytics
     * cousin of n-gram mining. Sequences are scoped to (user, day) so a
@@ -741,6 +787,7 @@ object Events {
     "mad_outlier"      -> (madOutliers _),
     "rolling_distinct" -> (rollingDistinct _),
     "journey_paths"    -> (journeyPaths _),
+    "trend_fit"        -> (trendFit _),
     "events_range_frame" -> (rangeFrame _),
     "scd2_history"     -> (scdHistory _),
     "events_resample"  -> (resample _),
@@ -940,6 +987,31 @@ object Events {
         |  COUNT(DISTINCT CASE WHEN d0 = day THEN user_id END) AS dau,
         |  COUNT(DISTINCT user_id) AS wau7
         |FROM w GROUP BY day ORDER BY day""".stripMargin,
+    "trend_fit" ->
+      """WITH d0 AS (
+        |  SELECT MIN((ts::TIMESTAMP)::DATE) AS d0 FROM events),
+        |daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, (ts::TIMESTAMP)::DATE) AS x,
+        |    COUNT(*) AS y
+        |  FROM events, d0 GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(x * y) AS sxy, SUM(y * y) AS syy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n_days * sxx - sx * sx AS DOUBLE) + 1e-9, 6)
+        |    AS slope,
+        |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |        CAST(n_days * sxx - sx * sx AS DOUBLE) + 1e-9, 6)
+        |    AS intercept,
+        |  ROUND(POW(CAST(n_days * sxy - sx * sy AS DOUBLE), 2) /
+        |        (CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n_days * syy - sy * sy AS DOUBLE)) + 1e-9, 6)
+        |    AS r2
+        |FROM s ORDER BY event_type""".stripMargin,
     "journey_paths" ->
       """WITH s AS (
         |  SELECT event_type AS step1,

@@ -936,6 +936,75 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** Largest-remainder money allocation ("penny allocation") — split
+    * each order's total across its line items proportionally to item
+    * price so the per-order cent sum reconciles EXACTLY (the invariant
+    * billing/revenue-recognition pipelines must hold; naive per-item
+    * rounding leaks cents). The whole computation is INTEGER
+    * arithmetic — cents = floor(dollars·100 + 0.5), base share =
+    * (total·price) div denom, remainder = (total·price) mod denom —
+    * so cross-engine parity is bit-exact by construction: no double
+    * division anywhere, and the +1-cent bumps go to the largest
+    * INTEGER remainders with the (orderkey, linenumber) primary key as
+    * the deterministic tie-break. Shapes: one order-keyed window pair
+    * over ≤7-row partitions; the o%25 sample filter reaches both scans
+    * BEFORE the join (predicate pushdown keeps the demo output small —
+    * the plan is the full-corpus plan). */
+  def pennyAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("total_cents"))
+    val li = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 25 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("price_cents"))
+    val wO = Window.partitionBy(col("l_orderkey"))
+    val wRank = wO.orderBy(col("rem").desc, col("l_linenumber"))
+    li.join(o, col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
+      .withColumn("denom", sum(col("price_cents")).over(wO))
+      .filter(col("denom") > 0)
+      .withColumn("num", col("total_cents") * col("price_cents"))
+      .withColumn("base", expr("num div denom"))
+      .withColumn("rem", col("num") % col("denom"))
+      .withColumn("leftover",
+        col("total_cents") - sum(col("base")).over(wO))
+      .withColumn("bump",
+        (row_number().over(wRank) <= col("leftover")).cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("price_cents"),
+        (col("base") + col("bump")).as("alloc_cents"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Incremental JOIN-view maintenance: the per-(segment, nation)
+    * revenue view over orders ⋈ customer, maintained as
+    * V = merge(V_base, ΔA ⋈ B) — the delta algebra for a view whose
+    * dimension side is static (the general both-sides-changing rule,
+    * ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, degenerates to its first term here).
+    * Each slice is the agg_merge partial-aggregate shape with the
+    * broadcast dimension join INSIDE the partial, so absorbing a daily
+    * order batch touches only batch rows — never the order history.
+    * The oracle joins and aggregates the full table directly: equality
+    * proves the view delta is lossless, join included. */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    def partial(pred: Column) = Tables.t(spark, dir, "orders")
+      .filter(pred)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    partial(col("o_orderdate") < cut)
+      .unionAll(partial(col("o_orderdate") >= cut))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(col("n")).as("n_orders"),
+           round(sum(col("s")), 4).as("revenue"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   /** Equi-depth histogram — 10 equal-count price bins over orders, the
     * distribution profile an optimizer's statistics collector or a
     * feature-binning step wants (fixed-width bins — value_histogram —
@@ -1108,6 +1177,8 @@ object Relational {
     "skyline"        -> (skyline _),
     "equidepth_hist" -> (equidepthHist _),
     "winsorize"      -> (winsorize _),
+    "penny_alloc"    -> (pennyAlloc _),
+    "ivm_join"       -> (ivmJoin _),
     "join_semi_anti" -> (joinSemiAnti _),
     "join_outer"     -> (joinOuter _),
     "string_funcs"   -> (stringFuncs _),
@@ -1507,6 +1578,43 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // penny_alloc: all-integer arithmetic — the oracle restates the
+    // same div/mod largest-remainder rule, so parity is bit-exact.
+    "penny_alloc" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+        |  FROM orders WHERE o_orderkey % 25 = 0),
+        |li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      AS price_cents
+        |  FROM lineitem WHERE l_orderkey % 25 = 0),
+        |j AS (
+        |  SELECT l_orderkey, l_linenumber, price_cents, total_cents,
+        |    SUM(price_cents) OVER (PARTITION BY l_orderkey) AS denom
+        |  FROM li JOIN o ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT *,
+        |    (total_cents * price_cents) // denom AS base,
+        |    (total_cents * price_cents) % denom AS rem
+        |  FROM j WHERE denom > 0),
+        |r AS (
+        |  SELECT *,
+        |    total_cents - SUM(base) OVER (PARTITION BY l_orderkey)
+        |      AS leftover,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY rem DESC, l_linenumber) AS rk
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber, price_cents,
+        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_cents
+        |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "ivm_join" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // equidepth_hist: the oracle's plain NTILE is the ANSI definition
     // the distributed rank must reproduce bin for bin.
     "equidepth_hist" ->

@@ -256,6 +256,35 @@ class EventsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("trend_fit matches a naive double-precision least squares; r2 " +
+       "bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val pts = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS d").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = pts.map(_._2).min
+    val daily = pts.groupBy(identity).map { case ((t, d), v) =>
+      (t, java.time.temporal.ChronoUnit.DAYS.between(d0, d).toDouble,
+       v.size.toDouble) }.toSeq.groupBy(_._1)
+    val got = Events.trendFit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === daily.keySet)
+    daily.foreach { case (t, xs) =>
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxx = xs.map(p => p._2 * p._2).sum
+      val sxy = xs.map(p => p._2 * p._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val (gn, gs, gi, gr2) = got(t)
+      assert(gn === xs.size.toLong)
+      assert(math.abs(gs - slope) < 1e-4, s"$t slope")
+      assert(math.abs(gi - icept) < 1e-4, s"$t intercept")
+      assert(gr2 >= -1e-9 && gr2 <= 1.0 + 1e-6, s"$t r2 $gr2")
+    }
+  }
+
   test("journey_paths equals a naive per-(user, day) trigram recompute") {
     val sf = "/root/testdata/sf0.001"
     val evs = Tables.events(spark, sf)

@@ -481,6 +481,55 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("penny_alloc: every order reconciles to the cent; each item gets " +
+       "floor-share or floor-share+1; bumps go to the largest remainders") {
+    val rows = Relational.pennyAlloc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val totals = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 25 === 0)
+      .selectExpr("o_orderkey",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (ok, items) =>
+      val total = totals(ok)
+      assert(items.map(_._4).sum === total, s"order $ok leaks cents")
+      val denom = items.map(_._3).sum
+      items.foreach { case (_, ln, pc, alloc) =>
+        val base = total * pc / denom
+        assert(alloc === base || alloc === base + 1,
+          s"order $ok line $ln alloc $alloc vs base $base")
+      }
+      // bumped items carry remainders >= every unbumped item's
+      val (bumped, plain) = items.partition { case (_, _, pc, alloc) =>
+        alloc === total * pc / denom + 1 }
+      if (bumped.nonEmpty && plain.nonEmpty) {
+        val minBumped = bumped.map(t => total * t._3 % denom).min
+        val maxPlain = plain.map(t => total * t._3 % denom).max
+        assert(minBumped >= maxPlain, s"order $ok bumped a smaller remainder")
+      }
+    }
+  }
+
+  test("ivm_join: the merged base+delta view equals the direct " +
+       "non-incremental join aggregate") {
+    val got = Relational.ivmJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val c = Tables.t(spark, dir, "customer")
+    val direct = Tables.t(spark, dir, "orders")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)), round(sum(col("o_totalprice")), 4)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === direct.keySet)
+    got.foreach { case (k, (n, rev)) =>
+      assert(n === direct(k)._1, s"$k count")
+      assert(math.abs(rev - direct(k)._2) < 1e-4, s"$k revenue")
+    }
+  }
+
   test("equidepth_hist: ANSI ntile balance (first n%k bins take the " +
        "extra row), bins tile the price range in order") {
     val rows = Relational.equidepthHist(spark, dir).collect()
