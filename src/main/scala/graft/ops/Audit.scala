@@ -185,13 +185,95 @@ object Audit {
       .orderBy(col("digit"))
   }
 
+  /** Population stability index — the drift audit run before trusting a
+    * model (or a curation threshold) trained on last quarter's
+    * distribution: deciles of the BASE slice (orders before 1998) become
+    * the bins, the CURRENT slice (1998+) is scored against them, and
+    * PSI = Σ (q−p)·ln(q/p) with the conventional 1e-4 clamp on empty
+    * bins. Shapes: one exact-percentile aggregate over the base slice
+    * (a 1-row, 9-column broadcast — the winsorize cut doctrine: bin
+    * membership can't flip on a cut ulp), then each slice is one
+    * map-side binning + ≤10-group aggregate; the fraction windows run
+    * over the 10-row bin table. The bin expression is ONE shared CASE
+    * text evaluated by both engines. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    val edges = o.filter(col("o_orderdate") < cut)
+      .agg(expr(s"percentile(o_totalprice, 0.1)").as("e1"),
+        (2 to 9).map(k =>
+          expr(s"percentile(o_totalprice, 0.$k)").as(s"e$k")): _*)
+    // one pass over orders: both slices bin and tally in the same
+    // map-side aggregate (the conditional-sum pivot, not two scans)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    o.crossJoin(broadcast(edges))
+      .withColumn("bin", expr(psiBinExpr).cast("long"))
+      .withColumn("is_base", col("o_orderdate") < cut)
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+           sum(when(col("is_base"), 0L).otherwise(1L)).as("n_cur"))
+      .withColumn("p", col("n_base") / sum(col("n_base")).over(wAll))
+      .withColumn("q", col("n_cur") / sum(col("n_cur")).over(wAll))
+      .withColumn("pc", greatest(col("p"), lit(1e-4)))
+      .withColumn("qc", greatest(col("q"), lit(1e-4)))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(col("p") + 1e-9, 6).as("p_base"),
+        round(col("q") + 1e-9, 6).as("p_cur"),
+        round((col("qc") - col("pc")) * log(col("qc") / col("pc")) + 1e-9, 6)
+          .as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  /** Decile-bin id as one shared CASE-sum text (valid Spark SQL AND
+    * DuckDB SQL — the zExpr doctrine): count of base-decile edges
+    * strictly below the value, 0..9. */
+  private[ops] val psiBinExpr: String = (1 to 9)
+    .map(k => s"(CASE WHEN o_totalprice > e$k THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "psi_drift"       -> (psiDrift _),
     "dq_checks"       -> (dqChecks _),
     "value_histogram" -> (valueHistogram _),
     "benford_digits"  -> (benfordDigits _),
     "crosstab_assoc"  -> (crosstabAssoc _))
 
   val oracle: Map[String, String] = Map(
+    "psi_drift" ->
+      s"""WITH edges AS (
+         |  SELECT quantile_cont(o_totalprice, 0.1) AS e1,
+         |         quantile_cont(o_totalprice, 0.2) AS e2,
+         |         quantile_cont(o_totalprice, 0.3) AS e3,
+         |         quantile_cont(o_totalprice, 0.4) AS e4,
+         |         quantile_cont(o_totalprice, 0.5) AS e5,
+         |         quantile_cont(o_totalprice, 0.6) AS e6,
+         |         quantile_cont(o_totalprice, 0.7) AS e7,
+         |         quantile_cont(o_totalprice, 0.8) AS e8,
+         |         quantile_cont(o_totalprice, 0.9) AS e9
+         |  FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+         |binned AS (
+         |  SELECT CAST($psiBinExpr AS BIGINT) AS bin,
+         |    (o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS is_base
+         |  FROM orders, edges),
+         |g AS (
+         |  SELECT bin,
+         |    SUM(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         |    SUM(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS n_cur
+         |  FROM binned GROUP BY bin),
+         |f AS (
+         |  SELECT bin, n_base, n_cur,
+         |    n_base / CAST(SUM(n_base) OVER () AS DOUBLE) AS p,
+         |    n_cur / CAST(SUM(n_cur) OVER () AS DOUBLE) AS q
+         |  FROM g)
+         |SELECT bin, n_base, n_cur,
+         |  ROUND(p + 1e-9, 6) AS p_base,
+         |  ROUND(q + 1e-9, 6) AS p_cur,
+         |  ROUND((GREATEST(q, 1e-4) - GREATEST(p, 1e-4))
+         |        * LN(GREATEST(q, 1e-4) / GREATEST(p, 1e-4)) + 1e-9, 6)
+         |    AS psi_term
+         |FROM f ORDER BY bin""".stripMargin,
     "benford_digits" ->
       """WITH v AS (
         |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v

@@ -142,6 +142,76 @@ object Graph {
       .orderBy(col("part"))
   }
 
+  /** Common-neighbor link prediction on the 1997-H1 co-purchase graph:
+    * for part pairs NOT yet co-purchased, the Jaccard overlap of their
+    * neighborhoods — the classic "customers who bought X also
+    * bought ..." candidate scorer. Wedge enumeration through a center
+    * node is the Σ deg² hub hazard, so centers are DEGREE-CAPPED at 64
+    * (work ≤ 64·|E|, the minhash-bucket-cap doctrine: the cap is part
+    * of the operator's definition and the oracle applies the same cap,
+    * so the result is exact FOR THE DEFINED ESTIMATOR — a production
+    * run raises the cap or routes hub centers through a sampled
+    * estimate; the capped score only ever undercounts common
+    * neighbors through hub centers, the pairs a recommender cares
+    * least about because hub co-incidence is uninformative). Known
+    * edges drop via one anti join; top-50 by (count, pair) is integer-
+    * deterministic before any float enters. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val und = directedEdges(incidences(spark, dir, "1997-01-01", "1997-07-01"))
+      .filter(col("src") < col("dst")).persist()
+    val nbrs = und.select(col("src").as("w"), col("dst").as("x"))
+      .union(und.select(col("dst").as("w"), col("src").as("x")))
+    val deg = nbrs.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    // deg is |parts|-sized — a key join, not a broadcast (parts grow
+    // with the corpus; AQE may still choose broadcast at local scale)
+    val capped = nbrs.join(deg.filter(col("deg") <= 64), "w")
+    val cn = capped.select(col("w"), col("x").as("u"))
+      .join(capped.select(col("w"), col("x").as("v")), "w")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .join(und.select(col("src").as("u"), col("dst").as("v")),
+            Seq("u", "v"), "left_anti")
+    cn.join(deg.select(col("w").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("w").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        round(col("cn").cast("double") /
+              (col("du") + col("dv") - col("cn")) + 1e-9, 6).as("jaccard"))
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
+  /** Frequent co-purchase pairs with association-rule stats — market-
+    * basket mining's first pass (support / confidence / lift over
+    * order baskets). Pair fan-out is bounded by order size² (orders
+    * hold ≤ 7 items), the same Θ(|lineitem|)-output argument as the
+    * pagerank edge build; singles and the basket count are
+    * map-side-combinable aggregates broadcast back into the pair
+    * relation. The support≥2 floor and the (n_ab, pair) ordering are
+    * all-integer, so the top-50 membership is engine-exact; floats
+    * appear only in the reported confidence/lift columns. */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val inc = incidences(spark, dir, "", "").persist()
+    val nOrders = inc.select(col("ok")).distinct().count()
+    val singles = inc.groupBy(col("pk")).agg(count(lit(1)).as("n1"))
+    val pairs = inc.select(col("ok"), col("pk").as("a"))
+      .join(inc.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    // singles is |parts|-sized — key joins, not broadcasts (same
+    // stance as linkPredict's degree table)
+    pairs
+      .join(singles.select(col("pk").as("a"), col("n1").as("na")), "a")
+      .join(singles.select(col("pk").as("b"), col("n1").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("na") + 1e-9, 6)
+          .as("conf_a_to_b"),
+        round(col("n_ab").cast("double") * nOrders /
+              (col("na") * col("nb")) + 1e-9, 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   /** Degree distribution of the FULL co-purchase graph — the audit that
     * tells you whether hub parts make downstream pairings skew-prone.
     * Output is |distinct degrees| rows (bounded by max degree). */
@@ -153,9 +223,11 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pagerank"    -> (pagerank _),
-    "triangles"   -> (triangles _),
-    "degree_dist" -> (degreeDist _))
+    "pagerank"     -> (pagerank _),
+    "triangles"    -> (triangles _),
+    "link_predict" -> (linkPredict _),
+    "frequent_pairs" -> (frequentPairs _),
+    "degree_dist"  -> (degreeDist _))
 
   /** Shared SQL prelude: distinct incidences + directed edges. */
   private def edgesSql(fromDate: String, untilDate: String): String = {
@@ -227,6 +299,47 @@ object Graph {
   val oracle: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
     "triangles" -> trianglesSql,
+    // link_predict: the 64-degree center cap is part of the operator's
+    // definition — the oracle applies the identical cap.
+    "link_predict" ->
+      s"""WITH ${edgesSql("1997-01-01", "1997-07-01")},
+         |und AS (SELECT src, dst FROM e WHERE src < dst),
+         |nbrs AS (
+         |  SELECT src AS w, dst AS x FROM und
+         |  UNION ALL SELECT dst AS w, src AS x FROM und),
+         |d AS (SELECT w, COUNT(*) AS deg FROM nbrs GROUP BY w),
+         |capped AS (
+         |  SELECT n.w, n.x FROM nbrs n JOIN d ON n.w = d.w
+         |  WHERE d.deg <= 64),
+         |cn AS (
+         |  SELECT p.x AS u, q.x AS v, COUNT(*) AS cn
+         |  FROM capped p JOIN capped q ON p.w = q.w AND p.x < q.x
+         |  GROUP BY 1, 2),
+         |nk AS (
+         |  SELECT cn.* FROM cn
+         |  WHERE NOT EXISTS (SELECT 1 FROM und
+         |                    WHERE src = cn.u AND dst = cn.v))
+         |SELECT u, v, cn,
+         |  ROUND(CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn) + 1e-9, 6)
+         |    AS jaccard
+         |FROM nk JOIN d du ON du.w = u JOIN d dv ON dv.w = v
+         |ORDER BY cn DESC, u, v LIMIT 50""".stripMargin,
+    "frequent_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+        |s AS (SELECT pk, COUNT(*) AS n1 FROM li GROUP BY pk),
+        |p AS (
+        |  SELECT a.pk AS a, b.pk AS b, COUNT(*) AS n_ab
+        |  FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT a, b, n_ab,
+        |  ROUND(CAST(n_ab AS DOUBLE) / sa.n1 + 1e-9, 6) AS conf_a_to_b,
+        |  ROUND(CAST(n_ab AS DOUBLE) * n.n_orders / (sa.n1 * sb.n1)
+        |        + 1e-9, 6) AS lift
+        |FROM p JOIN s sa ON sa.pk = a JOIN s sb ON sb.pk = b, n
+        |ORDER BY n_ab DESC, a, b LIMIT 50""".stripMargin,
     "degree_dist" ->
       s"""WITH ${edgesSql("", "")},
          |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)

@@ -118,4 +118,21 @@ class AuditSpec extends AnyFunSuite {
     }
     assert(rows.forall(_.getDouble(4) >= 0.0))
   }
+
+  test("psi_drift: ten decile bins conserve both slices, base fractions " +
+       "are ~0.1 each, every psi term is non-negative") {
+    val rows = Audit.psiDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === (0L to 9L))
+    val o = Tables.t(spark, dir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    assert(rows.map(_._2).sum === o.filter(col("o_orderdate") < cut).count())
+    assert(rows.map(_._3).sum === o.filter(col("o_orderdate") >= cut).count())
+    // base bins are its own deciles: each holds ~10% (ties can wobble)
+    rows.foreach { case (bin, _, _, p, _, psi) =>
+      assert(p > 0.05 && p < 0.15, s"bin $bin base fraction $p")
+      assert(psi >= -1e-9, s"bin $bin psi $psi")
+    }
+  }
 }

@@ -72,4 +72,58 @@ class GraphSpec extends AnyFunSuite {
     assert(dist.map(_._2).sum === e.map(_._1).toSet.size.toLong)
     assert(dist.map { case (d, c) => d * c }.sum === e.size.toLong)
   }
+
+  test("link_predict equals a naive capped-center recompute; no " +
+       "predicted pair is an existing edge") {
+    val und = edges("1997-01-01", "1997-07-01")
+      .filter { case (s, d) => s < d }.toSet
+    val nbrs = und.toSeq.flatMap { case (s, d) => Seq(s -> d, d -> s) }
+    val deg = nbrs.groupBy(_._1).map { case (w, xs) => w -> xs.size }
+    val byCenter = nbrs.filter { case (w, _) => deg(w) <= 64 }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byCenter.values.foreach { xs =>
+      for (i <- xs.indices; j <- i + 1 until xs.length)
+        cn((xs(i), xs(j))) = cn.getOrElse((xs(i), xs(j)), 0L) + 1
+    }
+    val cands = cn.filter { case (p, _) => !und(p) }
+    val got = Graph.linkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === math.min(50, cands.size))
+    got.foreach { case (u, v, c, jac) =>
+      assert(!und((u, v)), s"($u,$v) already an edge")
+      assert(c === cands((u, v)), s"($u,$v) common-neighbor count")
+      val expJac = c.toDouble / (deg(u) + deg(v) - c)
+      assert(math.abs(jac - expJac) < 1e-5, s"($u,$v) jaccard")
+    }
+    // the returned pairs are exactly the top-50 by (cn desc, u, v)
+    val want = cands.toSeq
+      .sortBy { case ((u, v), c) => (-c, u, v) }.take(50)
+      .map { case ((u, v), c) => (u, v, c) }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === want)
+  }
+
+  test("frequent_pairs: supports match a naive basket recompute, lift " +
+       "consistent with its own supports") {
+    val inc = Tables.t(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = inc.map(_._1).distinct.length.toLong
+    val singles = inc.groupBy(_._2).map { case (p, xs) => p -> xs.length }
+    val pairCnt = inc.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val eligible = pairCnt.filter(_._2 >= 2)
+    val got = Graph.frequentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3), r.getDouble(4)))
+    assert(got.length === math.min(50, eligible.size))
+    got.foreach { case (a, b, n, conf, lift) =>
+      assert(n === eligible((a, b)))
+      assert(math.abs(conf - n.toDouble / singles(a)) < 1e-5)
+      assert(math.abs(lift -
+        n.toDouble * nOrders / (singles(a).toLong * singles(b))) < 1e-5)
+    }
+  }
 }
