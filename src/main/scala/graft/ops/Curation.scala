@@ -352,6 +352,50 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Dataset card — the release-manifest summary block a published
+    * corpus ships with (docs, language/source diversity, length
+    * profile, blank and duplicate rates, language entropy), computed in
+    * TWO aggregate passes total: one 1-row corpus aggregate (counts,
+    * distincts, exact median) and one |langs|-row entropy aggregate,
+    * joined by broadcast and unpivoted into the (stat, value) long
+    * form. Nothing here is ever wider than one row per statistic, so
+    * the card costs two scans at any corpus size (the exact median is
+    * the documented approx_percentile swap at 100 TB). */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(spark, dir, "documents")
+    val a = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      countDistinct(col("lang")).cast("double").as("n_langs"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      sum(col("n_chars")).cast("double").as("total_chars"),
+      avg(col("n_chars")).as("mean_raw"),
+      expr("percentile(n_chars, 0.5)").as("p50_raw"),
+      sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+        .otherwise(0L)).cast("double").as("blanks"),
+      countDistinct(md5(coalesce(col("text"), lit(""))))
+        .cast("double").as("ndt"))
+    val ent = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(a.select(col("n_docs").as("nd"))))
+      .agg((-sum((col("n") / col("nd")) * log(col("n") / col("nd"))))
+        .as("h"))
+    def row(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("stat"), v.as("value"))
+    a.crossJoin(broadcast(ent))
+      .select(explode(array(
+        row("blank_frac", round(col("blanks") / col("n_docs") + 1e-9, 6)),
+        row("distinct_text_frac",
+            round(col("ndt") / col("n_docs") + 1e-9, 6)),
+        row("lang_entropy", round(col("h") + 1e-9, 6)),
+        row("mean_chars", round(col("mean_raw") + 1e-9, 4)),
+        row("n_docs", col("n_docs")),
+        row("n_langs", col("n_langs")),
+        row("n_sources", col("n_sources")),
+        row("p50_chars", round(col("p50_raw") + 1e-9, 4)),
+        row("total_chars", col("total_chars")))).as("s"))
+      .select(col("s.stat").as("stat"), col("s.value").as("value"))
+      .orderBy(col("stat"))
+  }
+
   /** Contrastive negative sampling — 3 deterministic negatives per
     * anchor document, the pair-generation step a contrastive embedding
     * trainer (or a hard-negative miner) runs over the whole corpus.
@@ -430,6 +474,7 @@ object Curation {
     "source_temperature" -> (sourceTemperature _),
     "zorder_layout"    -> (zorderLayout _),
     "negative_pairs"   -> (negativePairs _),
+    "dataset_card"     -> (datasetCard _),
     "dataset_split"    -> (datasetSplit _),
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
@@ -441,6 +486,38 @@ object Curation {
     "bloom_prefilter"  -> (bloomPrefilter _))
 
   val oracle: Map[String, String] = Map(
+    "dataset_card" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    SUM(n_chars) AS total_chars,
+        |    AVG(n_chars) AS mean_raw,
+        |    quantile_cont(n_chars, 0.5) AS p50_raw,
+        |    SUM(CASE WHEN text IS NULL OR trim(text) = ''
+        |             THEN 1 ELSE 0 END) AS blanks,
+        |    COUNT(DISTINCT md5(COALESCE(text, ''))) AS ndt
+        |  FROM documents),
+        |e AS (
+        |  SELECT -SUM((n / CAST(nd AS DOUBLE))
+        |              * LN(n / CAST(nd AS DOUBLE))) AS h
+        |  FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |       (SELECT COUNT(*) AS nd FROM documents))
+        |SELECT stat, value FROM (
+        |  SELECT 'blank_frac' AS stat,
+        |    ROUND(blanks / CAST(n_docs AS DOUBLE) + 1e-9, 6) AS value
+        |  FROM a
+        |  UNION ALL SELECT 'distinct_text_frac',
+        |    ROUND(ndt / CAST(n_docs AS DOUBLE) + 1e-9, 6) FROM a
+        |  UNION ALL SELECT 'lang_entropy', ROUND(h + 1e-9, 6) FROM e
+        |  UNION ALL SELECT 'mean_chars', ROUND(mean_raw + 1e-9, 4) FROM a
+        |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'p50_chars', ROUND(p50_raw + 1e-9, 4) FROM a
+        |  UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE)
+        |  FROM a)
+        |ORDER BY stat""".stripMargin,
     "negative_pairs" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),
         |a AS (

@@ -254,7 +254,38 @@ object Text {
         substring(md5(col("chunk")), 1, 8).as("fp8"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Flesch-style readability per document — the quality heuristic a
+    * curation funnel adds next to length/stopword ratios. Syllables
+    * are vowel RUNS per word (the standard cheap estimator), clamped
+    * at ≥1 so vowel-less tokens ("7", "—") count one; sentences reuse
+    * sent_stats' splitter, clamped at ≥1 for fragment docs so the
+    * formula is total. The whole operator is array-local higher-order
+    * functions over the tokens of one row — zero shuffles; both
+    * engines evaluate the same regexes and the same literal formula,
+    * with +1e-9 before the 4dp round (decimal-tie doctrine). */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(tokens(col("text")), w => w =!= "")
+    val sents = filter(split(col("text"), "[.!?]+\\s+"), s => trim(s) =!= "")
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        greatest(size(sents), lit(1)).cast("long").as("n_sents"),
+        aggregate(
+          transform(words,
+            w => greatest(regexp_count(w, lit("[aeiouyAEIOUY]+")), lit(1))),
+          lit(0L), (acc, x) => acc + x).as("n_syll"))
+      .withColumn("flesch",
+        when(col("n_words") > 0, round(
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words"))
+            + 1e-9, 4)))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "readability"  -> (readability _),
     "text_chunks"  -> (textChunks _),
     "sent_stats"   -> (sentStats _),
     "lang_confusion" -> (langConfusion _),
@@ -268,6 +299,28 @@ object Text {
     "fingerprint"  -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "readability" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |                x -> x <> '') AS words,
+        |    list_filter(string_split_regex(text, '[.!?]+\s+'),
+        |                x -> trim(x) <> '') AS sents
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(sents), 1) AS BIGINT) AS n_sents,
+        |    CAST(COALESCE(list_sum(list_transform(words,
+        |      x -> GREATEST(len(regexp_extract_all(x, '[aeiouyAEIOUY]+')),
+        |                    1))), 0) AS BIGINT) AS n_syll
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CASE WHEN n_words > 0 THEN
+        |    ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |          - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) + 1e-9, 4)
+        |  END AS flesch
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_chunks" ->
       """WITH s AS (
         |  SELECT doc_id, text,

@@ -266,6 +266,30 @@ class CurationSpec extends AnyFunSuite {
     assert(viaBloom === viaJoin)
   }
 
+  test("dataset_card: every statistic matches a driver-side recompute") {
+    val docs = Tables.t(spark, dir, "documents")
+      .selectExpr("lang", "source", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 Option(r.getString(3))))
+    val n = docs.length.toDouble
+    val got = Curation.datasetCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") === n)
+    assert(got("n_langs") === docs.map(_._1).distinct.length.toDouble)
+    assert(got("n_sources") === docs.map(_._2).distinct.length.toDouble)
+    assert(got("total_chars") === docs.map(_._3).sum.toDouble)
+    assert(math.abs(got("mean_chars") - docs.map(_._3).sum / n) < 1e-3)
+    val blanks = docs.count(d => d._4.forall(_.trim.isEmpty))
+    assert(got("blank_frac") === BigDecimal(blanks / n + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val distinctTexts = docs.map(_._4.getOrElse("")).distinct.length
+    assert(math.abs(got("distinct_text_frac") - distinctTexts / n) < 1e-5)
+    val ent = -docs.groupBy(_._1).values
+      .map(g => g.length / n * math.log(g.length / n)).sum
+    assert(math.abs(got("lang_entropy") - ent) < 1e-5)
+    assert(got.keySet.size === 9)
+  }
+
   test("negative_pairs: every pair matches the modular-stride recompute, " +
        "no self-pairs, anchors cover the corpus") {
     val langs = Tables.t(spark, dir, "documents")

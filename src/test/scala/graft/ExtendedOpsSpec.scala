@@ -481,6 +481,27 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("readability: hand-computed Flesch on a two-sentence doc; " +
+       "vowel-less words clamp to one syllable; empty text yields NULL") {
+    import spark.implicits._
+    val fx = TestFixtures.writeDir(Map("documents" -> Seq(
+      (1L, "The cat sat. It ran fast!", "en", "web"),
+      (2L, "7 tst", "en", "web"),
+      (3L, "", "en", "web")).toDF("doc_id", "text", "lang", "source")))
+    val rows = graft.ops.Text.readability(spark, fx).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // 6 words, 2 sentences, 6 single-vowel-run syllables:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(rows(1L) === ((6L, 2L, 6L, Some(119.19))))
+    // "7" and "tst" both clamp to 1 syllable; no terminator => 1 sentence
+    assert(rows(2L) === ((2L, 1L, 2L,
+      Some(BigDecimal(206.835 - 1.015 * 2 - 84.6 * 1 + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(rows(3L)._4.isEmpty)
+  }
+
   test("penny_alloc: every order reconciles to the cent; each item gets " +
        "floor-share or floor-share+1; bumps go to the largest remainders") {
     val rows = Relational.pennyAlloc(spark, dir).collect()
