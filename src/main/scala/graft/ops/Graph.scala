@@ -216,8 +216,19 @@ object Graph {
     * tells you whether hub parts make downstream pairings skew-prone.
     * Output is |distinct degrees| rows (bounded by max degree). */
   def degreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val edges = directedEdges(incidences(spark, dir, "", ""))
-    edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Degrees only need the UNDIRECTED distinct pair set (u < v) — each
+    // endpoint then contributes one neighbor to the other. Half the
+    // distinct-state of the directed form (measured 2.6 s → 2.3 s at
+    // sf0.1 — the pair join dominates, the distinct was the saving);
+    // deg(p) = |distinct neighbors| is unchanged.
+    val inc = incidences(spark, dir, "", "")
+    val a = inc.select(col("ok"), col("pk").as("src"))
+    val b = inc.select(col("ok"), col("pk").as("dst"))
+    val und = a.join(b, "ok").filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    und.select(col("src").as("x"))
+      .union(und.select(col("dst").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_parts"))
       .orderBy(col("deg"))
   }
