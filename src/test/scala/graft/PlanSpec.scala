@@ -361,6 +361,19 @@ class PlanSpec extends AnyFunSuite {
       "chunking must not shuffle data")
   }
 
+  test("readability: zero hash exchanges — scoring is array-local") {
+    val p = plan(graft.ops.Text.readability(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "readability must not shuffle data")
+  }
+
+  test("psi_drift: exactly two scans (decile aggregate + one binning " +
+       "pass) — both slices tally in a single conditional-sum pass") {
+    val p = plan(graft.ops.Audit.psiDrift(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"psi_drift reads orders $scans times")
+  }
+
   test("negative_pairs: one equi hash join, never a nested-loop or " +
        "cartesian") {
     val p = plan(Curation.negativePairs(spark, sf))
