@@ -361,6 +361,17 @@ class PlanSpec extends AnyFunSuite {
       "chunking must not shuffle data")
   }
 
+  test("AQE is live: a small aggregate's shuffle reads coalesce at " +
+       "runtime (the mechanism that right-sizes reducers at any scale)") {
+    val df = Relational.q1Agg(spark, sf)
+    df.collect() // adaptive re-planning happens during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"),
+      "query did not run under AQE")
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      "AQE did not coalesce the small shuffle")
+  }
+
   test("readability: zero hash exchanges — scoring is array-local") {
     val p = plan(graft.ops.Text.readability(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"),
