@@ -352,6 +352,48 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Padding-waste audit — the training-throughput question behind
+    * length-bucketed batching: with fixed batch size 8 and per-batch
+    * padding to the longest member, how many pad tokens does
+    * ARRIVAL-order batching burn vs LENGTH-SORTED batching? Token
+    * lengths are the n_chars div 4 estimate capped at 2048 (integer,
+    * engine-exact). Both strategies need a global row number — computed
+    * with [[Relational.distributedRank]] (range-bucketed parallel
+    * sorts, never a single-task window); batch id is rank div 8,
+    * per-batch padded cost is max·8, and the strategy rollup is a
+    * 2-row table. The sorted strategy's waste fraction is the number a
+    * batching scheduler acts on (sort-by-length is the standard fix,
+    * and the audit quantifies exactly what it buys). */
+  def paddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        least(expr("n_chars div 4"), lit(2048L)).as("t"))
+    def waste(ranked: DataFrame, strategy: String) =
+      ranked.withColumn("batch", expr("(rn - 1) div 8"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("bn"), sum(col("t")).as("toks"),
+             max(col("t")).as("mx"))
+        // a partial final batch pads its OWN rows to its max, so the
+        // cost is mx·bn, not mx·8
+        .withColumn("padded", col("mx") * col("bn"))
+        .agg(count(lit(1)).as("n_batches"),
+             sum(col("toks")).as("total_tokens"),
+             sum(col("padded")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"),
+          col("n_batches"), col("total_tokens"), col("padded_tokens"),
+          round((col("padded_tokens") - col("total_tokens"))
+                  .cast("double") / col("padded_tokens") + 1e-9, 6)
+            .as("waste_frac"))
+    val sorted = Relational.distributedRank(
+      docs.withColumn("tneg", -col("t")), "tneg", asc = true,
+      Seq(col("t").desc, col("doc_id")), "rn")
+    val arrival = Relational.distributedRank(
+      docs.withColumn("did", col("doc_id").cast("double")), "did",
+      asc = true, Seq(col("doc_id")), "rn")
+    waste(sorted, "sorted").unionByName(waste(arrival, "arrival"))
+      .orderBy(col("strategy"))
+  }
+
   /** Dataset card — the release-manifest summary block a published
     * corpus ships with (docs, language/source diversity, length
     * profile, blank and duplicate rates, language entropy), computed in
@@ -475,6 +517,7 @@ object Curation {
     "zorder_layout"    -> (zorderLayout _),
     "negative_pairs"   -> (negativePairs _),
     "dataset_card"     -> (datasetCard _),
+    "padding_audit"    -> (paddingAudit _),
     "dataset_split"    -> (datasetSplit _),
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
@@ -486,6 +529,32 @@ object Curation {
     "bloom_prefilter"  -> (bloomPrefilter _))
 
   val oracle: Map[String, String] = Map(
+    "padding_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, LEAST(n_chars // 4, 2048) AS t FROM documents),
+        |s AS (SELECT t, ROW_NUMBER() OVER (ORDER BY t DESC, doc_id)
+        |        AS rn FROM d),
+        |a AS (SELECT t, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM d),
+        |bs AS (
+        |  SELECT (rn - 1) // 8 AS batch, COUNT(*) AS bn,
+        |         SUM(t) AS toks, MAX(t) AS mx
+        |  FROM s GROUP BY 1),
+        |ba AS (
+        |  SELECT (rn - 1) // 8 AS batch, COUNT(*) AS bn,
+        |         SUM(t) AS toks, MAX(t) AS mx
+        |  FROM a GROUP BY 1),
+        |r AS (
+        |  SELECT 'sorted' AS strategy, COUNT(*) AS n_batches,
+        |    SUM(toks) AS total_tokens, SUM(mx * bn) AS padded_tokens
+        |  FROM bs
+        |  UNION ALL
+        |  SELECT 'arrival', COUNT(*), SUM(toks), SUM(mx * bn) FROM ba)
+        |SELECT strategy, n_batches,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(padded_tokens AS BIGINT) AS padded_tokens,
+        |  ROUND(CAST(padded_tokens - total_tokens AS DOUBLE)
+        |        / padded_tokens + 1e-9, 6) AS waste_frac
+        |FROM r ORDER BY strategy""".stripMargin,
     "dataset_card" ->
       """WITH a AS (
         |  SELECT COUNT(*) AS n_docs,

@@ -532,7 +532,7 @@ object Relational {
     * aggregate — bounded by the parts constant, not the data. Columns
     * added: `rankName`, and with carrySum: `_cumsum` (running sum in
     * rank order) and `_stotal` (grand total); caller drops `_`-temps. */
-  private def distributedRank(
+  private[ops] def distributedRank(
       df: DataFrame, rangeCol: String, asc: Boolean, order: Seq[Column],
       rankName: String, carrySum: Option[String] = None,
       parts: Int = 32, knownBounds: Option[Array[Double]] = None)

@@ -266,6 +266,29 @@ class CurationSpec extends AnyFunSuite {
     assert(viaBloom === viaJoin)
   }
 
+  test("padding_audit: both strategies match a naive batch recompute; " +
+       "length-sorted batching strictly cuts padding waste") {
+    val ts = Tables.t(spark, dir, "documents")
+      .selectExpr("doc_id", "LEAST(n_chars div 4, 2048L) AS t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def naive(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(8).toSeq
+      (batches.length.toLong, ordered.sum,
+       batches.map(b => b.max * b.length).sum)
+    }
+    val bySorted = naive(ts.sortBy(d => (-d._2, d._1)).map(_._2).toSeq)
+    val byArrival = naive(ts.sortBy(_._1).map(_._2).toSeq)
+    val got = Curation.paddingAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert((got("sorted")._1, got("sorted")._2, got("sorted")._3)
+      === bySorted)
+    assert((got("arrival")._1, got("arrival")._2, got("arrival")._3)
+      === byArrival)
+    assert(got("sorted")._4 < got("arrival")._4,
+      "sorted batching should waste strictly less padding")
+  }
+
   test("dataset_card: every statistic matches a driver-side recompute") {
     val docs = Tables.t(spark, dir, "documents")
       .selectExpr("lang", "source", "n_chars", "text").collect()
