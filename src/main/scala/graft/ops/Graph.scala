@@ -198,9 +198,15 @@ object Graph {
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
-    // singles is |parts|-sized — key joins, not broadcasts (same
-    // stance as linkPredict's degree table)
-    pairs
+    // top-50 BEFORE the stat joins: membership depends only on the
+    // integer (n_ab, a, b) ordering, so the TakeOrderedAndProject cuts
+    // the pair relation to 50 rows and the |parts|-sized singles table
+    // joins against a broadcast-trivial side instead of millions of
+    // candidate pairs. Locally the pair aggregate dominates either way
+    // (~2.7 s at sf0.1); the reorder matters at scale, where the
+    // post-aggregate join would otherwise shuffle |pairs| twice.
+    val top = pairs.orderBy(col("n_ab").desc, col("a"), col("b")).limit(50)
+    broadcast(top)
       .join(singles.select(col("pk").as("a"), col("n1").as("na")), "a")
       .join(singles.select(col("pk").as("b"), col("n1").as("nb")), "b")
       .select(col("a"), col("b"), col("n_ab"),
@@ -209,7 +215,6 @@ object Graph {
         round(col("n_ab").cast("double") * nOrders /
               (col("na") * col("nb")) + 1e-9, 6).as("lift"))
       .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(50)
   }
 
   /** Degree distribution of the FULL co-purchase graph — the audit that
