@@ -352,6 +352,47 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Binned quantile normalization — every document's length mapped to
+    * its SOURCE-relative quantile on a shared global grid, the
+    * cross-source score calibration step (a "long doc" means different
+    * things on different crawls; the normalized score is comparable).
+    * 19 global ventile edges (1-row broadcast, winsorize cut-ulp
+    * safety) bin every doc map-side via one shared CASE text; each
+    * source's CDF at the 20 bin boundaries is a \|sources\|·20-row
+    * table (windows run over THAT, never the corpus) broadcast back
+    * onto the binned stream. Integer counts make the CDF engine-exact
+    * before the one rounded division. */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val edges = d.agg(
+      expr("percentile(n_chars, 0.05)").as("q1"),
+      (2 to 19).map(k =>
+        expr(f"percentile(n_chars, ${k / 20.0}%.2f)").as(s"q$k")): _*)
+    val binned = d.crossJoin(broadcast(edges))
+      .withColumn("bin", expr(qnBinExpr).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("bin"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("q",
+        sum(col("n")).over(wCum) / sum(col("n")).over(wTot))
+      .select(col("source"), col("bin"), col("q"))
+    binned.join(broadcast(cdf), Seq("source", "bin"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("bin"),
+        round(col("q") + 1e-9, 6).as("norm_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ventile-bin id over the 19 global edges, one shared CASE text for
+    * both engines (the psiBinExpr doctrine). */
+  private[ops] val qnBinExpr: String = (1 to 19)
+    .map(k => s"(CASE WHEN n_chars > q$k THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   /** Padding-waste audit — the training-throughput question behind
     * length-bucketed batching: with fixed batch size 8 and per-batch
     * padding to the longest member, how many pad tokens does
@@ -518,6 +559,7 @@ object Curation {
     "negative_pairs"   -> (negativePairs _),
     "dataset_card"     -> (datasetCard _),
     "padding_audit"    -> (paddingAudit _),
+    "quantile_norm"    -> (quantileNorm _),
     "dataset_split"    -> (datasetSplit _),
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
@@ -529,6 +571,44 @@ object Curation {
     "bloom_prefilter"  -> (bloomPrefilter _))
 
   val oracle: Map[String, String] = Map(
+    "quantile_norm" ->
+      s"""WITH edges AS (
+         |  SELECT quantile_cont(n_chars, 0.05) AS q1,
+         |         quantile_cont(n_chars, 0.10) AS q2,
+         |         quantile_cont(n_chars, 0.15) AS q3,
+         |         quantile_cont(n_chars, 0.20) AS q4,
+         |         quantile_cont(n_chars, 0.25) AS q5,
+         |         quantile_cont(n_chars, 0.30) AS q6,
+         |         quantile_cont(n_chars, 0.35) AS q7,
+         |         quantile_cont(n_chars, 0.40) AS q8,
+         |         quantile_cont(n_chars, 0.45) AS q9,
+         |         quantile_cont(n_chars, 0.50) AS q10,
+         |         quantile_cont(n_chars, 0.55) AS q11,
+         |         quantile_cont(n_chars, 0.60) AS q12,
+         |         quantile_cont(n_chars, 0.65) AS q13,
+         |         quantile_cont(n_chars, 0.70) AS q14,
+         |         quantile_cont(n_chars, 0.75) AS q15,
+         |         quantile_cont(n_chars, 0.80) AS q16,
+         |         quantile_cont(n_chars, 0.85) AS q17,
+         |         quantile_cont(n_chars, 0.90) AS q18,
+         |         quantile_cont(n_chars, 0.95) AS q19
+         |  FROM documents),
+         |binned AS (
+         |  SELECT doc_id, source, n_chars,
+         |         CAST($qnBinExpr AS BIGINT) AS bin
+         |  FROM documents, edges),
+         |cdf AS (
+         |  SELECT source, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT source, bin,
+         |    SUM(n) OVER (PARTITION BY source ORDER BY bin
+         |                 ROWS UNBOUNDED PRECEDING)
+         |      / CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) AS q
+         |  FROM cdf)
+         |SELECT b.doc_id, b.source, b.n_chars, b.bin,
+         |       ROUND(c2.q + 1e-9, 6) AS norm_q
+         |FROM binned b JOIN c2 ON b.source = c2.source AND b.bin = c2.bin
+         |ORDER BY b.doc_id""".stripMargin,
     "padding_audit" ->
       """WITH d AS (
         |  SELECT doc_id, LEAST(n_chars // 4, 2048) AS t FROM documents),

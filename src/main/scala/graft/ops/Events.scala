@@ -134,6 +134,37 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** ASOF with TOLERANCE: asofJoin's backward match, but a match older
+    * than 1 hour is rejected (pandas merge_asof's `tolerance` — the
+    * staleness bound a feature-store lookup enforces so a model never
+    * trains on hours-old state). Same single per-user window pass; the
+    * bound is a pure post-projection on the matched timestamp, so the
+    * tolerant variant costs exactly the plain as-of plus one
+    * comparison — never a range join. The µs arithmetic is integer,
+    * and the is_stale flag keeps rejected matches auditable instead of
+    * silently null. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("p_ts",
+        when(col("event_type") === "purchase", col("ts")))
+      .withColumn("p_value",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("m_ts", last(col("p_ts"), true).over(w))
+      .withColumn("m_value", last(col("p_value"), true).over(w))
+      .filter(col("event_type") === "click")
+      .withColumn("age_us",
+        unix_micros(col("ts")) - unix_micros(col("m_ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("age_us") <= tolUs, col("m_ts")).as("purchase_ts"),
+        when(col("age_us") <= tolUs, col("m_value")).as("purchase_value"),
+        coalesce(col("age_us") > tolUs, lit(false)).as("is_stale"))
+      .orderBy(col("event_id"))
+  }
+
   /** Skew-resistant two-phase aggregation (salting): partial aggregate on
     * (key, salt), then final aggregate on key. With a hot key (one
     * event_type dominating), the salt spreads the partial agg across
@@ -788,6 +819,7 @@ object Events {
     "rolling_distinct" -> (rollingDistinct _),
     "journey_paths"    -> (journeyPaths _),
     "trend_fit"        -> (trendFit _),
+    "asof_tolerance"   -> (asofTolerance _),
     "events_range_frame" -> (rangeFrame _),
     "scd2_history"     -> (scdHistory _),
     "events_resample"  -> (resample _),
@@ -1194,6 +1226,29 @@ object Events {
         |  ROUND(SUM(value) FILTER (event_type = 'signup'), 4) AS signup,
         |  ROUND(SUM(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         ts::TIMESTAMP AS ts_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN ts_us END
+        |               IGNORE NULLS) OVER w AS m_ts,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |               IGNORE NULLS) OVER w AS m_value
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |a AS (
+        |  SELECT *, epoch_us(ts_us) - epoch_us(m_ts) AS age_us
+        |  FROM m WHERE event_type = 'click')
+        |SELECT event_id, user_id, ts_us AS ts,
+        |  CASE WHEN age_us <= 3600000000 THEN m_ts END AS purchase_ts,
+        |  CASE WHEN age_us <= 3600000000 THEN m_value END
+        |    AS purchase_value,
+        |  COALESCE(age_us > 3600000000, FALSE) AS is_stale
+        |FROM a ORDER BY event_id""".stripMargin,
     "asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

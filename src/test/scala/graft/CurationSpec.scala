@@ -266,6 +266,24 @@ class CurationSpec extends AnyFunSuite {
     assert(viaBloom === viaJoin)
   }
 
+  test("quantile_norm: norm_q is each source's CDF at the doc's bin — " +
+       "recomputed from the emitted bins; top bin normalizes to 1") {
+    val rows = Curation.quantileNorm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+                 r.getDouble(4)))
+    assert(rows.length === Tables.t(spark, dir, "documents").count())
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val n = docs.length.toDouble
+      docs.foreach { case (id, _, bin, q) =>
+        val cdf = docs.count(_._3 <= bin) / n
+        assert(math.abs(q - cdf) < 1e-5, s"doc $id source $src")
+      }
+      val maxBin = docs.map(_._3).max
+      docs.filter(_._3 == maxBin).foreach { d =>
+        assert(math.abs(d._4 - 1.0) < 1e-5) }
+    }
+  }
+
   test("padding_audit: both strategies match a naive batch recompute; " +
        "length-sorted batching strictly cuts padding waste") {
     val ts = Tables.t(spark, dir, "documents")

@@ -256,6 +256,38 @@ class EventsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("asof_tolerance: within-bound matches equal asof_join's; stale " +
+       "matches null out and are flagged") {
+    val sf = "/root/testdata/sf0.001"
+    val plain = Events.asofJoin(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getTimestamp(3)))).toMap
+    val tol = Events.asofTolerance(spark, sf).collect()
+    assert(tol.length === plain.size)
+    var stale, fresh = 0
+    tol.foreach { r =>
+      val id = r.getLong(0)
+      val click = r.getTimestamp(2)
+      val m = if (r.isNullAt(3)) None else Some(r.getTimestamp(3))
+      val isStale = r.getBoolean(5)
+      if (isStale) {
+        stale += 1
+        assert(m.isEmpty, s"$id stale but kept a match")
+        // asof_join DID have a (too-old) match
+        val pm = plain(id).get
+        assert(click.getTime - pm.getTime > 3600L * 1000, s"$id not old")
+      } else {
+        m.foreach { mt =>
+          fresh += 1
+          assert(plain(id).contains(mt), s"$id match differs from asof_join")
+          assert(click.getTime - mt.getTime <= 3600L * 1000, s"$id too old")
+        }
+      }
+    }
+    assert(stale > 0 && fresh > 0, s"fixture exercises both arms " +
+      s"(stale=$stale fresh=$fresh)")
+  }
+
   test("trend_fit matches a naive double-precision least squares; r2 " +
        "bounded") {
     val sf = "/root/testdata/sf0.001"
