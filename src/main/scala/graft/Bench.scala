@@ -39,14 +39,16 @@ object Bench {
     // cache, and cache memory stays bounded.
     spark.catalog.clearCache()
     // A failed query records -1 — a thrown regression must never read as
-    // a (faster) success in the benchmark JSON. Each query is timed TWICE
-    // and the minimum reported: single-shot wall times on a shared host
-    // carry multi-second contention spikes (measured: an identical
-    // 84-query total swinging 39 s ↔ 72 s run-to-run), and the minimum
-    // of repeats is the standard steady-state estimate the warmup pass
-    // already aims at.
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // a (faster) success in the benchmark JSON. Each query is timed THREE
+    // times and the minimum reported: single-shot wall times on a shared
+    // host carry multi-second contention spikes (measured: an identical
+    // 84-query total swinging 39 s ↔ 72 s run-to-run, and 20+ unchanged
+    // queries drifting +0.3–3 s between two round-5 runs — min-of-2
+    // wasn't enough). The per-query SPREAD (max−min across the repeats)
+    // is recorded alongside, so a noisy reading is visibly noisy instead
+    // of masquerading as a plan regression.
+    val timed = selected.map { case (name, fn) =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
@@ -54,8 +56,13 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val failed = times.exists(_ < 0)
+      (name,
+       if (failed) -1.0 else times.min,
+       if (failed) -1.0 else times.max - times.min)
     }
+    val results = timed.map { case (n, min, _) => n -> min }
+    val spreads = timed.map { case (n, _, sp) => n -> sp }
     val total = results.map(_._2).filter(_ >= 0).sum
     def asJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -68,7 +75,8 @@ object Bench {
     val detail = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detail,
       (s"""{"metric":"total","value":$total,"unit":"sec",""" +
-       s""""queries":${asJson(results)},"sf":"$sfDir"}""" + "\n")
+       s""""queries":${asJson(results)},"spread":${asJson(spreads)},""" +
+       s""""sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${asJson(slowest)},"n":${results.size},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")

@@ -594,20 +594,25 @@ object Events {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("event_type"), col("n_days"),
-        round((col("n_days") * col("sxy") - col("sx") * col("sy"))
-                .cast("double") /
-              (col("n_days") * col("sxx") - col("sx") * col("sx"))
-                .cast("double") + 1e-9, 6).as("slope"),
-        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
-                .cast("double") /
-              (col("n_days") * col("sxx") - col("sx") * col("sx"))
-                .cast("double") + 1e-9, 6).as("intercept"),
-        round(pow((col("n_days") * col("sxy") - col("sx") * col("sy"))
-                    .cast("double"), 2) /
-              ((col("n_days") * col("sxx") - col("sx") * col("sx"))
-                 .cast("double") *
-               (col("n_days") * col("syy") - col("sy") * col("sy"))
-                 .cast("double")) + 1e-9, 6).as("r2"))
+        // a 1-day series has n·Σx²−(Σx)² = 0: the fit is undefined, so
+        // both engines emit NULL rather than relying on 0/0 semantics
+        when(col("n_days") > 1,
+          round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double") /
+                (col("n_days") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") + 1e-9, 6)).as("slope"),
+        when(col("n_days") > 1,
+          round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+                  .cast("double") /
+                (col("n_days") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") + 1e-9, 6)).as("intercept"),
+        when(col("n_days") > 1,
+          round(pow((col("n_days") * col("sxy") - col("sx") * col("sy"))
+                      .cast("double"), 2) /
+                ((col("n_days") * col("sxx") - col("sx") * col("sx"))
+                   .cast("double") *
+                 (col("n_days") * col("syy") - col("sy") * col("sy"))
+                   .cast("double")) + 1e-9, 6)).as("r2"))
       .orderBy(col("event_type"))
   }
 
@@ -1033,16 +1038,19 @@ object Events {
         |    SUM(x * y) AS sxy, SUM(y * y) AS syy
         |  FROM daily GROUP BY 1)
         |SELECT event_type, n_days,
-        |  ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) /
-        |        CAST(n_days * sxx - sx * sx AS DOUBLE) + 1e-9, 6)
-        |    AS slope,
-        |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) /
-        |        CAST(n_days * sxx - sx * sx AS DOUBLE) + 1e-9, 6)
-        |    AS intercept,
-        |  ROUND(POW(CAST(n_days * sxy - sx * sy AS DOUBLE), 2) /
-        |        (CAST(n_days * sxx - sx * sx AS DOUBLE) *
-        |         CAST(n_days * syy - sy * sy AS DOUBLE)) + 1e-9, 6)
-        |    AS r2
+        |  CASE WHEN n_days > 1 THEN
+        |    ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |          CAST(n_days * sxx - sx * sx AS DOUBLE) + 1e-9, 6)
+        |  END AS slope,
+        |  CASE WHEN n_days > 1 THEN
+        |    ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |          CAST(n_days * sxx - sx * sx AS DOUBLE) + 1e-9, 6)
+        |  END AS intercept,
+        |  CASE WHEN n_days > 1 THEN
+        |    ROUND(POW(CAST(n_days * sxy - sx * sy AS DOUBLE), 2) /
+        |          (CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n_days * syy - sy * sy AS DOUBLE)) + 1e-9, 6)
+        |  END AS r2
         |FROM s ORDER BY event_type""".stripMargin,
     "journey_paths" ->
       """WITH s AS (
@@ -1051,7 +1059,7 @@ object Events {
         |    LEAD(event_type, 2) OVER w AS step3
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id, (ts::TIMESTAMP)::DATE
-        |               ORDER BY ts, event_id))
+        |               ORDER BY ts::TIMESTAMP, event_id))
         |SELECT step1, step2, step3, COUNT(*) AS n
         |FROM s WHERE step2 IS NOT NULL AND step3 IS NOT NULL
         |GROUP BY 1, 2, 3

@@ -545,9 +545,17 @@ object Relational {
       .getOrElse(df.stat.approxQuantile(rangeCol, probs, 0.01))
       .distinct.sorted
     val v = col(rangeCol).cast("double")
+    // NULL rangeCol placement must agree with Spark's sort defaults
+    // (asc → nulls FIRST, desc → nulls LAST). The filter-count lambda
+    // is NULL for null v, which array filter() treats as dropped →
+    // bucket 0: correct for asc, but in desc mode a null must land in
+    // the LAST bucket or its global rank contradicts the in-bucket
+    // window order. All current callers rank non-null aggregates; this
+    // keeps the helper honest for null-bearing ones.
     val bucket =
       if (asc) size(filter(typedLit(bounds), b => v > b))
-      else size(filter(typedLit(bounds), b => v < b))
+      else when(v.isNull, lit(bounds.length))
+        .otherwise(size(filter(typedLit(bounds), b => v < b)))
     val withB = df.withColumn("_bkt", bucket)
     val carry = carrySum.map(c => sum(col(c))).getOrElse(sum(lit(0.0)))
     // cumulative offsets over the P-row bucket aggregate; the window is
@@ -961,8 +969,15 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long")
           .as("price_cents"))
+    // The fixture's lineitem is NOT keyed by (l_orderkey, l_linenumber)
+    // (~14k duplicate pairs at sf0.01), so both the bump tie-break and
+    // the presentation sort carry price_cents to stay a total order of
+    // the OUTPUT rows: two rows identical on all three keys are
+    // indistinguishable in every output column, so rank interchange
+    // between them cannot change the result multiset.
     val wO = Window.partitionBy(col("l_orderkey"))
-    val wRank = wO.orderBy(col("rem").desc, col("l_linenumber"))
+    val wRank =
+      wO.orderBy(col("rem").desc, col("l_linenumber"), col("price_cents"))
     li.join(o, col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
       .withColumn("denom", sum(col("price_cents")).over(wO))
       .filter(col("denom") > 0)
@@ -975,7 +990,8 @@ object Relational {
         (row_number().over(wRank) <= col("leftover")).cast("long"))
       .select(col("l_orderkey"), col("l_linenumber"), col("price_cents"),
         (col("base") + col("bump")).as("alloc_cents"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_cents"),
+        col("alloc_cents"))
   }
 
   /** Incremental JOIN-view maintenance: the per-(segment, nation)
@@ -1580,6 +1596,9 @@ object Relational {
         |ORDER BY l_returnflag""".stripMargin,
     // penny_alloc: all-integer arithmetic — the oracle restates the
     // same div/mod largest-remainder rule, so parity is bit-exact.
+    // DuckDB promotes window SUM(BIGINT) to HUGEINT and the promotion
+    // propagates through // and %, so denom/base/alloc_cents are
+    // explicitly CAST back to BIGINT to match Spark's LongType.
     "penny_alloc" ->
       """WITH o AS (
         |  SELECT o_orderkey,
@@ -1592,23 +1611,28 @@ object Relational {
         |  FROM lineitem WHERE l_orderkey % 25 = 0),
         |j AS (
         |  SELECT l_orderkey, l_linenumber, price_cents, total_cents,
-        |    SUM(price_cents) OVER (PARTITION BY l_orderkey) AS denom
+        |    CAST(SUM(price_cents) OVER (PARTITION BY l_orderkey)
+        |         AS BIGINT) AS denom
         |  FROM li JOIN o ON l_orderkey = o_orderkey),
         |b AS (
         |  SELECT *,
-        |    (total_cents * price_cents) // denom AS base,
-        |    (total_cents * price_cents) % denom AS rem
+        |    CAST((total_cents * price_cents) // denom AS BIGINT) AS base,
+        |    CAST((total_cents * price_cents) % denom AS BIGINT) AS rem
         |  FROM j WHERE denom > 0),
         |r AS (
         |  SELECT *,
         |    total_cents - SUM(base) OVER (PARTITION BY l_orderkey)
         |      AS leftover,
         |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
-        |                       ORDER BY rem DESC, l_linenumber) AS rk
+        |                       ORDER BY rem DESC, l_linenumber,
+        |                                price_cents) AS rk
         |  FROM b)
         |SELECT l_orderkey, l_linenumber, price_cents,
-        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_cents
-        |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |       AS BIGINT) AS alloc_cents
+        |FROM r
+        |ORDER BY l_orderkey, l_linenumber, price_cents, alloc_cents"""
+        .stripMargin,
     "ivm_join" ->
       """SELECT c_mktsegment, c_nationkey,
         |  COUNT(*) AS n_orders,
