@@ -294,7 +294,7 @@ object Corpus {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
     val exactKeep = Dedup.exact(spark, dir).select(col("doc_id"))
-    val canonical = Dedup.dedupClusters(spark, dir)
+    val canonical = Dedup.stagedLabels(spark, dir)
       .filter(col("is_canonical")).select(col("doc_id"))
     val quality = quantileFilter(spark, dir).select(col("doc_id"))
     val sampled = stratifiedSample(spark, dir).select(col("doc_id"))

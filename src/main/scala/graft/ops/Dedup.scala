@@ -77,7 +77,32 @@ object Dedup {
 
   /** X2a MinHash signatures (4 seeds). */
   def minhashSig(spark: SparkSession, dir: String): DataFrame =
-    signatures(spark, dir).orderBy(col("doc_id"))
+    stagedSignatures(spark, dir).orderBy(col("doc_id"))
+
+  /** Materialize-once staging of the shared dedup lineage (signatures →
+    * banded pairs → CC labels): each level is computed and committed to
+    * parquet the FIRST time any operator needs it and read back by every
+    * later consumer — minhash_sig/minhash_pairs/dedup_clusters,
+    * survivorship, minhashEstError, editdistPairs and Corpus.curate all
+    * draw from one staged copy instead of five recomputes of the same
+    * integer-exact chain. This mirrors the 100 TB deployment shape
+    * (labels are a written table downstream jobs read, not a CTE every
+    * job re-derives); the pure compute forms stay directly callable and
+    * PipelineSpec pins staged == recomputed. */
+  private[graft] def stagedSignatures(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Pipeline.materializeOnce(spark, s"minhash_sigs@$dir")(
+      signatures(spark, dir))
+
+  private[graft] def stagedPairs(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Pipeline.materializeOnce(spark, s"minhash_pairs@$dir")(
+      minhashPairs(spark, dir))
+
+  /** Staged cluster labels — the query-map form of dedupClusters. */
+  def stagedLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.Pipeline.materializeOnce(spark, s"dedup_labels@$dir")(
+      dedupClusters(spark, dir))
 
   /** X2b MinHash LSH candidate pairs: 2 bands × 2 rows — docs agreeing on
     * either band hash are candidates. Single pass: group doc ids per band
@@ -87,7 +112,7 @@ object Dedup {
     * by construction (a hot bucket would mean everything is a near-dup),
     * so the in-group pair expansion is bounded. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
+    val sig = stagedSignatures(spark, dir)
     val bands = sig.select(col("doc_id"),
       explode(array(
         md5(concat(col("mh_s0"), col("mh_s1")).cast("binary")),
@@ -124,7 +149,7 @@ object Dedup {
       .select(expr("transform(r._2, x -> x._1)").as("ids"))
 
   private def bandBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
+    val sig = stagedSignatures(spark, dir)
     buckets(sig.select(col("doc_id"),
       explode(array(
         md5(concat(col("mh_s0"), col("mh_s1")).cast("binary")),
@@ -242,7 +267,7 @@ object Dedup {
     * identical labelings. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     labelComponents(spark,
-      minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+      stagedPairs(spark, dir).select(col("doc_a"), col("doc_b")),
       Tables.t(spark, dir, "documents").select(col("doc_id")), "doc_id")
 
   /** Edge-count gate for the driver union-find fast path of
@@ -614,7 +639,7 @@ object Dedup {
     * labels back to the corpus + one cluster groupBy (field policies
     * reduce map-side); emitted only for real merges (≥ 2 members). */
   def survivorship(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dedupClusters(spark, dir)
+    val labels = stagedLabels(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
     Tables.t(spark, dir, "documents")
       .join(labels, Seq("doc_id"))
@@ -637,8 +662,8 @@ object Dedup {
     * pipeline; truth is one shingle equi-join per pair side (never an
     * all-pairs scan). */
   def minhashEstError(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir)
-    val sig = signatures(spark, dir)
+    val pairs = stagedPairs(spark, dir)
+    val sig = stagedSignatures(spark, dir)
     val sh = Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
@@ -704,7 +729,7 @@ object Dedup {
     "ngram_jaccard"  -> (ngramJaccard _),
     "simhash"        -> (simhash _),
     "embed_neardup"  -> (embedNearDup _),
-    "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters" -> (stagedLabels _),
     "semantic_dedup" -> (semanticDedup _))
 
   // Shared embedding-oracle SQL fragments — single definitions in

@@ -189,6 +189,27 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Oracle-checkable streaming dedup: first-writer-wins per (user,
+    * type) BY EVENT TIME — the surviving payload is the min (ts,
+    * event_id, value) struct, the same min-struct survivor doctrine as
+    * batch exact dedup, so the winner is a pure function of the data and
+    * never of arrival order (dedupStream above keeps the
+    * arrival-order-first semantics real ingest wants; its survivor
+    * PAYLOAD is what can't be oracle-checked). Complete-mode aggregation:
+    * state is ONE struct + count per live key — bounded by key
+    * cardinality, not stream length — and the final emitted table equals
+    * the batch GROUP BY exactly. */
+  def dedupFirstStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("w"),
+           count(lit(1)).as("n_dups"))
+      .select(col("user_id"), col("event_type"),
+        col("w")("ts").as("first_ts"),
+        col("w")("event_id").as("first_event_id"),
+        col("w")("value").as("first_value"),
+        col("n_dups"))
+
   /** Streaming twin of Events.resample: per-user 6-hour-grid
     * regularization with GAP EMISSION — buckets the event stream, and
     * when the watermark passes a grid boundary emits every bucket up to

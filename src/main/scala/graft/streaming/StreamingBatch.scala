@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and returns the result as a static DataFrame, so the DuckDB
   * correctness gate exercises the streaming execution path itself — not
   * just a batch re-statement of its semantics (StreamingSpec covers the
-  * other six twins, whose emitted sets depend on watermark horizons in
-  * ways plain SQL can't restate).
+  * remaining twins, whose emitted sets depend on watermark horizons or
+  * arrival order in ways plain SQL can't restate).
   *
   * Determinism argument, per query:
   *  - `streaming_totals` (complete mode): the last micro-batch re-emits
@@ -32,6 +32,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `streaming_enrich` (append mode, stateless): a map-side
   *    broadcast join against a static profile — emission is the full
   *    input regardless of batching.
+  *  - `streaming_dedup` (complete mode): same argument as totals — the
+  *    final aggregate equals the batch GROUP BY, and the surviving
+  *    payload is the min (event-time, event_id, value) struct, a pure
+  *    function of the data (dropDuplicates-style ARRIVAL-order dedup
+  *    stays spec-only in dedupStream, whose survivor SQL can't restate).
   *  - `streaming_interval_join` / `streaming_funnel` (append mode):
   *    INNER stream-stream joins emit each match eagerly the moment both
   *    sides are present — the watermark only bounds state eviction, and
@@ -108,6 +113,11 @@ object StreamingBatch {
       "append", "sq_funnel")
       .orderBy("user_id", "view_ts", "click_ts", "purchase_ts")
 
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.dedupFirstStream(spark, dir),
+      "complete", "sq_dedup")
+      .orderBy("user_id", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_totals"        -> (streamingTotals _),
     "streaming_range_frame"   -> (streamingRangeFrame _),
@@ -116,7 +126,8 @@ object StreamingBatch {
     "streaming_interval_join" -> (streamingIntervalJoin _),
     "streaming_funnel"        -> (streamingFunnel _),
     "streaming_resample"      -> (streamingResample _),
-    "streaming_sessions"      -> (streamingSessions _))
+    "streaming_sessions"      -> (streamingSessions _),
+    "streaming_dedup"         -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
     // complete-mode final table == the plain batch aggregate
@@ -278,5 +289,21 @@ object StreamingBatch {
         |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |) q, wm
         |WHERE q.us < wm.wm_us
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // complete-mode final table == batch GROUP BY; the survivor is the
+    // min (event-time µs, event_id, value) struct, so ties at the same
+    // microsecond break on the unique event_id in both engines
+    "streaming_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS tsq, event_id,
+        |    value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts::TIMESTAMP, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_dups
+        |  FROM events)
+        |SELECT user_id, event_type, tsq AS first_ts,
+        |  event_id AS first_event_id, value AS first_value,
+        |  CAST(n_dups AS BIGINT) AS n_dups
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin)
 }

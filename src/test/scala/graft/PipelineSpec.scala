@@ -110,4 +110,33 @@ class PipelineSpec extends AnyFunSuite {
       (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(byId === Map(1L -> None, 2L -> Some(9.5)))
   }
+
+  test("materializeOnce: staged cluster labels == direct recompute, and " +
+       "later reads come from the committed layer, not the lineage") {
+    import graft.ops.Dedup
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))
+    val staged = Dedup.stagedLabels(spark, sf)
+      .select("doc_id", "cluster_id", "is_canonical")
+    // Direct recompute of the same lineage, bypassing the staging layer.
+    val direct = Dedup.dedupClusters(spark, sf)
+      .select("doc_id", "cluster_id", "is_canonical")
+    assert(staged.collect().map(key).sorted.toSeq ===
+           direct.collect().map(key).sorted.toSeq)
+    // A second staged call must be a plain scan of the committed parquet:
+    // no joins and no aggregates anywhere in its optimized plan (the
+    // signatures → pairs → CC lineage has both), and it must survive the
+    // harness's between-query clearCache.
+    spark.catalog.clearCache()
+    val again = Dedup.stagedLabels(spark, sf)
+    val plan = again.queryExecution.optimizedPlan
+    val heavy = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(heavy.isEmpty,
+      s"staged read should be a scan, found: ${heavy.map(_.nodeName)}")
+    assert(again.collect().map(key).sorted.toSeq ===
+           staged.collect().map(key).sorted.toSeq)
+  }
 }
