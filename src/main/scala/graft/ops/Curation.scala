@@ -181,7 +181,7 @@ object Curation {
     * Shingles expression (array-local distinct, one pass, no shuffle) — a
     * global explode + .distinct() would shuffle every trigram OCCURRENCE
     * in the corpus to dedup what is already per-row state. */
-  private def docGrams(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docGrams(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull &&
         size(Text.tokens(col("text"))) >= 3)

@@ -419,6 +419,38 @@ object EventStream {
       .withColumn("might_contaminated", col("n_candidates") > 0)
   }
 
+  /** Oracle-checkable decontamination: the bloom tag above COMPLETED
+    * with the exact verification the batch prefilter runs
+    * (Curation.bloomPrefilter's own composition) — candidate grams that
+    * survive the array-local bloom prune explode and meet the exact
+    * benchmark gram set in a stateless stream-static broadcast join, so
+    * every bloom false positive dies at the join and the final per-doc
+    * hit counts equal the batch result bit-for-bit regardless of
+    * batching or bloom bit layout (the sketch only prunes; the join
+    * decides). Filters mirror docGrams exactly (token floor via
+    * Text.tokens) so the emitted multiset is the batch prefilter's.
+    * Complete-mode state is one count per CONTAMINATED doc — bounded by
+    * the contamination rate, not the corpus; an adversarially dirty
+    * stream degrades toward the contamination volume, which is exactly
+    * the set a decontamination stage must hold anyway. */
+  def decontaminateVerifiedStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    val bloom = graft.ops.Curation.benchBloom(spark, dir)
+    val bench = graft.ops.Curation.docGrams(spark, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("gram")).distinct()
+    readDocuments(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0 && col("text").isNotNull &&
+        size(graft.ops.Text.tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        explode(filter(graft.ops.Dedup.shingles(col("text")),
+          g => graft.functions.BloomMightContain.contains(g, bloom)))
+          .as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+  }
+
   /** Running per-type totals in COMPLETE output mode — the live
     * dashboard aggregation (append mode suits finalized windows; a
     * dashboard wants the CURRENT totals re-emitted each batch). State is

@@ -37,6 +37,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    payload is the min (event-time, event_id, value) struct, a pure
   *    function of the data (dropDuplicates-style ARRIVAL-order dedup
   *    stays spec-only in dedupStream, whose survivor SQL can't restate).
+  *  - `streaming_decontaminate` (complete mode): the bloom sketch only
+  *    PRUNES — every false positive dies at the exact stream-static
+  *    gram join behind it — so the final per-doc hit counts equal the
+  *    batch bloom_prefilter regardless of bloom bit layout or batching
+  *    (the tag-only form, whose candidate counts DO depend on the
+  *    sketch, stays spec-only in decontaminateStream).
   *  - `streaming_interval_join` / `streaming_funnel` (append mode):
   *    INNER stream-stream joins emit each match eagerly the moment both
   *    sides are present — the watermark only bounds state eviction, and
@@ -118,6 +124,11 @@ object StreamingBatch {
       "complete", "sq_dedup")
       .orderBy("user_id", "event_type")
 
+  def streamingDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.decontaminateVerifiedStream(spark, dir),
+      "complete", "sq_decontaminate")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_totals"        -> (streamingTotals _),
     "streaming_range_frame"   -> (streamingRangeFrame _),
@@ -127,7 +138,8 @@ object StreamingBatch {
     "streaming_funnel"        -> (streamingFunnel _),
     "streaming_resample"      -> (streamingResample _),
     "streaming_sessions"      -> (streamingSessions _),
-    "streaming_dedup"         -> (streamingDedup _))
+    "streaming_dedup"         -> (streamingDedup _),
+    "streaming_decontaminate" -> (streamingDecontaminate _))
 
   val oracle: Map[String, String] = Map(
     // complete-mode final table == the plain batch aggregate
@@ -305,5 +317,24 @@ object StreamingBatch {
         |  event_id AS first_event_id, value AS first_value,
         |  CAST(n_dups AS BIGINT) AS n_dups
         |FROM r WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+    // the bloom is a prefilter only — the exact stream-static join it
+    // feeds decides, so the oracle states the exact grams-overlap count
+    // (same statement as the batch bloom_prefilter oracle)
+    "streaming_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+        |      AS gram
+        |  FROM t WHERE len(toks) >= 3),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*)::BIGINT AS n_hit
+        |FROM g JOIN b ON g.gram = b.gram
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin)
 }
