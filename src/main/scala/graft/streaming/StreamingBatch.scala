@@ -62,15 +62,17 @@ object StreamingBatch {
     * state store PER SHUFFLE PARTITION per micro-batch (a cascaded
     * interval join = 4 stores/partition), and store open/commit is the
     * fixed cost that dominates a bounded local run — measured at sf0.1,
-    * the funnel join drops 14.9s → 6.0s going 32 → 8 partitions. The
-    * stream's key spaces here (user_id, event_type) are low-cardinality,
-    * so 8 preserves parallelism headroom locally; a production deploy
-    * sizes this to its executor count, not this constant. */
+    * the funnel join reads 14.9s at 32 partitions, 7.0s at 8, 4.6s at 4,
+    * 4.4s at 2 (min-of-3, solo): the curve flattens at 4, which keeps
+    * some local parallelism while shedding most of the per-store fixed
+    * cost. The stream's key spaces here (user_id, event_type) are
+    * low-cardinality, so nothing skews; a production deploy sizes this
+    * to its executor count and key space, not this constant. */
   private def runToTable(df: DataFrame, mode: String, name: String)
       : DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
