@@ -284,4 +284,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(q.lastProgress != null)
     } finally q.stop()
   }
+
+  test("event-time-first streaming dedup equals the batch min-struct " +
+       "survivor under any arrival order") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingBatch.streamingDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getTimestamp(2), r.getLong(3), r.getLong(5))).toMap
+    val want = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("w"),
+           count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> {
+        val w = r.getStruct(2)
+        (w.getTimestamp(0), w.getLong(1), r.getLong(3))
+      }).toMap
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("verified streaming decontamination equals the batch bloom " +
+       "prefilter (sketch-independent final counts)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingBatch
+      .streamingDecontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.Curation.bloomPrefilter(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
