@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -330,6 +330,110 @@ object Curation {
            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("lang"), col("split"))
 
+  /** Leakage-safe split audit — the group-aware variant of
+    * [[datasetSplit]]. Hashing each DOCUMENT id into train/val/test
+    * leaks near-duplicates across the boundary (a test doc's twin sits
+    * in train: the classic contamination path an eval suite never
+    * forgives), so a production split hashes the dedup CLUSTER label —
+    * every member of a near-dup family lands in one split by
+    * construction. This audit runs BOTH strategies over the staged
+    * cluster labels ([[Dedup.stagedLabels]] — the written table a 100 TB
+    * deployment reads, not a lineage recompute) and reports, per
+    * strategy, the split sizes plus the count of clusters whose members
+    * straddle >1 split: >0 for doc_hash on any corpus with near-dups,
+    * provably 0 for cluster_hash.
+    *
+    * Scale shape: the label table already carries every doc_id, so there
+    * is NO join at all — the two strategy assignments explode map-side
+    * (2 rows/doc, pure projection: md5 split keys, the datasetSplit
+    * thresholds), and the only doc-sized exchange is the one map-side-
+    * combinable groupBy onto (strategy, cluster_id, split). Both report
+    * legs (split tallies, straddle counts) then read that Θ(clusters)
+    * relation, persisted so the doc pass runs once; the final join
+    * broadcasts a 2-row leak table. Counts are all integers → exact
+    * cross-engine parity. */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(k: Column): Column = {
+      val h = substring(md5(concat(lit("gsplit42|"),
+        k.cast("string")).cast("binary")), 1, 2)
+      when(h < "cc", lit("train"))
+        .when(h < "e6", lit("val"))
+        .otherwise(lit("test"))
+    }
+    val assign = Dedup.stagedLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        explode(array(
+          struct(lit("doc_hash").as("strategy"),
+            splitOf(col("doc_id")).as("split")),
+          struct(lit("cluster_hash").as("strategy"),
+            splitOf(col("cluster_id")).as("split")))).as("s"))
+      .select(col("cluster_id"),
+        col("s.strategy").as("strategy"), col("s.split").as("split"))
+    val pcs = assign
+      .groupBy(col("strategy"), col("cluster_id"), col("split"))
+      .agg(count(lit(1)).as("nd"))
+      .persist()
+    val leaks = pcs
+      .groupBy(col("strategy"), col("cluster_id"))
+      .agg(count(lit(1)).as("n_splits"))
+      .groupBy(col("strategy"))
+      .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+        .as("leaked_clusters"))
+    pcs.groupBy(col("strategy"), col("split"))
+      .agg(sum(col("nd")).as("n_docs"), count(lit(1)).as("n_clusters"))
+      .join(broadcast(leaks), "strategy")
+      .orderBy(col("strategy"), col("split"))
+  }
+
+  /** Decontamination over the near-dup closure — the removal policy a
+    * production eval-hygiene pass actually ships. [[contamination]] and
+    * [[bloomPrefilter]] flag training docs that SHARE GRAMS with the
+    * benchmark; but a paraphrased or lightly-edited copy of a flagged
+    * doc is just as contaminated and may dodge the gram threshold, so
+    * the removal set is closed over the dedup clusters: a training doc
+    * is removed when ITS CLUSTER contains a direct gram hit or a
+    * benchmark member. Reports, per source, the training-doc count, the
+    * direct-hit count, the removed count, the closure's extra removals
+    * (cluster-mates the gram join alone would have kept — the docs this
+    * operator exists to catch), and the surviving count.
+    *
+    * Scale shape: the gram join is bloomPrefilter's (map-side sketch
+    * prune at 100 TB; exact join decides), the cluster labels come from
+    * the staged table ([[Dedup.stagedLabels]]), the taint bit is one
+    * map-side-combinable max per cluster, and the final aggregate is
+    * |sources|-bounded. Direct hits join back by KEY (they grow with
+    * the corpus — never broadcast). All-integer counts → exact parity. */
+  def decontamClosure(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.stagedLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val grams = docGrams(spark, dir)
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gram")).distinct()
+    val direct = grams.filter(col("doc_id") % 50 =!= 0)
+      .join(bench, Seq("gram"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_direct", lit(1L))
+    val taint = labels
+      .join(direct, Seq("doc_id"), "left")
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("is_direct").isNotNull ||
+          col("doc_id") % 50 === 0, 1L).otherwise(0L)).as("tainted"))
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(labels, Seq("doc_id"))
+      .join(direct, Seq("doc_id"), "left")
+      .join(taint, Seq("cluster_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("is_direct").isNotNull, 1L).otherwise(0L))
+          .as("n_direct"),
+        sum(col("tainted")).as("n_removed"))
+      .withColumn("n_closure_extra", col("n_removed") - col("n_direct"))
+      .withColumn("n_kept", col("n_train") - col("n_removed"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature-weighted source mixing — the sampling schedule a
     * multi-source training corpus uses to keep small sources from
     * vanishing (α < 1 flattens the distribution; the mT5/XLM-R
@@ -561,6 +665,8 @@ object Curation {
     "padding_audit"    -> (paddingAudit _),
     "quantile_norm"    -> (quantileNorm _),
     "dataset_split"    -> (datasetSplit _),
+    "group_split"      -> (groupSplit _),
+    "decontam_closure" -> (decontamClosure _),
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
     "lm_score"         -> (lmScore _),
@@ -719,6 +825,75 @@ object Curation {
          |  MAX(c8) - MIN(c8) + 1 AS c_span,
          |  MAX(d8) - MIN(d8) + 1 AS d_span
          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "decontam_closure" ->
+      (Dedup.duckReachCtes +
+        """,
+          |labels AS (
+          |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |t AS (
+          |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |g AS (
+          |  SELECT doc_id,
+          |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+          |      AS gram
+          |  FROM t WHERE len(toks) >= 3),
+          |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+          |direct AS (
+          |  SELECT DISTINCT g.doc_id FROM g JOIN b ON g.gram = b.gram
+          |  WHERE g.doc_id % 50 <> 0),
+          |cl AS (
+          |  SELECT l.cluster_id,
+          |    MAX(CASE WHEN d.doc_id IS NOT NULL OR l.doc_id % 50 = 0
+          |        THEN 1 ELSE 0 END) AS tainted
+          |  FROM labels l LEFT JOIN direct d ON l.doc_id = d.doc_id
+          |  GROUP BY 1),
+          |f AS (
+          |  SELECT dd.source,
+          |    CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_direct,
+          |    c.tainted
+          |  FROM documents dd
+          |    JOIN labels l ON dd.doc_id = l.doc_id
+          |    LEFT JOIN direct d ON l.doc_id = d.doc_id
+          |    JOIN cl c ON l.cluster_id = c.cluster_id
+          |  WHERE l.doc_id % 50 <> 0)
+          |SELECT source, COUNT(*) AS n_train,
+          |  CAST(SUM(is_direct) AS BIGINT) AS n_direct,
+          |  CAST(SUM(tainted) AS BIGINT) AS n_removed,
+          |  CAST(SUM(tainted) - SUM(is_direct) AS BIGINT) AS n_closure_extra,
+          |  CAST(COUNT(*) - SUM(tainted) AS BIGINT) AS n_kept
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+    "group_split" ->
+      (Dedup.duckReachCtes +
+        """,
+          |labels AS (
+          |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |a AS (
+          |  SELECT doc_id, cluster_id, 'doc_hash' AS strategy,
+          |    substring(md5('gsplit42|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+          |  FROM labels
+          |  UNION ALL
+          |  SELECT doc_id, cluster_id, 'cluster_hash' AS strategy,
+          |    substring(md5('gsplit42|' || CAST(cluster_id AS VARCHAR)), 1, 2)
+          |  FROM labels),
+          |sp AS (
+          |  SELECT doc_id, cluster_id, strategy,
+          |    CASE WHEN h < 'cc' THEN 'train'
+          |         WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split
+          |  FROM a),
+          |lk AS (
+          |  SELECT strategy,
+          |    CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS leaked_clusters
+          |  FROM (SELECT strategy, cluster_id,
+          |          COUNT(DISTINCT split) AS n_splits
+          |        FROM sp GROUP BY 1, 2) GROUP BY 1)
+          |SELECT s.strategy, s.split, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT s.cluster_id) AS n_clusters,
+          |  ANY_VALUE(lk.leaked_clusters) AS leaked_clusters
+          |FROM sp s JOIN lk ON s.strategy = lk.strategy
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "dataset_split" ->
       """WITH s AS (
         |  SELECT lang, n_chars, doc_id,

@@ -388,4 +388,84 @@ class CurationSpec extends AnyFunSuite {
     assert(df.map(_._4).max > 64,
       "bydate c_span unexpectedly bounded — fixture too small to matter?")
   }
+
+  test("group_split: doc-hash leaks the planted near-dup cluster, " +
+       "cluster-hash never does; tallies match a naive recompute") {
+    // Same planting doctrine as DedupSpec: 0/1 exact dups, 5/6 near-dups
+    // of the same base — one multi-doc cluster whose member ids hash to
+    // DIFFERENT splits (0→test, 1→val, 5/6→train), so the doc_hash
+    // strategy demonstrably leaks it while cluster_hash sends the whole
+    // family to the label's split.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docsDir(Seq(
+      (0L, base, "en", "s"),
+      (1L, base, "en", "s"),
+      (2L, "one two three four five six seven eight nine ten", "en", "s"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve", "es", "s"),
+      (4L, "un deux trois quatre cinq six sept huit neuf", "fr", "s"),
+      (5L, base + " omega", "en", "s"),
+      (6L, base.replace("delta", "DELTA") + " omega", "en", "s")))
+    val out = Curation.groupSplit(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    // mass conservation: each strategy accounts for every document
+    for (s <- Seq("doc_hash", "cluster_hash"))
+      assert(out.filter(_._1 == s).map(_._3).sum === 7L, s)
+    // naive recompute from the same staged labels the operator read
+    val labels = graft.ops.Dedup.stagedLabels(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    def sp(k: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"gsplit42|$k".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val strat = Map[String, ((Long, Long)) => String](
+      "doc_hash" -> (dc => sp(dc._1)),
+      "cluster_hash" -> (dc => sp(dc._2)))
+    val expect = (for ((sName, f) <- strat.toSeq) yield {
+      val leaked = labels.groupBy(_._2).values
+        .count(ms => ms.map(f).distinct.size > 1).toLong
+      labels.groupBy(f).toSeq.map { case (split, ms) =>
+        (sName, split, ms.size.toLong,
+         ms.map(_._2).distinct.size.toLong, leaked)
+      }
+    }).flatten.sortBy(t => (t._1, t._2))
+    assert(out.sortBy(t => (t._1, t._2)).toSeq === expect)
+    // the planted cluster straddles splits under doc_hash only
+    val leakOf = out.map(t => t._1 -> t._5).toMap
+    assert(leakOf("doc_hash") >= 1L)
+    assert(leakOf("cluster_hash") === 0L)
+  }
+
+  test("decontam_closure: removes the whole tainted cluster — including " +
+       "a near-dup that shares no gram with the benchmark") {
+    // doc 0 (id%50==0) is the benchmark. doc 1 = bench head + unique
+    // tail → direct gram hit. doc 2 = DIFFERENT head + same tail →
+    // shares zero 3-grams with doc 0 (every bench window is broken) but
+    // is a near-dup of doc 1 through the shared tail: only the cluster
+    // closure catches it. docs 3,4: clean controls in another source.
+    val tail = (1 to 20).map(i => s"t$i").mkString(" ")
+    val d = docsDir(Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s"),
+      (1L, "alpha beta gamma delta epsilon " + tail, "en", "s"),
+      (2L, "zeta eta theta iota kappa " + tail, "en", "s"),
+      (3L, "one two three four five six seven", "en", "sB"),
+      (4L, "uno dos tres cuatro cinco seis", "es", "sB")))
+    // the construction only demonstrates closure if 1/2 actually band
+    // into one cluster — pin that before trusting the output
+    val labels = graft.ops.Dedup.stagedLabels(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === labels(2L),
+      "fixture drift: docs 1/2 no longer near-dups — lengthen the tail")
+    val out = Curation.decontamClosure(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    // source s: train docs 1,2 — 1 direct, 2 closure-extra, none kept;
+    // source sB: both clean
+    assert(out === Seq(
+      ("s", 2L, 1L, 2L, 1L, 0L),
+      ("sB", 2L, 0L, 0L, 0L, 2L)))
+  }
 }
