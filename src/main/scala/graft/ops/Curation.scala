@@ -434,6 +434,44 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Corpus novelty curve — how much NEW text each slice of the corpus
+    * contributes, the measurement behind "does more data still help":
+    * a gram is novel for the doc where it FIRST appears (min doc_id —
+    * ingestion order here), and each ingestion decile reports the
+    * novel fraction of its grams. A healthy growing corpus decays
+    * slowly; a scrape looping over the same sites decays to ~0, and
+    * this curve is the cheapest way to see that before training on it.
+    *
+    * Scale shape: first-seen is one map-side-combinable MIN over the
+    * gram key (Θ(vocab) output); the grams⋈first_seen join is the same
+    * inverted-index shape contamination/tfidf already ship (gram-keyed,
+    * AQE-skew-safe); per-doc and per-decile aggregates are map-side
+    * combinable, the decile table is 10 rows. N (max id + 1) is a
+    * 1-row broadcast. Counts are integers; the one division rounds at
+    * 6 dp with the +1e-9 tie-break. */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(spark, dir)
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_seen"))
+    val perDoc = grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_seen") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    val n = Tables.t(spark, dir, "documents")
+      .agg((max(col("doc_id")) + 1L).as("n"))
+    perDoc.crossJoin(broadcast(n))
+      .withColumn("bin",
+        floor(col("doc_id") * lit(10.0) / col("n")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_novel")).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams") + 1e-9, 6))
+      .orderBy(col("bin"))
+  }
+
   /** Temperature-weighted source mixing — the sampling schedule a
     * multi-source training corpus uses to keep small sources from
     * vanishing (α < 1 flattens the distribution; the mT5/XLM-R
@@ -667,6 +705,7 @@ object Curation {
     "dataset_split"    -> (datasetSplit _),
     "group_split"      -> (groupSplit _),
     "decontam_closure" -> (decontamClosure _),
+    "novelty_curve"    -> (noveltyCurve _),
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
     "lm_score"         -> (lmScore _),
@@ -825,6 +864,29 @@ object Curation {
          |  MAX(c8) - MIN(c8) + 1 AS c_span,
          |  MAX(d8) - MIN(d8) + 1 AS d_span
          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "novelty_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+        |      AS gram
+        |  FROM t WHERE len(toks) >= 3),
+        |fs AS (SELECT gram, MIN(doc_id) AS first_seen FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+        |    SUM(CASE WHEN f.first_seen = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_novel
+        |  FROM g JOIN fs f ON g.gram = f.gram GROUP BY 1),
+        |nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents)
+        |SELECT CAST(FLOOR(p.doc_id * 10.0 / nn.n) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+        |  ROUND(SUM(n_novel)::DOUBLE / SUM(n_grams) + 1e-9, 6) AS novelty
+        |FROM p, nn GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontam_closure" ->
       (Dedup.duckReachCtes +
         """,

@@ -468,4 +468,26 @@ class CurationSpec extends AnyFunSuite {
       ("s", 2L, 1L, 2L, 1L, 0L),
       ("sB", 2L, 0L, 0L, 0L, 2L)))
   }
+
+  test("novelty_curve: first-seen gram fractions match hand-computed " +
+       "values on a fixture with known overlaps") {
+    // doc 0: grams {a b c, b c d}            → 2 novel / 2
+    // doc 1: grams {a b c, b c e}            → 1 novel / 2 (abc seen)
+    // doc 2: grams {a b c, b c d}            → 0 novel / 2 (all seen)
+    // doc 3: grams {x y z, y z w}            → 2 novel / 2 (fresh text)
+    // N = 4 → bins: floor(id*10/4) = 0, 2, 5, 7
+    val d = docsDir(Seq(
+      (0L, "a b c d", "en", "s"),
+      (1L, "a b c e", "en", "s"),
+      (2L, "a b c d", "en", "s"),
+      (3L, "x y z w", "en", "s")))
+    val out = Curation.noveltyCurve(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4))).toSeq
+    assert(out === Seq(
+      (0L, 1L, 2L, 2L, 1.0),
+      (2L, 1L, 2L, 1L, 0.5),
+      (5L, 1L, 2L, 0L, 0.0),
+      (7L, 1L, 2L, 2L, 1.0)))
+  }
 }
