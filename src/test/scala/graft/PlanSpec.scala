@@ -411,6 +411,25 @@ class PlanSpec extends AnyFunSuite {
       "NTILE must not route through a global range sort")
   }
 
+  test("group_split: no corpus-sized join anywhere — the label scan " +
+       "feeds the tallies and only the 2-row leak table joins back") {
+    val p = plan(Curation.groupSplit(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "split tallies must never shuffle-join: the staged label table " +
+        "already carries every doc")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-strategy leak counts must join back as a broadcast")
+  }
+
+  test("novelty_curve: no window operators — first-seen is a partial " +
+       "aggregate over the gram key") {
+    val p = plan(Curation.noveltyCurve(spark, sf))
+    assert(!p.contains("Window"),
+      "novelty must not route grams through a window")
+    assert(p.contains("partial_min"),
+      "first-seen must combine map-side before the gram shuffle")
+  }
+
   test("mm_dedup: only 16-byte digests shuffle — the payload column " +
        "never crosses the exchange") {
     val p = plan(graft.ops.Multimodal.payloadDedup(spark, sf))
