@@ -154,6 +154,60 @@ object Similarity {
       k = 3)
   }
 
+  /** Quantized retrieval with exact rescoring — the production ANN
+    * memory/bandwidth pattern: the INDEX holds int8 codes (4× smaller
+    * than fp32; what actually ships to a search tier), candidates are
+    * ranked by the INTEGER dot product of codes (exact in both engines —
+    * |code| ≤ 127, so a 64-dim dot is ≤ ~10⁶: no float summation
+    * anywhere in candidate selection, which makes the approximate stage
+    * deterministically reproducible, unlike a float proxy score), and
+    * only the surviving ≤ 15 candidates per query join BACK to the
+    * fp32 table by id for the exact cosine that decides the final k=3.
+    *
+    * Scale shape: codes are a map-side projection (the same per-vector
+    * symmetric scale embedding_quantize ships); candidates meet through
+    * the adaptive sign-LSH bucket (never all pairs); the rescore join
+    * touches Θ(candidates) fp32 rows — at 100 TB the fp32 table stays
+    * in cold storage and only candidate ids hit it. */
+  def annQuant(spark: SparkSession, dir: String): DataFrame = {
+    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val base = Tables.spread(Tables.t(spark, dir, "embeddings"))
+    val codes = base
+      .withColumn("scale", greatest(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0,
+        lit(1e-12)))
+      .select(col("vec_id"),
+        signBucket(col("embedding"), bits).as("bucket"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")).cast("long"))
+          .as("code"))
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("bucket"), col("vec_id").as("query_id"),
+              col("code").as("q_code"))
+    val c = codes.select(col("bucket"), col("vec_id").as("neighbor_id"),
+                         col("code").as("n_code"))
+    val cand = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("q_code"), col("n_code"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("int_dot"))
+      .withColumn("crank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("int_dot").desc, col("neighbor_id"))))
+      .filter(col("crank") <= 15)
+      .select(col("query_id"), col("neighbor_id"))
+    val emb = base.select(col("vec_id"), col("embedding"))
+    rankTopK(
+      cand
+        .join(emb.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("embedding", "q_emb"), Seq("query_id"))
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("embedding", "n_emb"), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
+      k = 3)
+  }
+
   /** IVF cell assignment, shared by annIvf and annRecall: every vector
     * labeled with its nearest-centroid cell. */
   private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
@@ -448,7 +502,8 @@ object Similarity {
     "ann_recall"     -> (annRecall _),
     "sim_topk_brute" -> (topKBrute _),
     "sim_ann_lsh"    -> (annLsh _),
-    "sim_ann_ivf"    -> (annIvf _))
+    "sim_ann_ivf"    -> (annIvf _),
+    "sim_ann_quant"  -> (annQuant _))
 
   /** DuckDB cosine written out explicitly (dot/(|a||b|) in double) so the
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
@@ -686,6 +741,38 @@ object Similarity {
          |  FROM p)
          |SELECT query_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "sim_ann_quant" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket,
+         |    GREATEST(list_max(list_transform(embedding,
+         |      x -> abs(x::DOUBLE))) / 127.0, 1e-12) AS scale
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id, bucket,
+         |    list_transform(embedding,
+         |      x -> CAST(ROUND(x::DOUBLE / scale) AS BIGINT)) AS code
+         |  FROM e),
+         |cd AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(a.code::DOUBLE[], b.code::DOUBLE[])
+         |      AS BIGINT) AS int_dot
+         |  FROM q8 a JOIN q8 b ON a.bucket = b.bucket
+         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY int_dot DESC, neighbor_id) AS crank FROM cd)
+         |  WHERE crank <= 15),
+         |r AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim
+         |  FROM cand c
+         |    JOIN embeddings qa ON qa.vec_id = c.query_id
+         |    JOIN embeddings qb ON qb.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, sim, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM r) WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $duckBucket AS bucket

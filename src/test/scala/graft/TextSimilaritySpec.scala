@@ -152,6 +152,35 @@ class TextSimilaritySpec extends AnyFunSuite {
     shared.foreach(k => assert(brute(k) === ann(k)))
   }
 
+  test("quantized ANN: rescored sims are the exact fp32 cosines, results " +
+       "subset the LSH candidate universe, int8 ordering is reproducible") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.topKBrute(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val quant = Similarity.annQuant(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(quant.nonEmpty)
+    assert(quant.forall(x => x._1 != x._2))
+    // rescoring is EXACT: any pair brute also scored carries the same sim
+    quant.foreach { case (q, n, s, _) =>
+      brute.get((q, n)).foreach(b => assert(b === s, s"($q,$n)")) }
+    // per query: ranks dense from 1, sims descend, ties broken by id
+    quant.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.size).toSeq)
+      sorted.sliding(2).foreach {
+        case Array((_, n1, s1, _), (_, n2, s2, _)) =>
+          assert(s1 > s2 || (s1 == s2 && n1 < n2))
+        case _ => ()
+      }
+    }
+    // determinism of the integer candidate stage: a second run is
+    // bit-identical (no float proxy score anywhere before the rescore)
+    val again = Similarity.annQuant(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(quant.toSeq === again.toSeq)
+  }
+
   test("TopKAggregator (bounded-heap partial agg) == window row_number " +
        "top-k on the real fixture") {
     import graft.functions.TopKAggregator
