@@ -126,21 +126,33 @@ object Pipeline {
     * Only valid for DETERMINISTIC computes over immutable input dirs
     * (all current callers; the label lineage is integer-exact). */
   private val stagedPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    scala.collection.mutable.HashMap[String, String]()
 
   def materializeOnce(spark: SparkSession, key: String)
-                     (compute: => DataFrame): DataFrame = {
-    val path = stagedPaths.computeIfAbsent(key, { _ =>
-      val p = Files.createTempDirectory("graft-staged")
-        .resolve("data").toString
-      atomicWrite(compute, p)
-      p
-    })
-    // The key was registered by the committing writer above, so the
-    // committed copy is always present; getOrElse is unreachable.
-    readCommitted(spark, path).getOrElse(
-      sys.error(s"materializeOnce: staged layer vanished at $path"))
-  }
+                     (compute: => DataFrame): DataFrame =
+    // Staging is REENTRANT: committing one layer stages its inputs
+    // through nested materializeOnce calls (labels → pairs →
+    // signatures). ConcurrentHashMap.computeIfAbsent forbids exactly
+    // that — it throws "Recursive update" whenever a nested key lands
+    // in the same hash bin, and since the key embeds the input dir
+    // (arbitrary temp paths under test fixtures) the collision was a
+    // per-fixture lottery. A synchronized block is reentrant for the
+    // owning thread; computing inside the lock keeps each layer
+    // computed exactly once, and a failed compute registers nothing
+    // (the next caller retries).
+    stagedPaths.synchronized {
+      val path = stagedPaths.get(key) match {
+        case Some(p) => p
+        case None =>
+          val p = Files.createTempDirectory("graft-staged")
+            .resolve("data").toString
+          atomicWrite(compute, p)
+          stagedPaths.put(key, p)
+          p
+      }
+      readCommitted(spark, path).getOrElse(
+        sys.error(s"materializeOnce: staged layer vanished at $path"))
+    }
 
   private def deleteRec(p: Path): Unit = {
     val s = Files.walk(p)
