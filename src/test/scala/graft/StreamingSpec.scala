@@ -314,4 +314,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("range-frame stream state is BOUNDED: watermark eviction removes " +
+       "drained users, final state holds only horizon-live keys") {
+    // The 100 TB streaming property is not parity (other tests pin
+    // that) but that state CANNOT grow with the stream: rangeFrame's
+    // eviction keeps rows at us >= wm - 1h and removes a key whose
+    // buffer drains. Final state row count for fMGWS = live KEYS, read
+    // from stateOperators; the fixture spans 30 days with most users
+    // inactive near the end, so an implementation that forgot
+    // state.remove() (or kept dead history) fails the <= bound.
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.rangeFrameStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_horizon").start()
+    try {
+      q.processAllAvailable()
+      val prog = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      assert(prog.nonEmpty, "no stateOperators progress recorded")
+      val keys = prog.get.stateOperators.map(_.numRowsTotal).sum
+      val e = Tables.events(spark, dir)
+      val mx = e.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      // horizon = watermark (max - 2h) minus the 1h frame reach, with
+      // 10 min slop for the watermark's final-batch ms truncation —
+      // slop only WIDENS the allowed key set, keeping the bound safe
+      val horizon =
+        new java.sql.Timestamp(mx.getTime - 3L * 3600 * 1000 - 600000L)
+      val live = e.filter(col("ts") >= lit(horizon))
+        .select(col("user_id")).distinct().count()
+      val all = e.select(col("user_id")).distinct().count()
+      assert(live < all,
+        "fixture drift: every user is horizon-live, the bound can't bite")
+      assert(keys > 0 && keys <= live,
+        s"state keys $keys exceed the $live horizon-live users")
+    } finally q.stop()
+  }
 }
