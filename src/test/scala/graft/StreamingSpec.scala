@@ -349,4 +349,28 @@ class StreamingSpec extends AnyFunSuite {
         s"state keys $keys exceed the $live horizon-live users")
     } finally q.stop()
   }
+
+  test("resample stream state is O(users): one cursor row per user ever " +
+       "seen, never per-event accumulation") {
+    // resample's per-key state is a grid cursor plus open buckets —
+    // the cursor must SURVIVE a drained key (it emits the gap cells
+    // between old and new activity when the user returns), so the
+    // sharp bound is equality: state rows == distinct users, proving
+    // state scales with the key space and not with events processed
+    // (1000 events, 15 users on this fixture).
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.resampleStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_cursor").start()
+    try {
+      q.processAllAvailable()
+      val prog = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      assert(prog.nonEmpty, "no stateOperators progress recorded")
+      val keys = prog.get.stateOperators.map(_.numRowsTotal).sum
+      val users = Tables.events(spark, dir)
+        .select(col("user_id")).distinct().count()
+      assert(keys === users,
+        s"state rows $keys != $users distinct users — per-event state?")
+    } finally q.stop()
+  }
 }
