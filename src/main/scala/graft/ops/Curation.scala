@@ -250,6 +250,39 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Hard cap on the unigram model collected to the driver by
+    * [[lmScore]]. Everything past the top-LmVocabCap terms (by count,
+    * ties by term) shares one OOV bucket — so the driver-side relation
+    * is ≤ LmVocabCap rows REGARDLESS of corpus size. Word vocabulary in
+    * curated text sits well under this cap; the cap exists for the raw
+    * web-scrape case where URLs/hashes/typos push distinct tokens into
+    * the billions and an uncapped collect would OOM the driver. */
+  val LmVocabCap = 32768
+
+  /** Capped bigram-LM unigram model: (top-K unigram rows, V, oovMass).
+    * V = |in-vocab terms| + 1 (the OOV bucket counts as one vocabulary
+    * entry); oovMass = total token occurrences outside the top-K — every
+    * OOV context word is scored as that single shared `<unk>` bucket,
+    * i.e. its Laplace denominator is oovMass + V. Factored out of
+    * [[lmScore]] so the cap is pinnable by spec at a small k. */
+  private[graft] def lmModel(toks: DataFrame, k: Int): (Array[org.apache.spark.sql.Row], Long, Long) = {
+    val uCnt = toks.select(explode(col("toks")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("u_cnt"))
+    // Deterministic top-k: (count DESC, term ASC) is a total order, so
+    // the vocabulary boundary is stable across partitionings and matches
+    // the oracle's ORDER BY ... LIMIT k exactly.
+    val topRows = uCnt
+      .orderBy(col("u_cnt").desc, col("term"))
+      .limit(k)
+      .collect()
+    val totalToks = toks
+      .agg(coalesce(sum(size(col("toks"))), lit(0L)))
+      .head().getLong(0)
+    val inVocabMass = topRows.iterator.map(_.getLong(1)).sum
+    (topRows, topRows.length.toLong + 1L, totalToks - inVocabMass)
+  }
+
   /** Perplexity-style quality scoring: average Laplace-smoothed bigram
     * log-probability of each document under a bigram LM trained on the
     * corpus itself — ln((B(a,b)+1) / (U(a)+V)) averaged over the doc's
@@ -259,27 +292,25 @@ object Curation {
     * statistics).
     *
     * Model statistics (bigram counts, unigram counts, vocabulary size)
-    * are map-side-combinable aggregates over the token stream — vocab ≪
-    * corpus at any scale, so they join back as broadcasts; the per-doc
-    * side shuffles once on the gram key. Same skew stance as tfidf's df:
-    * never a term-partitioned window. */
+    * are map-side-combinable aggregates over the token stream; the
+    * per-doc side shuffles once on the gram key. Same skew stance as
+    * tfidf's df: never a term-partitioned window. The unigram model that
+    * ships to the driver (and back out as a broadcast) is BOUNDED at
+    * [[LmVocabCap]] rows — top-K by (count, term), with all tail terms
+    * merged into one `<unk>` bucket whose mass enters the Laplace
+    * denominator (see [[lmModel]]). The bigram counts stay fully
+    * distributed: bigram vocabulary grows near-linearly with corpus
+    * tokens, so it is never collected or broadcast-hinted. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-    val unigrams = toks.select(explode(col("toks")).as("term"))
-    val uCnt = unigrams.groupBy(col("term"))
-      .agg(count(lit(1)).as("u_cnt"))
-    // The unigram model is collected ONCE and re-shipped as the broadcast
-    // join side below — word vocabulary ≪ corpus at any scale, and the
-    // broadcast join was already holding exactly this relation on every
-    // executor. Collecting it also yields V for free; the previous
-    // separate uCnt.count() job re-ran the whole explode+aggregate token
-    // pass just to learn the vocabulary size.
-    val uRows = uCnt.collect()
-    val v = uRows.length.toLong
+    val (uRows, v, oovMass) = lmModel(toks, LmVocabCap)
+    val uSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("u_cnt", org.apache.spark.sql.types.LongType)))
     val uDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(uRows.toSeq, 1), uCnt.schema)
+      spark.sparkContext.parallelize(uRows.toSeq, 1), uSchema)
     val bigrams = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
@@ -296,9 +327,12 @@ object Curation {
       // with corpus tokens (unlike word vocab), so the planner must be
       // free to fall back to a shuffle join past the broadcast threshold
       .join(bCnt, "gram")
-      .join(broadcast(uDf.withColumnRenamed("term", "a")), "a")
+      // LEFT join: context words outside the top-K vocabulary take the
+      // shared <unk> mass in the denominator instead of dropping rows
+      .join(broadcast(uDf.withColumnRenamed("term", "a")), Seq("a"), "left")
       .withColumn("logp",
-        log((col("b_cnt") + 1.0) / (col("u_cnt") + lit(v.toDouble))))
+        log((col("b_cnt") + 1.0) /
+          (coalesce(col("u_cnt"), lit(oovMass)) + lit(v.toDouble))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         // +1e-9: deterministic decimal-tie break, see Relational.q1Agg
@@ -1023,7 +1057,12 @@ object Curation {
         |u AS (
         |  SELECT unnest(toks) AS term FROM t),
         |uc AS (SELECT term, COUNT(*) AS u_cnt FROM u GROUP BY 1),
-        |vocab AS (SELECT COUNT(*) AS v FROM uc),
+        |top AS (SELECT term, u_cnt FROM uc
+        |        ORDER BY u_cnt DESC, term LIMIT 32768),
+        |stats AS (SELECT
+        |    (SELECT COUNT(*) FROM top) + 1 AS v,
+        |    (SELECT COALESCE(SUM(u_cnt), 0) FROM uc)
+        |      - (SELECT COALESCE(SUM(u_cnt), 0) FROM top) AS oov_mass),
         |bg AS (
         |  SELECT doc_id,
         |    unnest(list_transform(range(1, len(toks)),
@@ -1033,11 +1072,13 @@ object Curation {
         |  FROM t WHERE len(toks) >= 2),
         |bc AS (SELECT gram, COUNT(*) AS b_cnt FROM bg GROUP BY 1)
         |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
-        |  ROUND(AVG(ln((b_cnt + 1.0) / (u_cnt + v))) + 1e-9, 4) AS avg_logp
+        |  ROUND(AVG(ln((b_cnt + 1.0)
+        |    / (COALESCE(top.u_cnt, stats.oov_mass) + stats.v))) + 1e-9, 4)
+        |    AS avg_logp
         |FROM bg
         |JOIN bc USING (gram)
-        |JOIN uc ON bg.a = uc.term
-        |CROSS JOIN vocab
+        |LEFT JOIN top ON bg.a = top.term
+        |CROSS JOIN stats
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_pack" ->
       """WITH t AS (

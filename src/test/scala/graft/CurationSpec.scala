@@ -86,13 +86,31 @@ class CurationSpec extends AnyFunSuite {
   test("lm_score: hand-computed Laplace bigram log-probs") {
     val d = docsDir(Seq(
       (0L, "a b", "en", "s"), (1L, "a b", "en", "s"), (2L, "a c", "en", "s")))
-    // U: a=3 b=2 c=1, V=3; B: "a b"=2, "a c"=1
-    // doc0/1: ln((2+1)/(3+3)) = ln(.5) = -0.6931; doc2: ln(2/6) = -1.0986
+    // U: a=3 b=2 c=1 (all in-vocab, cap 32768), V=3+1=4 (the +1 is the
+    // <unk> bucket); B: "a b"=2, "a c"=1
+    // doc0/1: ln((2+1)/(3+4)) = -0.8473; doc2: ln((1+1)/(3+4)) = -1.2528
     val out = graft.ops.Curation.lmScore(spark, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(out(0L) === ((1L, -0.6931)))
-    assert(out(1L) === ((1L, -0.6931)))
-    assert(out(2L) === ((1L, -1.0986)))
+    assert(out(0L) === ((1L, -0.8473)))
+    assert(out(1L) === ((1L, -0.8473)))
+    assert(out(2L) === ((1L, -1.2528)))
+  }
+
+  test("lm_score: driver-side unigram model is capped at k rows, tail shares one OOV mass") {
+    // 4 distinct terms but k=2: the collected relation must hold exactly
+    // the top-2 by (count DESC, term ASC) — the cap that keeps the
+    // driver materialization bounded on a billion-term raw scrape.
+    val toks = Seq(
+      (0L, Seq("a", "a", "a", "b", "b", "c", "d")),
+      (1L, Seq("a", "b"))).toDF("doc_id", "toks")
+    val (rows, v, oovMass) = graft.ops.Curation.lmModel(toks, 2)
+    assert(rows.length === 2)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 4L), ("b", 3L)))
+    assert(v === 3L)       // 2 in-vocab + 1 <unk> bucket
+    assert(oovMass === 2L) // c + d occurrences
+    // And the production constant really is the stated bound.
+    assert(graft.ops.Curation.LmVocabCap === 32768)
   }
 
   test("semantic_dedup: planted identical embeddings cluster together, min id canonical") {
