@@ -550,6 +550,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document chunk-granular dedup — the between-docs sibling of
+    * [[intradocDedup]] and the substring-granular member of the dedup
+    * family: cut every document into fixed 64-token chunks and keep only
+    * the FIRST occurrence of each distinct chunk across the whole
+    * corpus, first-writer-wins by (doc_id, pos). This is the shape
+    * corpus builders use for boilerplate that is neither a whole line
+    * (lineDedup) nor a whole document (exact/minhash): a 64-token
+    * licence header or nav block pasted into thousands of pages is
+    * removed everywhere but its earliest appearance, and the REST of
+    * each document survives. The sub-64-token tail of a document is
+    * structurally unique context and always kept.
+    *
+    * Scale shape: only 16-byte chunk DIGESTS ever shuffle (md5 over the
+    * joined tokens — the same fingerprint doctrine as Multimodal.chunks;
+    * text stays in its scan partition). The first writer per digest is a
+    * map-side-combinable MIN over the (doc_id, pos) struct — never a
+    * digest-partitioned window, so a hyper-duplicated chunk (the classic
+    * skew key: an empty-ish template shared by millions of pages)
+    * reduces early instead of piling one partition. Occurrences then
+    * meet winners through one hash-partitioned join on the digest and
+    * fold down to per-doc counts — Θ(chunks) shuffled bytes, no
+    * all-pairs anywhere, same doctrine as dedupIncremental's
+    * hash-index join. */
+  def crossdocDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64
+    val docs = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_toks"))
+    val occ = docs
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"size(toks) div $w").cast("int") - 1),
+          i => md5(array_join(slice(col("toks"), i * w + 1, lit(w)), " ")
+            .cast("binary"))))
+          .as(Seq("pos", "h")))
+    val winner = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val perDoc = occ.join(winner, Seq("h"))
+      .withColumn("dup",
+        col("w.doc_id") =!= col("doc_id") || col("w.pos") =!= col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+    docs.select(col("doc_id"), col("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        (col("n_toks") - lit(w.toLong) * coalesce(col("n_dup_chunks"), lit(0L)))
+          .as("n_kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental (batch-vs-corpus) exact dedup — the daily-increment
     * shape of a crawl pipeline: a NEW batch of documents survives only
     * where its content hash appears neither in the EXISTING corpus nor
@@ -721,6 +777,7 @@ object Dedup {
     "dedup_survivorship" -> (survivorship _),
     "editdist_pairs" -> (editdistPairs _),
     "dedup_incremental" -> (dedupIncremental _),
+    "crossdoc_dedup" -> (crossdocDedup _),
     "intradoc_dedup" -> (intradocDedup _),
     "line_dedup"     -> (lineDedup _),
     "dedup_exact"    -> (exact _),
@@ -860,6 +917,33 @@ object Dedup {
         |SELECT doc_id, h FROM b
         |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM c WHERE c.h = b.h)
         |ORDER BY doc_id""".stripMargin,
+    "crossdoc_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, len(toks)::BIGINT AS n_toks, toks FROM t),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, len(toks) // 64)) AS pos, toks
+        |  FROM n WHERE len(toks) >= 64),
+        |o AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(toks[(pos*64+1):(pos*64+64)], ' ')) AS h
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id, pos, h, ROW_NUMBER() OVER (
+        |    PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM o),
+        |d AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+        |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_chunks
+        |  FROM r GROUP BY 1)
+        |SELECT n.doc_id,
+        |  COALESCE(d.n_chunks, 0)::BIGINT AS n_chunks,
+        |  COALESCE(d.n_dup_chunks, 0)::BIGINT AS n_dup_chunks,
+        |  (n.n_toks - 64 * COALESCE(d.n_dup_chunks, 0))::BIGINT
+        |    AS n_kept_tokens
+        |FROM n LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     "intradoc_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -154,6 +154,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) === ((1L, 1L, tail)))
   }
 
+  test("crossdoc_dedup: planted shared 64-token chunks lose to the " +
+       "earliest (doc_id, pos) writer; sub-width tails always survive") {
+    val ca = (0 until 64).map(i => s"a$i").mkString(" ")
+    val cb = (0 until 64).map(i => s"b$i").mkString(" ")
+    val cdir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, s"$ca $cb", "en", "s"),          // first writer of A and B
+        (1L, s"$cb $ca", "en", "s"),          // both chunks lose → kept 0
+        (2L, s"$ca $ca x y z", "en", "s"),    // intra-doc repeat also loses
+        (3L, "short doc only", "en", "s"))    // no full chunk → all kept
+        .toDF("doc_id", "text", "lang", "source")))
+    val out = Dedup.crossdocDedup(spark, cdir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) === ((2L, 0L, 128L))) // 2 chunks, no dups
+    assert(out(1L) === ((2L, 2L, 0L)))   // both dup → nothing kept
+    assert(out(2L) === ((2L, 2L, 3L)))   // only the 3-token tail survives
+    assert(out(3L) === ((0L, 0L, 3L)))   // sub-width doc untouched
+  }
+
   test("dedup_incremental: batch docs die on corpus collision or " +
        "in-batch repeat, first writer survives") {
     // corpus = even ids, batch = odd ids

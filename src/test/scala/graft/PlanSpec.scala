@@ -225,6 +225,24 @@ class PlanSpec extends AnyFunSuite {
       s"intra-document dedup must be a pure map-side projection:\n$p")
   }
 
+  test("crossdoc_dedup: only digests shuffle — every hash exchange keys " +
+       "on the chunk digest or doc_id, text never leaves its scan, and " +
+       "the first-writer MIN combines map-side (no digest window)") {
+    val p = plan(Dedup.crossdocDedup(spark, sf))
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("h", "doc_id")),
+      s"unexpected shuffle keys: $keys")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"document text in a shuffle: $l")
+    }
+    assert(p.contains("partial_min"),
+      "first-writer selection must be a map-side-combinable MIN")
+    assert(!p.contains("windowspecdefinition(h"),
+      "a digest-partitioned window buffers hyper-duplicated chunks " +
+        "in one task")
+  }
+
   test("bloom_prefilter: map-side sketch probe in the plan; the exact " +
        "verify join broadcasts, never sort-merges") {
     val p = plan(Curation.bloomPrefilter(spark, sf))
