@@ -290,7 +290,7 @@ object Corpus {
     * per-document predicate, so the funnel is an intersection of doc_id
     * sets — expressed as four broadcast/shuffle semi joins against the
     * (small) survivor sets; stage order cannot change the result. */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  private def curateCore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
     val exactKeep = Dedup.exact(spark, dir).select(col("doc_id"))
@@ -302,6 +302,39 @@ object Corpus {
       .join(canonical, Seq("doc_id"), "left_semi")
       .join(quality, Seq("doc_id"), "left_semi")
       .join(sampled, Seq("doc_id"), "left_semi")
+  }
+
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    curateCore(spark, dir).orderBy(col("doc_id"))
+
+  /** The COMPLETE production funnel — [[curate]]'s survivor set carried
+    * through the two stages a released corpus still needs: closure
+    * decontamination (drop every survivor whose dedup CLUSTER contains a
+    * benchmark gram hit or a benchmark member — Curation.clusterTaint)
+    * and the leakage-safe split (hash of the CLUSTER id, so near-dup
+    * families can never straddle train/test — Curation.gsplitOf). Every
+    * cluster-aware stage reads the SAME staged lineage
+    * ([[Dedup.stagedLabels]], materialized once per session): canonical
+    * selection, taint closure, and split key are one table read three
+    * ways, exactly how a 100 TB deployment chains them off one written
+    * artifact instead of three lineage recomputes.
+    *
+    * Scale shape: curate's four semi joins are unchanged; the label and
+    * taint joins are doc_id/cluster_id hash joins against Θ(docs) /
+    * Θ(clusters) relations (never broadcast — they grow with the
+    * corpus); the split label is a pure map-side projection. Output is
+    * the per-doc release manifest row (doc, lang, cluster, split). */
+  def curateV2(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.stagedLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    curateCore(spark, dir)
+      // benchmark members never enter a training release
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(labels, Seq("doc_id"))
+      .join(Curation.clusterTaint(spark, dir), Seq("cluster_id"))
+      .filter(col("tainted") === 0)
+      .select(col("doc_id"), col("lang"), col("cluster_id"),
+        Curation.gsplitOf(col("cluster_id")).as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -412,6 +445,7 @@ object Corpus {
     "global_sample"     -> (globalSample _),
     "colloc_lift"       -> (collocLift _),
     "corpus_curate"     -> (curate _),
+    "corpus_curate_v2"  -> (curateV2 _),
     "tfidf_topterms"    -> (tfidfTopTerms _),
     "bm25_topk"         -> (bm25TopK _),
     "inverted_index"    -> (invertedIndex _),
@@ -420,6 +454,35 @@ object Corpus {
     "source_cap"        -> (sourceCap _),
     "mixture_sample"    -> (mixtureSample _),
     "weighted_sample"   -> (weightedSample _))
+
+  /** Shared oracle CTE chain for the curation funnel's four survivor
+    * sets (appended after Dedup.duckReachCtes): near-dup canonicals,
+    * exact-dedup first writers, per-language quality floor, stratified
+    * sample. Single source for corpus_curate and corpus_curate_v2. */
+  private val duckCurateCtes: String =
+    """,
+      |canon AS (
+      |  SELECT id AS doc_id FROM reach GROUP BY id
+      |  HAVING MIN(r) = id),
+      |exact_keep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (
+      |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |tq AS (
+      |  SELECT doc_id, lang,
+      |         len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+      |  FROM documents),
+      |med AS (
+      |  SELECT lang, quantile_cont(n_tokens, 0.5) AS m
+      |  FROM tq GROUP BY lang),
+      |quality AS (
+      |  SELECT tq.doc_id FROM tq JOIN med USING (lang)
+      |  WHERE tq.n_tokens >= med.m),
+      |samp AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE substring(md5(lang || '|' || doc_id::VARCHAR), 1, 2)
+      |        < '33')""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "top_bigrams" ->
@@ -479,35 +542,32 @@ object Corpus {
         |SELECT lang, doc_id, rnk::BIGINT AS rnk FROM r WHERE rnk <= 20
         |ORDER BY lang, rnk""".stripMargin,
     "corpus_curate" ->
-      (Dedup.duckReachCtes +
-        """,
-          |canon AS (
-          |  SELECT id AS doc_id FROM reach GROUP BY id
-          |  HAVING MIN(r) = id),
-          |exact_keep AS (
-          |  SELECT doc_id FROM (
-          |    SELECT doc_id, ROW_NUMBER() OVER (
-          |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          |    FROM documents) WHERE rn = 1),
-          |tq AS (
-          |  SELECT doc_id, lang,
-          |         len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
-          |  FROM documents),
-          |med AS (
-          |  SELECT lang, quantile_cont(n_tokens, 0.5) AS m
-          |  FROM tq GROUP BY lang),
-          |quality AS (
-          |  SELECT tq.doc_id FROM tq JOIN med USING (lang)
-          |  WHERE tq.n_tokens >= med.m),
-          |samp AS (
-          |  SELECT doc_id FROM documents
-          |  WHERE substring(md5(lang || '|' || doc_id::VARCHAR), 1, 2)
-          |        < '33')
+      (Dedup.duckReachCtes + duckCurateCtes +
+        """
           |SELECT d.doc_id, d.lang FROM documents d
           |JOIN exact_keep USING (doc_id)
           |JOIN canon USING (doc_id)
           |JOIN quality USING (doc_id)
           |JOIN samp USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
+    "corpus_curate_v2" ->
+      (Dedup.duckReachCtes + duckCurateCtes + Curation.duckTaintCtes +
+        """
+          |SELECT d.doc_id, d.lang, l.cluster_id,
+          |  CASE WHEN substring(md5('gsplit42|'
+          |         || CAST(l.cluster_id AS VARCHAR)), 1, 2) < 'cc'
+          |       THEN 'train'
+          |       WHEN substring(md5('gsplit42|'
+          |         || CAST(l.cluster_id AS VARCHAR)), 1, 2) < 'e6'
+          |       THEN 'val' ELSE 'test' END AS split
+          |FROM documents d
+          |JOIN exact_keep USING (doc_id)
+          |JOIN canon USING (doc_id)
+          |JOIN quality USING (doc_id)
+          |JOIN samp USING (doc_id)
+          |JOIN labels l USING (doc_id)
+          |JOIN cl c ON l.cluster_id = c.cluster_id
+          |WHERE c.tainted = 0 AND d.doc_id % 50 <> 0
           |ORDER BY d.doc_id""".stripMargin),
     "tfidf_topterms" ->
       """WITH tok AS (

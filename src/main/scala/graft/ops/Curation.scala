@@ -386,14 +386,20 @@ object Curation {
     * relation, persisted so the doc pass runs once; the final join
     * broadcasts a 2-row leak table. Counts are all integers → exact
     * cross-engine parity. */
+  /** Seeded hash split assignment shared by [[groupSplit]] and the
+    * composed curation funnel (Corpus.curateV2): thresholds match
+    * [[datasetSplit]]'s (~80/10/10), key is caller's choice — doc_id
+    * leaks near-dup families across the boundary, cluster_id doesn't. */
+  private[ops] def gsplitOf(k: Column): Column = {
+    val h = substring(md5(concat(lit("gsplit42|"),
+      k.cast("string")).cast("binary")), 1, 2)
+    when(h < "cc", lit("train"))
+      .when(h < "e6", lit("val"))
+      .otherwise(lit("test"))
+  }
+
   def groupSplit(spark: SparkSession, dir: String): DataFrame = {
-    def splitOf(k: Column): Column = {
-      val h = substring(md5(concat(lit("gsplit42|"),
-        k.cast("string")).cast("binary")), 1, 2)
-      when(h < "cc", lit("train"))
-        .when(h < "e6", lit("val"))
-        .otherwise(lit("test"))
-    }
+    val splitOf = gsplitOf _
     val assign = Dedup.stagedLabels(spark, dir)
       .select(col("doc_id"), col("cluster_id"),
         explode(array(
@@ -437,21 +443,36 @@ object Curation {
     * map-side-combinable max per cluster, and the final aggregate is
     * |sources|-bounded. Direct hits join back by KEY (they grow with
     * the corpus — never broadcast). All-integer counts → exact parity. */
-  def decontamClosure(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup.stagedLabels(spark, dir)
-      .select(col("doc_id"), col("cluster_id"))
+  /** Benchmark direct-hit set: training docs (doc_id % 50 ≠ 0) sharing
+    * ≥1 trigram with a benchmark doc — bloomPrefilter's exact-join
+    * decision, shared by [[decontamClosure]] and Corpus.curateV2. */
+  private[ops] def directHits(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGrams(spark, dir)
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("gram")).distinct()
-    val direct = grams.filter(col("doc_id") % 50 =!= 0)
+    grams.filter(col("doc_id") % 50 =!= 0)
       .join(bench, Seq("gram"))
       .select(col("doc_id")).distinct()
       .withColumn("is_direct", lit(1L))
-    val taint = labels
-      .join(direct, Seq("doc_id"), "left")
+  }
+
+  /** Per-cluster taint bit over the staged labels: a cluster is tainted
+    * when any member is a direct gram hit OR a benchmark doc — one
+    * map-side-combinable MAX per cluster (see [[decontamClosure]] for
+    * the scale argument). Shared with Corpus.curateV2. */
+  private[graft] def clusterTaint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stagedLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(directHits(spark, dir), Seq("doc_id"), "left")
       .groupBy(col("cluster_id"))
       .agg(max(when(col("is_direct").isNotNull ||
           col("doc_id") % 50 === 0, 1L).otherwise(0L)).as("tainted"))
+
+  def decontamClosure(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.stagedLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val direct = directHits(spark, dir)
+    val taint = clusterTaint(spark, dir)
     Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
       .filter(col("doc_id") % 50 =!= 0)
@@ -749,6 +770,35 @@ object Curation {
     "contamination"    -> (contamination _),
     "bloom_prefilter"  -> (bloomPrefilter _))
 
+  /** Shared oracle CTE chain (appended after Dedup.duckReachCtes):
+    * cluster labels → doc trigrams → benchmark grams → direct hits →
+    * per-cluster taint bit. Single source for the decontam_closure
+    * oracle AND Corpus's corpus_curate_v2 — a gram or taint rule change
+    * edits exactly one string. */
+  private[ops] val duckTaintCtes: String =
+    """,
+      |labels AS (
+      |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      |tx AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+      |      AS gram
+      |  FROM tx WHERE len(toks) >= 3),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      |direct AS (
+      |  SELECT DISTINCT g.doc_id FROM g JOIN b ON g.gram = b.gram
+      |  WHERE g.doc_id % 50 <> 0),
+      |cl AS (
+      |  SELECT l.cluster_id,
+      |    MAX(CASE WHEN d.doc_id IS NOT NULL OR l.doc_id % 50 = 0
+      |        THEN 1 ELSE 0 END) AS tainted
+      |  FROM labels l LEFT JOIN direct d ON l.doc_id = d.doc_id
+      |  GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "quantile_norm" ->
       s"""WITH edges AS (
@@ -922,29 +972,8 @@ object Curation {
         |  ROUND(SUM(n_novel)::DOUBLE / SUM(n_grams) + 1e-9, 6) AS novelty
         |FROM p, nn GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontam_closure" ->
-      (Dedup.duckReachCtes +
+      (Dedup.duckReachCtes + duckTaintCtes +
         """,
-          |labels AS (
-          |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-          |t AS (
-          |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
-          |  FROM documents WHERE text IS NOT NULL),
-          |g AS (
-          |  SELECT doc_id,
-          |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-          |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
-          |      AS gram
-          |  FROM t WHERE len(toks) >= 3),
-          |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
-          |direct AS (
-          |  SELECT DISTINCT g.doc_id FROM g JOIN b ON g.gram = b.gram
-          |  WHERE g.doc_id % 50 <> 0),
-          |cl AS (
-          |  SELECT l.cluster_id,
-          |    MAX(CASE WHEN d.doc_id IS NOT NULL OR l.doc_id % 50 = 0
-          |        THEN 1 ELSE 0 END) AS tainted
-          |  FROM labels l LEFT JOIN direct d ON l.doc_id = d.doc_id
-          |  GROUP BY 1),
           |f AS (
           |  SELECT dd.source,
           |    CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_direct,

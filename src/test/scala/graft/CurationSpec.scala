@@ -113,6 +113,26 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.ops.Curation.LmVocabCap === 32768)
   }
 
+  test("corpus_curate_v2: subset of curate, benchmark-free, taint-free, " +
+       "and split is constant within every cluster") {
+    val v2 = graft.ops.Corpus.curateV2(spark, dir).collect()
+    assert(v2.nonEmpty)
+    val v1 = graft.ops.Corpus.curate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(v2.forall(r => v1.contains(r.getLong(0))),
+      "v2 must only ever REMOVE curate survivors")
+    assert(v2.forall(_.getLong(0) % 50 != 0),
+      "benchmark members must never reach a release")
+    val tainted = graft.ops.Curation.clusterTaint(spark, dir).collect()
+      .filter(_.getLong(1) == 1L).map(_.getLong(0)).toSet
+    assert(v2.forall(r => !tainted.contains(r.getLong(2))),
+      "a tainted cluster's members must all be removed")
+    v2.groupBy(_.getLong(2)).values.foreach { g =>
+      assert(g.map(_.getString(3)).distinct.length === 1,
+        "cluster-hash split cannot straddle a cluster")
+    }
+  }
+
   test("semantic_dedup: planted identical embeddings cluster together, min id canonical") {
     val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
     val other = Array.tabulate(64)(i => math.cos(i * 2.3).toFloat)
