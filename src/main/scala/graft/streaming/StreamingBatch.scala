@@ -1,15 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 
 /** Oracle-checkable entry points for the streaming twins whose FINAL
   * tables are deterministic: each runs the actual Structured Streaming
-  * query to completion (file source → memory sink, processAllAvailable)
-  * and returns the result as a static DataFrame, so the DuckDB
-  * correctness gate exercises the streaming execution path itself — not
-  * just a batch re-statement of its semantics (StreamingSpec covers the
-  * remaining twins, whose emitted sets depend on watermark horizons or
-  * arrival order in ways plain SQL can't restate).
+  * query to completion (file source → memory sink for the bounded
+  * aggregate twins, foreachBatch → parquet for the row-emitting joins,
+  * processAllAvailable) and returns the result as a static DataFrame, so
+  * the DuckDB correctness gate exercises the streaming execution path
+  * itself — not just a batch re-statement of its semantics
+  * (StreamingSpec covers the remaining twins, whose emitted sets depend
+  * on watermark horizons or arrival order in ways plain SQL can't
+  * restate).
   *
   * Determinism argument, per query:
   *  - `streaming_totals` (complete mode): the last micro-batch re-emits
@@ -81,6 +85,41 @@ object StreamingBatch {
     spark.table(name)
   }
 
+  /** Run a (bounded-source) streaming DataFrame to completion through a
+    * foreachBatch → parquet sink and hand back the written table. The
+    * memory sink above materializes every emitted row IN THE DRIVER —
+    * fine for the aggregate twins whose final tables are key-bounded,
+    * but a stream-stream JOIN's emission is row-proportional: at probe
+    * scale the funnel join's memory sink tripped
+    * spark.driver.maxResultSize at 2.2 GiB, and at 100 TB the idea is
+    * simply wrong. Here each micro-batch writes its emitted rows
+    * executor-side to `out/b<batchId>` (mode=overwrite keyed by batchId,
+    * so a replayed batch is idempotent — the same exactly-once recipe a
+    * production foreachBatch sink uses), and the driver only ever sees
+    * the file listing. */
+  private def runToParquet(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_$name").toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/b$batchId")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // enumerate the per-batch dirs rather than globbing: a glob path
+    // makes the reader's sink-metadata probe log a spurious
+    // FileNotFoundException WARN, and the listing is Θ(batches)
+    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.map(_.toString).toSeq.sorted
+    require(batchDirs.nonEmpty, s"streaming sink $name wrote no batches")
+    spark.read.parquet(batchDirs: _*)
+  }
+
   def streamingTotals(spark: SparkSession, dir: String): DataFrame =
     runToTable(EventStream.runningTypeTotals(spark, dir),
       "complete", "sq_totals")
@@ -112,13 +151,11 @@ object StreamingBatch {
       .orderBy("user_id", "session_start")
 
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
-    runToTable(EventStream.clickPurchaseJoin(spark, dir),
-      "append", "sq_interval")
+    runToParquet(EventStream.clickPurchaseJoin(spark, dir), "interval")
       .orderBy("user_id", "click_ts", "purchase_ts")
 
   def streamingFunnel(spark: SparkSession, dir: String): DataFrame =
-    runToTable(EventStream.funnelJoinStream(spark, dir),
-      "append", "sq_funnel")
+    runToParquet(EventStream.funnelJoinStream(spark, dir), "funnel")
       .orderBy("user_id", "view_ts", "click_ts", "purchase_ts")
 
   def streamingDedup(spark: SparkSession, dir: String): DataFrame =
