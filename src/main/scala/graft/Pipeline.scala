@@ -126,33 +126,52 @@ object Pipeline {
     * Only valid for DETERMINISTIC computes over immutable input dirs
     * (all current callers; the label lineage is integer-exact). */
   private val stagedPaths =
-    scala.collection.mutable.HashMap[String, String]()
+    scala.collection.mutable.HashMap[String, String]() // committed only
+  private val stageLocks =
+    scala.collection.mutable.HashMap[String, Object]()
 
+  // Locking is two-level so no monitor ever spans work it doesn't own:
+  // the two registry maps are touched only under their own (instant)
+  // monitors, each key's COMPUTE runs under that key's private lock, and
+  // reading a committed layer holds no lock at all — a reader of layer A
+  // never waits behind an unrelated key B's full lineage compute, and a
+  // cross-thread call into materializeOnce from inside a compute (a
+  // streaming micro-batch thread, say) can at worst wait on one key's
+  // lock, not on a global monitor the computing thread already holds.
+  //
+  // Staging stays REENTRANT: committing one layer stages its inputs
+  // through nested materializeOnce calls (labels → pairs → signatures).
+  // ConcurrentHashMap.computeIfAbsent forbids exactly that — it throws
+  // "Recursive update" whenever a nested key lands in the same hash bin,
+  // and since the key embeds the input dir (arbitrary temp paths under
+  // test fixtures) the collision was a per-fixture lottery. Java
+  // monitors are reentrant per thread, and nested keys acquire their
+  // locks in lineage (DAG) order, so neither self- nor cross-layer
+  // staging can deadlock. A failed compute registers nothing (the next
+  // caller retries).
   def materializeOnce(spark: SparkSession, key: String)
-                     (compute: => DataFrame): DataFrame =
-    // Staging is REENTRANT: committing one layer stages its inputs
-    // through nested materializeOnce calls (labels → pairs →
-    // signatures). ConcurrentHashMap.computeIfAbsent forbids exactly
-    // that — it throws "Recursive update" whenever a nested key lands
-    // in the same hash bin, and since the key embeds the input dir
-    // (arbitrary temp paths under test fixtures) the collision was a
-    // per-fixture lottery. A synchronized block is reentrant for the
-    // owning thread; computing inside the lock keeps each layer
-    // computed exactly once, and a failed compute registers nothing
-    // (the next caller retries).
-    stagedPaths.synchronized {
-      val path = stagedPaths.get(key) match {
-        case Some(p) => p
-        case None =>
-          val p = Files.createTempDirectory("graft-staged")
-            .resolve("data").toString
-          atomicWrite(compute, p)
-          stagedPaths.put(key, p)
-          p
-      }
-      readCommitted(spark, path).getOrElse(
-        sys.error(s"materializeOnce: staged layer vanished at $path"))
+                     (compute: => DataFrame): DataFrame = {
+    val path = stagedPaths.synchronized(stagedPaths.get(key)) match {
+      case Some(p) => p // fast path: committed — no per-key lock needed
+      case None =>
+        val lock = stageLocks.synchronized(
+          stageLocks.getOrElseUpdate(key, new Object))
+        lock.synchronized {
+          // re-check: another thread may have committed while we waited
+          stagedPaths.synchronized(stagedPaths.get(key)) match {
+            case Some(p) => p
+            case None =>
+              val p = Files.createTempDirectory("graft-staged")
+                .resolve("data").toString
+              atomicWrite(compute, p)
+              stagedPaths.synchronized(stagedPaths.put(key, p))
+              p
+          }
+        }
     }
+    readCommitted(spark, path).getOrElse(
+      sys.error(s"materializeOnce: staged layer vanished at $path"))
+  }
 
   private def deleteRec(p: Path): Unit = {
     val s = Files.walk(p)

@@ -398,7 +398,13 @@ object Curation {
       .otherwise(lit("test"))
   }
 
-  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+  /** The lazy report dataflow behind [[groupSplit]], factored out so its
+    * plan shape stays pinnable (PlanSpec) — groupSplit executes exactly
+    * this plan and then re-hosts the 6-row result locally so the
+    * persisted intermediate can be released. Returns (report, persisted
+    * handle); the CALLER owns the unpersist. */
+  private[graft] def groupSplitReport(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val splitOf = gsplitOf _
     val assign = Dedup.stagedLabels(spark, dir)
       .select(col("doc_id"), col("cluster_id"),
@@ -419,10 +425,30 @@ object Curation {
       .groupBy(col("strategy"))
       .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L))
         .as("leaked_clusters"))
-    pcs.groupBy(col("strategy"), col("split"))
+    val report = pcs.groupBy(col("strategy"), col("split"))
       .agg(sum(col("nd")).as("n_docs"), count(lit(1)).as("n_clusters"))
       .join(broadcast(leaks), "strategy")
       .orderBy(col("strategy"), col("split"))
+    (report, pcs)
+  }
+
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (report, pcs) = groupSplitReport(spark, dir)
+    try {
+      // The final report is BOUNDED at |strategies|·|splits| = 6 rows, so
+      // it materializes eagerly (the same collect-the-small-table pattern
+      // as Dedup's label broadcast) — which gives the persist inside
+      // groupSplitReport a definite end of life. Returning a lazy plan
+      // over a persisted relation has no safe unpersist point, and a
+      // long-lived session embedding the operator would accumulate cached
+      // partitions per call (exchange reuse does NOT collapse the two
+      // report legs: measured, the aggregate subtrees plan as separate
+      // stages).
+      val rows = report.collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), report.schema)
+        .orderBy(col("strategy"), col("split"))
+    } finally pcs.unpersist(blocking = false)
   }
 
   /** Decontamination over the near-dup closure — the removal policy a

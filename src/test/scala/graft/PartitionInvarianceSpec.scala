@@ -19,7 +19,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Results canonicalize through toJSON (binary → base64, doubles →
   * shortest-repr literals — bit-identity required, not tolerance) and
-  * compare as sorted multisets, mirroring the driver comparator. */
+  * compare as sorted multisets, mirroring the driver comparator.
+  *
+  * SCOPE of the every-query test: the staged dedup lineage
+  * (Pipeline.materializeOnce) commits on FIRST access per input dir, so
+  * label-consumer queries (group_split, decontam_closure,
+  * dedup_survivorship, …) read the same committed parquet in both the
+  * 4- and 7-partition runs — for those queries the assertion covers
+  * their own dataflow, not the lineage build. The second test closes
+  * that gap: it rebuilds the staged lineage FROM SCRATCH under each
+  * partition setting (distinct fixture dirs → distinct staging keys)
+  * and requires the committed label tables to be bit-identical. */
 class PartitionInvarianceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
@@ -42,6 +52,31 @@ class PartitionInvarianceSpec extends AnyFunSuite {
             .orElse(Some((a.drop(b.size).headOption.getOrElse(""),
                           b.drop(a.size).headOption.getOrElse("")))))
       }
+    } finally spark.conf.set(key, before)
+  }
+
+  test("staged dedup lineage REBUILT from scratch is bit-identical at 4 " +
+       "and 7 shuffle partitions (distinct staging keys force the full " +
+       "signatures → pairs → labels compute under each setting)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    try {
+      // Each writeDir is a fresh input dir → a fresh materializeOnce
+      // key → a genuine lineage rebuild; the fixture parquet itself is
+      // also LAID OUT under the run's partition setting, so scan split
+      // order reshuffles too.
+      spark.conf.set(key, "4")
+      val a = graft.ops.Dedup
+        .stagedLabels(spark, TestFixtures.writeDir(Map("documents" -> docs)))
+        .toJSON.collect().sorted.toSeq
+      spark.conf.set(key, "7")
+      val b = graft.ops.Dedup
+        .stagedLabels(spark, TestFixtures.writeDir(Map("documents" -> docs)))
+        .toJSON.collect().sorted.toSeq
+      assert(a.nonEmpty && a == b,
+        s"staged lineage drifts with the shuffle partition count: " +
+          s"${a.size} vs ${b.size} rows")
     } finally spark.conf.set(key, before)
   }
 }

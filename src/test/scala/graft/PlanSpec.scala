@@ -225,6 +225,62 @@ class PlanSpec extends AnyFunSuite {
       s"intra-document dedup must be a pure map-side projection:\n$p")
   }
 
+  // ---- plan-shape pins for every batch query >1 s in the round-6 bench
+  // (streaming twins exempt: their cost is micro-batch machinery, not
+  // plan shape). A silent regression here — an uncapped wedge join, a
+  // post-join top-k, a global sort — is exactly what the min-of-3 bench
+  // could absorb as noise.
+
+  test("link_predict: top-k never global-sorts, known edges drop via " +
+       "anti join, and the 64-degree hub cap is in the plan") {
+    val p = plan(graft.ops.Graph.linkPredict(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("Exchange rangepartitioning".r.findAllIn(p).isEmpty,
+      "candidate pairs must never be globally sorted")
+    assert(p.contains("LeftAnti"), "known-edge removal must be an anti join")
+    assert(p.contains("<= 64"), "the degree cap vanished from the plan")
+  }
+
+  test("frequent_pairs: top-50 cut happens BEFORE the singles stats " +
+       "join (TakeOrderedAndProject + broadcast of the 50-row side)") {
+    val p = plan(graft.ops.Graph.frequentPairs(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2,
+      s"both singles joins must be against the broadcast top-50, got $bhj")
+    assert("SortMergeJoin".r.findAllIn(p).isEmpty,
+      "a sort-merge stats join means the top-k cut moved after the join")
+  }
+
+  test("degree_dist: undirected-pair distinct state, no window, and a " +
+       "bounded exchange count") {
+    val p = plan(graft.ops.Graph.degreeDist(spark, sf))
+    assert(!p.contains("windowspecdefinition"),
+      "degree counting must be aggregation, never a window")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex <= 12,
+      s"exchange count $ex grew past the undirected-distinct plan's 12 — " +
+        "directed-pair state doubling is the known regression here")
+  }
+
+  test("events_zscore: one event_type exchange feeds every window; no " +
+       "unpartitioned window spec anywhere") {
+    val p = plan(graft.ops.Events.zscoreAnomalies(spark, sf))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex === 1, s"expected exactly 1 hash exchange, got $ex")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("event_type"),
+        s"window not partitioned by event_type: $l")
+    }
+  }
+
+  test("ingest_flatten: fully map-side — zero hash exchanges; only the " +
+       "presentation sort moves rows") {
+    val p = plan(graft.ops.Ingest.flattenValidate(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "flatten/validate is per-row work; a hash exchange is a regression")
+  }
+
   test("crossdoc_dedup: only digests shuffle — every hash exchange keys " +
        "on the chunk digest or doc_id, text never leaves its scan, and " +
        "the first-writer MIN combines map-side (no digest window)") {
@@ -431,12 +487,18 @@ class PlanSpec extends AnyFunSuite {
 
   test("group_split: no corpus-sized join anywhere — the label scan " +
        "feeds the tallies and only the 2-row leak table joins back") {
-    val p = plan(Curation.groupSplit(spark, sf))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "split tallies must never shuffle-join: the staged label table " +
-        "already carries every doc")
-    assert(p.contains("BroadcastHashJoin"),
-      "the per-strategy leak counts must join back as a broadcast")
+    // the pin targets the internal report dataflow: groupSplit executes
+    // exactly this plan, then re-hosts the 6-row result locally so the
+    // persisted intermediate can be unpersisted inside the operator
+    val (report, pcs) = Curation.groupSplitReport(spark, sf)
+    try {
+      val p = plan(report)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        "split tallies must never shuffle-join: the staged label table " +
+          "already carries every doc")
+      assert(p.contains("BroadcastHashJoin"),
+        "the per-strategy leak counts must join back as a broadcast")
+    } finally pcs.unpersist(blocking = false)
   }
 
   test("novelty_curve: no window operators — first-seen is a partial " +
