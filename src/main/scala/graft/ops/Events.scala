@@ -111,21 +111,31 @@ object Events {
 
   /** ASOF-FORWARD: the time-reversed twin of asofJoin — attach to every
     * click the NEXT purchase of the same user (at or after the click),
-    * plus the wait in µs. Same scalable composition, mirrored frame:
-    * first(ignoreNulls) over current-row→unbounded-FOLLOWING in the one
-    * per-user window pass. Completes the as-of family
-    * (backward / forward) without a range join or per-row probe. */
+    * plus the wait in µs. Completes the as-of family (backward /
+    * forward) without a range join or per-row probe.
+    *
+    * The frame is the REVERSED running frame, not a following frame:
+    * Spark evaluates [currentRow, unboundedFollowing] by re-aggregating
+    * the frame's remainder for EVERY row — O(rows²) per partition
+    * (UnboundedFollowingWindowFunctionFrame has no running-accumulator
+    * form). Measured on the 10×-per-user-density probe: 41 s vs the
+    * backward twin's ~4 s, a clean quadratic signature. Sorting the
+    * partition time-DESCENDING turns "first non-null at or after me"
+    * into "last non-null at or before me in reverse order" — the same
+    * O(rows) running `last` accumulator asofJoin uses, over the
+    * identical row set ((ts, event_id) ≥ current), so results are
+    * bit-equal. */
   def asofForward(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
       .withColumn("p_ts",
         when(col("event_type") === "purchase", col("ts")))
       .withColumn("p_value",
         when(col("event_type") === "purchase", col("value")))
-      .withColumn("next_purchase_ts", first(col("p_ts"), true).over(w))
-      .withColumn("next_purchase_value", first(col("p_value"), true).over(w))
+      .withColumn("next_purchase_ts", last(col("p_ts"), true).over(w))
+      .withColumn("next_purchase_value", last(col("p_value"), true).over(w))
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"),
         col("next_purchase_ts"), col("next_purchase_value"),
