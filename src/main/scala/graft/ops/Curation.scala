@@ -340,6 +340,145 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-n-gram importance resampling — the data-selection stage that
+    * picks raw documents LOOKING LIKE a small target corpus (DSIR; Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling" — public method, re-derived here on hashed unigram
+    * features). The benchmark slice (doc_id % 50 == 0, the same target
+    * convention as `contamination`/`bloom_prefilter`) plays the target
+    * distribution; everything else is the raw pool being scored.
+    *
+    * Model: tokens hash into B = 64 buckets (seeded-md5 prefix mod B —
+    * the engine's standard cross-engine hash, see docShuffle), and each
+    * side's bucket histogram becomes a Laplace-smoothed unigram model.
+    * A document's importance weight is Σ_tokens [ln p_target(b(tok)) −
+    * ln p_raw(b(tok))]; the keep rule is weight > corpus-mean weight
+    * ("more target-like than the average raw doc" — the deterministic,
+    * RNG-free analog of DSIR's Gumbel resampling; an absolute
+    * weight > 0 cut is degenerate whenever T ≪ R, because the target
+    * model's heavier Laplace smoothing shifts every weight negative).
+    * The mean is a 1-row broadcast cut (winsorize doctrine: the compared
+    * weight is 4-dp rounded, so membership can't flip on a cut ulp).
+    *
+    * Scale shape: BOTH models are Θ(B) = 64 rows at ANY corpus size (the
+    * fixed bucket count is the whole point of hashed features — contrast
+    * lmScore, whose unigram vocabulary needed an explicit top-K cap), so
+    * the per-bucket log-ratio table broadcasts; token→bucket is a pure
+    * map-side projection; the model aggregate and the per-doc score
+    * aggregate are both map-side combinable. Nothing unbounded ever
+    * ships: this is the selection stage that runs over 100 TB of raw
+    * scrape against a megabyte of benchmark text. Float doctrine follows
+    * lmScore: ln on identical doubles both engines, decision on the
+    * 4-dp-rounded sum (+1e-9 decimal-tie nudge). */
+  def importanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val b = 64
+    val tok = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("doc_id") % 50 === 0).as("is_target"),
+        explode(transform(Text.tokens(col("text")),
+          x => conv(substring(md5(x.cast("binary")), 1, 2), 16, 10)
+            .cast("int") % b)).as("b"))
+    // FIT: one pass over the token stream builds both bucket histograms;
+    // λ_b is collected as a ≤64-row model parameter (codebook doctrine —
+    // the bound is the fixed bucket count, stated here: B = 64 rows
+    // regardless of corpus size). Collecting it keeps the APPLY plan
+    // free of the fit lineage: the scoring join builds from a local
+    // 64-row relation, not a re-derivation of the model aggregate.
+    val m = tok.groupBy(col("b")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_cnt"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("r_cnt"))
+      .collect()
+    val tt = m.iterator.map(_.getLong(1)).sum.toDouble
+    val rt = m.iterator.map(_.getLong(2)).sum.toDouble
+    val lamDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(m.toSeq.map { r =>
+        org.apache.spark.sql.Row(r.getInt(0),
+          math.log((r.getLong(1) + 1.0) / (tt + b)) -
+            math.log((r.getLong(2) + 1.0) / (rt + b)))
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lam",
+          org.apache.spark.sql.types.DoubleType))))
+    def scored = tok.filter(!col("is_target"))
+      .join(broadcast(lamDf), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("lam")) + 1e-9, 4).as("weight"))
+    // The selection threshold is itself a fitted model parameter (one
+    // double), published by a second pass exactly like a production
+    // selection run fits-then-applies; the APPLY plan compares against
+    // a literal, so the output query is one broadcast join + one
+    // map-side-combinable doc aggregate.
+    val wCut = scored.agg(round(avg(col("weight")) + 1e-9, 4))
+      .head().get(0) match {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue()
+      }
+    scored.withColumn("kept", col("weight") > lit(wCut))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One-pass quality-filter ensemble — the production filter STACK
+    * (FineWeb/Gopher-style rule sets: length, mean word length, stopword
+    * presence, digit density, bigram repetition) evaluated as a single
+    * map-side pass with every rule verdict kept for auditability. The
+    * point of the operator is the SHAPE: five signals that separately
+    * would be five jobs (text_quality, repetition_stats, …) fold into
+    * one projection — every signal is array-local (higher-order
+    * functions over the token array; no explode, no groupBy, no join),
+    * so the whole gate runs at scan speed and composes with partition
+    * pruning at 100 TB. Per-rule flags + pass count make the drop
+    * REASON queryable (the audit a curation run must publish); keep
+    * requires all five.
+    *
+    * Float doctrine: every signal is a ratio of integers — exact double
+    * division in both engines, no transcendental on data values — and
+    * every threshold compares the ROUNDED signal to a literal, so rule
+    * membership cannot flip on a ulp. */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", toks)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("mean_tok_len", round(
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / col("n_toks") + 1e-9, 4))
+      .withColumn("stop_frac", round(
+        size(filter(col("toks"), t => t.isin("the", "a", "of", "and")))
+          .cast("double") / col("n_toks") + 1e-9, 4))
+      .withColumn("digit_frac", round(
+        length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("double") / length(col("text")) + 1e-9, 4))
+      .withColumn("bg",
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+                                element_at(col("toks"), i + 1)))))
+      .withColumn("dup_bigram_frac", round(
+        when(col("bg").isNotNull,
+          (size(col("bg")) - size(array_distinct(col("bg"))))
+            .cast("double") / size(col("bg")))
+          .otherwise(lit(0.0)) + 1e-9, 4))
+      .withColumn("r_len", col("n_toks") >= 30)
+      .withColumn("r_wordlen",
+        col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 5.0)
+      .withColumn("r_stop", col("stop_frac") >= 0.02)
+      .withColumn("r_digit", col("digit_frac") <= 0.2)
+      .withColumn("r_rep", col("dup_bigram_frac") <= 0.1)
+      .withColumn("n_passed",
+        (Seq("r_len", "r_wordlen", "r_stop", "r_digit", "r_rep")
+          .map(r => when(col(r), 1L).otherwise(0L)).reduce(_ + _)))
+      .withColumn("keep", col("n_passed") === 5)
+      .select(col("doc_id"), col("n_toks"), col("mean_tok_len"),
+        col("stop_frac"), col("digit_frac"), col("dup_bigram_frac"),
+        col("r_len"), col("r_wordlen"), col("r_stop"), col("r_digit"),
+        col("r_rep"), col("n_passed"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified train/val/test split: every document gets
     * a split label from a seeded hash of (lang | doc_id), thresholded at
     * 0xcc (~79.7% train) and 0xe6 (~10.2% val, remainder test). Because
@@ -790,6 +929,8 @@ object Curation {
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
     "lm_score"         -> (lmScore _),
+    "importance_resample" -> (importanceResample _),
+    "quality_ensemble" -> (qualityEnsemble _),
     "doc_pack"         -> (docPack _),
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub"        -> (piiScrub _),
@@ -1105,6 +1246,80 @@ object Curation {
         |  CAST(row_number() OVER (
         |    PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    "quality_ensemble" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_toks,
+        |    ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)),
+        |        'sum') AS DOUBLE) / len(toks) + 1e-9, 4) AS mean_tok_len,
+        |    ROUND(len(list_filter(toks,
+        |        x -> x IN ('the', 'a', 'of', 'and')))::DOUBLE
+        |      / len(toks) + 1e-9, 4) AS stop_frac,
+        |    ROUND(len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        |      / len(text) + 1e-9, 4) AS digit_frac,
+        |    ROUND(CASE WHEN len(toks) >= 2 THEN
+        |        (len(list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i + 1]))
+        |         - len(list_distinct(list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i + 1]))))::DOUBLE
+        |        / len(list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i + 1]))
+        |      ELSE 0.0 END + 1e-9, 4) AS dup_bigram_frac
+        |  FROM t),
+        |r AS (
+        |  SELECT *,
+        |    (n_toks >= 30) AS r_len,
+        |    (mean_tok_len >= 3.0 AND mean_tok_len <= 5.0) AS r_wordlen,
+        |    (stop_frac >= 0.02) AS r_stop,
+        |    (digit_frac <= 0.2) AS r_digit,
+        |    (dup_bigram_frac <= 0.1) AS r_rep
+        |  FROM s)
+        |SELECT doc_id, n_toks, mean_tok_len, stop_frac, digit_frac,
+        |  dup_bigram_frac, r_len, r_wordlen, r_stop, r_digit, r_rep,
+        |  (CASE WHEN r_len THEN 1 ELSE 0 END
+        |   + CASE WHEN r_wordlen THEN 1 ELSE 0 END
+        |   + CASE WHEN r_stop THEN 1 ELSE 0 END
+        |   + CASE WHEN r_digit THEN 1 ELSE 0 END
+        |   + CASE WHEN r_rep THEN 1 ELSE 0 END)::BIGINT AS n_passed,
+        |  (r_len AND r_wordlen AND r_stop AND r_digit AND r_rep) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "importance_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id % 50 = 0) AS is_target,
+        |    string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, is_target,
+        |    unnest(list_transform(toks,
+        |      x -> ('0x' || substring(md5(x), 1, 2))::INT % 64)) AS b
+        |  FROM t),
+        |m AS (
+        |  SELECT b,
+        |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_cnt,
+        |    CAST(SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r_cnt
+        |  FROM tok GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(COALESCE(SUM(t_cnt), 0) AS BIGINT) AS tt,
+        |         CAST(COALESCE(SUM(r_cnt), 0) AS BIGINT) AS rt
+        |  FROM m),
+        |lam AS (
+        |  SELECT b,
+        |    ln((t_cnt + 1.0) / (tt + 64.0))
+        |      - ln((r_cnt + 1.0) / (rt + 64.0)) AS lam
+        |  FROM m CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_toks,
+        |    ROUND(SUM(lam) + 1e-9, 4) AS weight
+        |  FROM tok JOIN lam USING (b)
+        |  WHERE NOT is_target GROUP BY doc_id),
+        |cut AS (SELECT ROUND(AVG(weight) + 1e-9, 4) AS w_cut FROM scored)
+        |SELECT doc_id, n_toks, weight, (weight > w_cut) AS kept
+        |FROM scored CROSS JOIN cut ORDER BY doc_id""".stripMargin,
     "lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -635,6 +635,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental NEAR-dup admission — the near-duplicate twin of
+    * [[dedupIncremental]] (same fixture split: even doc_ids are the
+    * corpus, odd the new batch): a new document is admitted only if no
+    * corpus document is near-identical to it. Exact-hash admission
+    * misses every lightly-edited recrawl; this is the gate that catches
+    * them.
+    *
+    * Two-stage shape, candidate proposal then exact verification:
+    *  1. The corpus's MinHash band keys form a POSTING INDEX (band →
+    *     bounded id list; at 100 TB this index is a maintained
+    *     by-product of the staged signature table, not a recompute —
+    *     batch admission reads it like `dedupIncremental` reads the
+    *     content-hash index). Batch band keys probe it with one
+    *     band-keyed join; per-band postings are capped at 256 via
+    *     BoundedCollect (the minhashPairs degenerate-bucket guard,
+    *     mirrored in the oracle).
+    *  2. Candidates verify by EXACT shingle Jaccard ≥ 0.5 — shingle
+    *     sets join in by doc KEY only for candidate ids (the
+    *     editdistPairs doctrine: the full corpus text never enters the
+    *     pair stream), intersection is array-local.
+    * Output is per BATCH doc: candidate/verified counts, best verified
+    * similarity, and the admission verdict. Work is Θ(batch·bands +
+    * candidates); corpus cost is index maintenance only. */
+  def neardupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sig = stagedSignatures(spark, dir)
+    val bands = sig.select(col("doc_id"),
+      explode(array(
+        md5(concat(col("mh_s0"), col("mh_s1")).cast("binary")),
+        md5(concat(col("mh_s2"), col("mh_s3")).cast("binary")))).as("band"))
+    val corpusPost = bands.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("band"))
+      .agg(graft.functions.BoundedCollect.collect(256)(
+        col("doc_id"), lit(0L)).as("r"))
+      .filter(col("r._1") <= 256)
+      .select(col("band"), expr("transform(r._2, x -> x._1)").as("cids"))
+    val cand = bands.filter(col("doc_id") % 2 =!= 0)
+      .join(corpusPost, Seq("band"))
+      .select(col("doc_id").as("batch_doc"),
+        explode(col("cids")).as("corpus_doc"))
+      .distinct()
+    val shs = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val verified = cand
+      .join(shs.select(col("doc_id").as("batch_doc"),
+        col("sh").as("sh_a")), Seq("batch_doc"))
+      .join(shs.select(col("doc_id").as("corpus_doc"),
+        col("sh").as("sh_b")), Seq("corpus_doc"))
+      .withColumn("i",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jacc", round(col("i").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("i")) + 1e-9, 4))
+    val agg = verified.groupBy(col("batch_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_verified"),
+        max(when(col("jacc") >= 0.5, col("jacc"))).as("best_jacc"))
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
+      .select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        (coalesce(col("n_verified"), lit(0L)) === 0L).as("admitted"),
+        col("best_jacc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance verification of LSH candidates — minhash bands
     * propose, Levenshtein disposes: the second-stage verifier for
     * near-dup pipelines where shingle Jaccard is too coarse (short
@@ -777,6 +845,7 @@ object Dedup {
     "dedup_survivorship" -> (survivorship _),
     "editdist_pairs" -> (editdistPairs _),
     "dedup_incremental" -> (dedupIncremental _),
+    "neardup_incremental" -> (neardupIncremental _),
     "crossdoc_dedup" -> (crossdocDedup _),
     "intradoc_dedup" -> (intradocDedup _),
     "line_dedup"     -> (lineDedup _),
@@ -1001,6 +1070,55 @@ object Dedup {
     "minhash_pairs" ->
       (duckPairsCtes +
         "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
+    // corpus = even doc_ids, batch = odd (dedup_incremental's split);
+    // per-band corpus postings capped at 256 like the pairs oracle
+    "neardup_incremental" ->
+      (duckSigCte +
+        """, bands AS (
+          |  SELECT doc_id, unnest([md5(mh_s0 || mh_s1),
+          |                         md5(mh_s2 || mh_s3)]) AS band
+          |  FROM sig),
+          |ckeep AS (
+          |  SELECT band FROM bands WHERE doc_id % 2 = 0
+          |  GROUP BY band HAVING COUNT(*) <= 256),
+          |cand AS (
+          |  SELECT DISTINCT nb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+          |  FROM bands nb
+          |  JOIN ckeep k ON nb.band = k.band
+          |  JOIN bands cb ON nb.band = cb.band
+          |  WHERE nb.doc_id % 2 <> 0 AND cb.doc_id % 2 = 0),
+          |shs AS (SELECT DISTINCT doc_id, sh FROM sh),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shs GROUP BY 1),
+          |ix AS (
+          |  SELECT c.batch_doc, c.corpus_doc, COUNT(*) AS i
+          |  FROM cand c
+          |    JOIN shs a ON a.doc_id = c.batch_doc
+          |    JOIN shs b ON b.doc_id = c.corpus_doc AND b.sh = a.sh
+          |  GROUP BY 1, 2),
+          |v AS (
+          |  SELECT c.batch_doc, c.corpus_doc,
+          |    ROUND(COALESCE(i.i, 0)::DOUBLE
+          |      / (ca.n + cb.n - COALESCE(i.i, 0)) + 1e-9, 4) AS jacc
+          |  FROM cand c
+          |    JOIN cnt ca ON ca.doc_id = c.batch_doc
+          |    JOIN cnt cb ON cb.doc_id = c.corpus_doc
+          |    LEFT JOIN ix i ON i.batch_doc = c.batch_doc
+          |      AND i.corpus_doc = c.corpus_doc),
+          |agg AS (
+          |  SELECT batch_doc AS doc_id,
+          |    COUNT(*)::BIGINT AS n_candidates,
+          |    CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_verified,
+          |    MAX(CASE WHEN jacc >= 0.5 THEN jacc END) AS best_jacc
+          |  FROM v GROUP BY 1)
+          |SELECT d.doc_id,
+          |  COALESCE(a.n_candidates, 0) AS n_candidates,
+          |  COALESCE(a.n_verified, 0) AS n_verified,
+          |  (COALESCE(a.n_verified, 0) = 0) AS admitted,
+          |  a.best_jacc
+          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |WHERE d.doc_id % 2 <> 0 AND d.text IS NOT NULL
+          |ORDER BY d.doc_id""".stripMargin),
     "linkage_verify" ->
       (duckPairsCtes +
         """

@@ -113,6 +113,101 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.ops.Curation.LmVocabCap === 32768)
   }
 
+  test("importance_resample: independent plain-Scala recompute of the " +
+       "hashed-bucket model and every document weight") {
+    // target = doc_id % 50 == 0 → doc 0 and 50; raw = the rest.
+    val d = docsDir(Seq(
+      (0L, "alpha beta alpha gamma", "en", "s"),   // target
+      (50L, "alpha beta delta", "en", "s"),         // target
+      (1L, "alpha beta alpha beta", "en", "s"),     // raw, target-like
+      (2L, "omega psi chi phi omega", "en", "s"),   // raw, off-target
+      (3L, "alpha omega", "en", "s")))              // raw, mixed
+    val out = graft.ops.Curation.importanceResample(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+
+    // Plain-Scala replay of the exact definition.
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 2), 16) % 64
+    }
+    val docs = Map(
+      0L -> "alpha beta alpha gamma", 50L -> "alpha beta delta",
+      1L -> "alpha beta alpha beta", 2L -> "omega psi chi phi omega",
+      3L -> "alpha omega")
+    val toksOf = docs.view.mapValues(_.split("\\s+").toSeq).toMap
+    val (tgt, raw) = toksOf.partition(_._1 % 50 == 0)
+    val tCnt = tgt.values.flatten.groupBy(bucket).view.mapValues(_.size).toMap
+    val rCnt = raw.values.flatten.groupBy(bucket).view.mapValues(_.size).toMap
+    val tt = tCnt.values.sum.toDouble
+    val rt = rCnt.values.sum.toDouble
+    def lam(b: Int): Double =
+      math.log((tCnt.getOrElse(b, 0) + 1.0) / (tt + 64.0)) -
+        math.log((rCnt.getOrElse(b, 0) + 1.0) / (rt + 64.0))
+    val expWeights = raw.map { case (id, _) =>
+      id -> BigDecimal(toksOf(id).map(t => lam(bucket(t))).sum + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val wCut = BigDecimal(
+      expWeights.values.sum / expWeights.size + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet === raw.keySet, "only raw docs are scored")
+    expWeights.foreach { case (id, w) =>
+      assert(out(id)._1 === toksOf(id).size.toLong)
+      assert(out(id)._2 === w, s"weight mismatch for doc $id")
+      assert(out(id)._3 === (w > wCut), s"keep verdict mismatch for $id")
+    }
+    // The target-like doc must outrank the off-target doc.
+    assert(out(1L)._2 > out(2L)._2,
+      "a doc written in the target's vocabulary must score higher")
+  }
+
+  test("quality_ensemble: hand-computed signals and every rule edge") {
+    // 48 tokens, every bigram distinct, 50% stopwords, mean word length
+    // (3+7+2+7)/4 = 4.75 ∈ [3, 5] — passes the full stack.
+    val longGood = (1 to 12).flatMap(i =>
+      Seq("the", f"word$i%02da", "of", f"word$i%02db")).mkString(" ")
+    val d = docsDir(Seq(
+      (0L, longGood, "en", "s"),
+      (1L, "the alpha of beta and", "en", "s"), // 5 toks → fails r_len
+      (2L, ("xx " * 40).trim, "en", "s"),       // no stopwords, repeated
+      (3L, "the of a and " + ("1234567890 " * 30).trim, "en", "s")))
+    val out = graft.ops.Curation.qualityEnsemble(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val r0 = out(0L)
+    assert(r0.getLong(1) === 48L)
+    assert(r0.getDouble(2) === 4.75)
+    assert(r0.getDouble(3) ===
+      BigDecimal(24.0 / 48 + 1e-9).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r0.getDouble(5) === 0.0, "all bigrams distinct")
+    assert(r0.getLong(11) === 5L)
+    assert(r0.getBoolean(12), "doc 0 must pass the full stack")
+
+    val r1 = out(1L)
+    assert(!r1.getBoolean(6) && !r1.getBoolean(12),
+      "5 tokens fails r_len and therefore keep")
+    assert(r1.getLong(11) < 5L)
+
+    val r2 = out(2L)
+    assert(!r2.getBoolean(8), "no stopwords → r_stop fails")
+    assert(!r2.getBoolean(10),
+      "a 40×-repeated token is pure duplicate bigrams → r_rep fails")
+    assert(r2.getDouble(5) ===
+      BigDecimal(38.0 / 39 + 1e-9).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "39 bigrams, 1 distinct → 38/39 duplicate fraction")
+
+    val r3 = out(3L)
+    assert(!r3.getBoolean(9), "300 digit chars of 342 → r_digit fails")
+    assert(r3.getDouble(4) ===
+      BigDecimal(300.0 / 342 + 1e-9).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("corpus_curate_v2: subset of curate, benchmark-free, taint-free, " +
        "and split is constant within every cluster") {
     val v2 = graft.ops.Corpus.curateV2(spark, dir).collect()

@@ -190,6 +190,35 @@ class DedupSpec extends AnyFunSuite {
     assert(ids === Set(3L, 7L))
   }
 
+  test("neardup_incremental: exact copy and lightly-edited recrawl are " +
+       "rejected, fresh batch docs admitted") {
+    val base = (1 to 40).map(i => f"token$i%02d").mkString(" ")
+    val edited = base.replace("token21", "tok3n21") // one-token edit
+    val ddir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, base, "en", "s"),                  // corpus
+        (2L, "completely different corpus text here now", "en", "s"),
+        (1L, base, "en", "s"),                  // batch: exact copy → reject
+        (3L, edited, "en", "s"),                // batch: near-dup → reject
+        (5L, "unrelated fresh batch document entirely", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val out = Dedup.neardupIncremental(spark, ddir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet === Set(1L, 3L, 5L), "one row per batch doc")
+    val (c1, v1, adm1, j1) = out(1L)
+    assert(!adm1 && v1 >= 1L && j1.contains(1.0),
+      "an exact copy must verify at jacc 1.0 and be rejected")
+    val (_, v3, adm3, j3) = out(3L)
+    assert(!adm3 && v3 >= 1L, "a one-token edit must still be caught")
+    assert(j3.exists(j => j >= 0.5 && j < 1.0))
+    val (_, v5, adm5, j5) = out(5L)
+    assert(adm5 && v5 === 0L && j5.isEmpty,
+      "a fresh doc is admitted with no verified match")
+    assert(c1 >= 1L)
+  }
+
   test("editdist_pairs: exact-dup pair verifies at distance 0; output " +
        "is a subset of the LSH candidates") {
     val ed = Dedup.editdistPairs(spark, dir).collect()

@@ -342,6 +342,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected a sort-merge join keyed on ...salt..., plan:\n$p")
   }
 
+  test("quality_ensemble: the whole five-rule filter stack is one " +
+       "map-side pass — zero hash exchanges") {
+    val p = plan(Curation.qualityEnsemble(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 0,
+      s"the filter stack must run at scan speed, map-side only:\n$p")
+  }
+
+  test("importance_resample: the 64-bucket log-ratio model joins the " +
+       "token stream as a BROADCAST — the scoring side never shuffles " +
+       "on the bucket key") {
+    val p = plan(Curation.importanceResample(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the Θ(64)-row model must broadcast into the scoring join:\n$p")
+    // the only hash exchanges allowed are the model aggregate (bucket
+    // key, 64 groups) and the per-doc score aggregate — never a
+    // token-stream shuffle for the model join itself
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex <= 2, s"expected <=2 hash exchanges (model agg + doc agg), " +
+      s"got $ex:\n$p")
+  }
+
   test("mm_chunks: window expansion is a map-side posexplode — zero " +
        "hash exchanges") {
     val p = plan(graft.ops.Multimodal.chunks(spark, sf))
