@@ -440,7 +440,52 @@ object Corpus {
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
 
+  /** Heavy-hitter n-grams above an absolute support floor, with a
+    * Count-Min-sketch prefilter — the frequency twin of
+    * Curation.bloomPrefilter's membership pruning, and the scale path
+    * for "which phrases dominate the corpus" (boilerplate detection,
+    * stop-phrase lists, template mining).
+    *
+    * Why the sketch: the exact answer needs a full groupBy over the
+    * gram stream — at 100 TB that shuffle carries billions of distinct
+    * grams, almost all FAR below the floor. The CMS (built
+    * distributively by the catalyst `count_min_sketch` aggregate, then
+    * shipped into the codegen'd [[graft.functions.CmsEstimate]] probe
+    * as a constant) drops sub-floor grams MAP-SIDE at the scan: CMS
+    * never under-counts, so every true heavy hitter survives the prune,
+    * and the exact count after the (now tiny) shuffle kills the
+    * over-estimate false positives. The sketch changes the dataflow,
+    * never the answer — the oracle is the plain exact aggregate, and
+    * ExtendedOpsSpec asserts prefiltered ≡ unfiltered. Support floor
+    * 32 is an absolute-count literal (shares are reported, not
+    * thresholded, so no engine ever compares a float). */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val minSupport = 32L
+    def grams = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))""".stripMargin))
+        .as("gram"))
+    // one distributed pass builds the sketch; totalCount rides along,
+    // so the share denominator costs no extra scan
+    val cms = grams.stat.countMinSketch("gram", 0.001, 0.99, 42)
+    val total = cms.totalCount().toDouble
+    grams
+      .filter(graft.functions.CmsEstimate.estimate(col("gram"), cms)
+        >= minSupport)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .withColumn("share",
+        round(col("n").cast("double") / lit(total) + 1e-9, 6))
+      .orderBy(col("gram"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters"     -> (cmsHeavyHitters _),
     "top_bigrams"       -> (topBigrams _),
     "global_sample"     -> (globalSample _),
     "colloc_lift"       -> (collocLift _),
@@ -485,6 +530,21 @@ object Corpus {
       |        < '33')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // plain exact aggregate — the sketch on the Spark side only prunes,
+    // the exact count decides, so the oracle needs no sketch at all
+    "heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |tot AS (SELECT COUNT(*)::DOUBLE AS total FROM g),
+        |c AS (SELECT gram, COUNT(*)::BIGINT AS n FROM g GROUP BY 1)
+        |SELECT gram, n, ROUND(n / tot.total + 1e-9, 6) AS share
+        |FROM c CROSS JOIN tot
+        |WHERE n >= 32 ORDER BY gram""".stripMargin,
     "top_bigrams" ->
       """WITH t AS (
         |  SELECT string_split_regex(text, '\s+') AS toks

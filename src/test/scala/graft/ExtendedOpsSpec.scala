@@ -12,6 +12,34 @@ class ExtendedOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("heavy_hitters: the CMS prefilter never changes the answer — " +
+       "result equals the plain exact aggregate, and the sketch never " +
+       "under-counts") {
+    import spark.implicits._
+    val out = Corpus.cmsHeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // independent exact recompute without any sketch
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .filter($"text".isNotNull).select($"text").as[String].collect()
+    val exact = docs.toSeq.flatMap(_.split("\\s+").toSeq.sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 32L).toMap
+    assert(out === exact, "sketch-pruned != exact heavy hitters")
+    // over-estimate property on a planted fixture: a gram at the floor
+    // survives, one below it is cut by the EXACT count even when the
+    // sketch lets it through
+    val planted = TestFixtures.writeDir(Map("documents" ->
+      (Seq.fill(32)((1L, "aa bb", "en", "s")) ++
+       Seq.fill(31)((2L, "cc dd", "en", "s")))
+        .zipWithIndex.map { case ((_, t, l, s), i) => (i.toLong, t, l, s) }
+        .toDF("doc_id", "text", "lang", "source")))
+    val pl = Corpus.cmsHeavyHitters(spark, planted).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pl === Map("aa bb" -> 32L),
+      "exactly the at-floor gram survives; 31 < 32 is cut")
+  }
+
   test("tfidf_topterms: exactly 3 terms per doc, scores non-increasing") {
     val rows = Corpus.tfidfTopTerms(spark, dir).collect()
     val perDoc = rows.groupBy(_.getLong(0))

@@ -310,6 +310,18 @@ class PlanSpec extends AnyFunSuite {
         "what the bloom exists to avoid")
   }
 
+  test("heavy_hitters: the CMS frequency probe prunes the gram stream " +
+       "MAP-SIDE — the filter sits below the aggregation exchange") {
+    val p = plan(Corpus.cmsHeavyHitters(spark, sf))
+    assert(p.contains("cms_estimate"),
+      "the sketch probe must prefilter the gram stream")
+    // top-down plan text: everything BELOW the hash exchange prints
+    // after it — the probe filter must be in that scan-side section
+    val parts = p.split("Exchange hashpartitioning", 2)
+    assert(parts.length === 2 && parts(1).contains("cms_estimate"),
+      s"cms probe must run before the shuffle, not after:\n$p")
+  }
+
   test("sql_lateral: the LIMITed correlated subquery decorrelates to " +
        "WindowGroupLimit — no per-row subquery execution survives") {
     val p = plan(Relational.sqlLateral(spark, sf))
