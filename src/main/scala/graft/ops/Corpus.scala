@@ -484,8 +484,91 @@ object Corpus {
       .orderBy(col("gram"))
   }
 
+  /** Zipf rank-frequency audit — fits ln(count) = intercept + slope ·
+    * ln(rank) over the TOP-1000 token ranks (a natural-text corpus sits
+    * near slope ≈ −1; template/boilerplate floods flatten the head,
+    * machine-generated gibberish steepens it — the one-row distribution
+    * sanity check next to dataset_card). The top-K cut is the scale
+    * bound: ranking happens on a ≤K-row relation (TakeOrdered then a
+    * window over it — the tokenEncode vocabulary doctrine), never a
+    * corpus-sized unpartitioned sort; the Zipf fit over the head ranks
+    * is the standard form of the measurement. OLS sums follow the
+    * lmScore float doctrine (ln on identical doubles, 4-dp rounding);
+    * everything before the ≤K-point regression is integer-exact. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val k = 1000
+    val top = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+    val pts = top.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("cnt").cast("double")).as("y"))
+    val n = col("n").cast("double")
+    pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_terms"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+              (n * col("sxx") - col("sx") * col("sx")) + 1e-9, 4)
+          .as("slope"),
+        round((col("sy") - (n * col("sxy") - col("sx") * col("sy")) /
+                (n * col("sxx") - col("sx") * col("sx")) * col("sx")) / n
+          + 1e-9, 4).as("intercept"),
+        round(((n * col("sxy") - col("sx") * col("sy")) *
+               (n * col("sxy") - col("sx") * col("sy"))) /
+              ((n * col("sxx") - col("sx") * col("sx")) *
+               (n * col("syy") - col("sy") * col("sy"))) + 1e-9, 4)
+          .as("r2"))
+  }
+
+  /** Vocabulary coverage curve — for budgets K ∈ {64, 256, 1024}, the
+    * fraction of token OCCURRENCES the top-K terms cover: the
+    * measurement that sizes token_encode's vocabulary cap (how much OOV
+    * a budget buys) and flags template corpora (tiny vocab covering
+    * everything). Pure integers end to end — occurrence sums and one
+    * integer÷integer division per row, so cross-engine parity is exact,
+    * not rounded-into-agreement. The ranking window runs over the
+    * ≤1024-row top relation (tokenEncode doctrine); the three budget
+    * sums fold into ONE aggregate pass; the total is a 1-row broadcast. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(1024)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+    val tot = counts.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("total_occurrences"))
+    val sums = top.agg(
+      sum(when(col("rank") <= 64, col("cnt")).otherwise(0L)).as("c64"),
+      sum(when(col("rank") <= 256, col("cnt")).otherwise(0L)).as("c256"),
+      sum(when(col("rank") <= 1024, col("cnt")).otherwise(0L)).as("c1024"),
+      sum(when(col("rank") <= 64, 1L).otherwise(0L)).as("n64"),
+      sum(when(col("rank") <= 256, 1L).otherwise(0L)).as("n256"),
+      sum(when(col("rank") <= 1024, 1L).otherwise(0L)).as("n1024"))
+    sums.crossJoin(broadcast(tot))
+      .select(expr(
+        """stack(3,
+          |  64L,   n64,   c64,
+          |  256L,  n256,  c256,
+          |  1024L, n1024, c1024) AS (k, n_terms, covered)""".stripMargin),
+        col("total_occurrences"))
+      .withColumn("coverage", round(
+        col("covered").cast("double") / col("total_occurrences") + 1e-9, 6))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitters"     -> (cmsHeavyHitters _),
+    "zipf_slope"        -> (zipfSlope _),
+    "vocab_coverage"    -> (vocabCoverage _),
     "top_bigrams"       -> (topBigrams _),
     "global_sample"     -> (globalSample _),
     "colloc_lift"       -> (collocLift _),
@@ -530,6 +613,63 @@ object Corpus {
       |        < '33')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "zipf_slope" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        |top AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        |  FROM c ORDER BY cnt DESC, term LIMIT 1000),
+        |p AS (
+        |  SELECT ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM top),
+        |s AS (
+        |  SELECT COUNT(*)::BIGINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        |  FROM p)
+        |SELECT n AS n_terms,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 4)
+        |    AS slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    + 1e-9, 4) AS intercept,
+        |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 4)
+        |    AS r2
+        |FROM s""".stripMargin,
+    "vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        |top AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        |  FROM c ORDER BY cnt DESC, term LIMIT 1024),
+        |tot AS (
+        |  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+        |    AS total_occurrences FROM c),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN rank <= 64 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS c64,
+        |    CAST(SUM(CASE WHEN rank <= 256 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS c256,
+        |    CAST(SUM(CASE WHEN rank <= 1024 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS c1024,
+        |    CAST(SUM(CASE WHEN rank <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n64,
+        |    CAST(SUM(CASE WHEN rank <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n256,
+        |    CAST(SUM(CASE WHEN rank <= 1024 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1024
+        |  FROM top)
+        |SELECT k, n_terms, covered, total_occurrences,
+        |  ROUND(covered::DOUBLE / total_occurrences + 1e-9, 6) AS coverage
+        |FROM (
+        |  SELECT 64::BIGINT AS k, n64 AS n_terms, c64 AS covered FROM s
+        |  UNION ALL SELECT 256::BIGINT, n256, c256 FROM s
+        |  UNION ALL SELECT 1024::BIGINT, n1024, c1024 FROM s) u
+        |CROSS JOIN tot
+        |ORDER BY k""".stripMargin,
     // plain exact aggregate — the sketch on the Spark side only prunes,
     // the exact count decides, so the oracle needs no sketch at all
     "heavy_hitters" ->

@@ -635,6 +635,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonicalization-gain audit — how many EXTRA exact duplicates a
+    * normalization pass (lowercase, strip non-alphanumerics, collapse
+    * whitespace — textClean's exact expression) exposes before hashing:
+    * the measurement that decides whether a dedup pipeline canonicalizes
+    * first (production corpora hide most near-identical recrawls behind
+    * case/punctuation jitter; if canon_distinct ≪ raw_distinct the
+    * answer is yes). One scan, two map-side digests per doc, one
+    * two-level distinct aggregate — only 16-byte digests ever leave the
+    * scan partition, and the output is a single audit row of pure
+    * integers (exact cross-engine parity) plus two integer-ratio rates. */
+  def canonDedupGain(spark: SparkSession, dir: String): DataFrame = {
+    val clean = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(md5(col("text").cast("binary")).as("h_raw"),
+              md5(clean.cast("binary")).as("h_canon"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h_raw")).as("raw_distinct"),
+        countDistinct(col("h_canon")).as("canon_distinct"))
+      .select(col("n_docs"), col("raw_distinct"), col("canon_distinct"),
+        (col("raw_distinct") - col("canon_distinct"))
+          .as("extra_dups_found"),
+        round((col("n_docs") - col("raw_distinct")).cast("double") /
+          col("n_docs") + 1e-9, 6).as("raw_dup_rate"),
+        round((col("n_docs") - col("canon_distinct")).cast("double") /
+          col("n_docs") + 1e-9, 6).as("canon_dup_rate"))
+  }
+
   /** Incremental NEAR-dup admission — the near-duplicate twin of
     * [[dedupIncremental]] (same fixture split: even doc_ids are the
     * corpus, odd the new batch): a new document is admitted only if no
@@ -846,6 +875,7 @@ object Dedup {
     "editdist_pairs" -> (editdistPairs _),
     "dedup_incremental" -> (dedupIncremental _),
     "neardup_incremental" -> (neardupIncremental _),
+    "canon_dedup_gain" -> (canonDedupGain _),
     "crossdoc_dedup" -> (crossdocDedup _),
     "intradoc_dedup" -> (intradocDedup _),
     "line_dedup"     -> (lineDedup _),
@@ -1070,6 +1100,22 @@ object Dedup {
     "minhash_pairs" ->
       (duckPairsCtes +
         "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
+    "canon_dedup_gain" ->
+      """WITH d AS (
+        |  SELECT md5(text) AS h_raw,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h_canon
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(DISTINCT h_raw)::BIGINT AS raw_distinct,
+        |  COUNT(DISTINCT h_canon)::BIGINT AS canon_distinct,
+        |  (COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_canon))::BIGINT
+        |    AS extra_dups_found,
+        |  ROUND((COUNT(*) - COUNT(DISTINCT h_raw))::DOUBLE / COUNT(*)
+        |    + 1e-9, 6) AS raw_dup_rate,
+        |  ROUND((COUNT(*) - COUNT(DISTINCT h_canon))::DOUBLE / COUNT(*)
+        |    + 1e-9, 6) AS canon_dup_rate
+        |FROM d""".stripMargin,
     // corpus = even doc_ids, batch = odd (dedup_incremental's split);
     // per-band corpus postings capped at 256 like the pairs oracle
     "neardup_incremental" ->

@@ -190,6 +190,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ids === Set(3L, 7L))
   }
 
+  test("canon_dedup_gain: case/punctuation jitter collapses under the " +
+       "canonical hash, genuinely distinct docs don't") {
+    val ddir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, "Hello, World!", "en", "s"),
+        (1L, "hello world", "en", "s"),     // canon-dup of 0
+        (2L, "hello   world", "en", "s"),   // whitespace jitter → same
+        (3L, "hello world", "en", "s"),     // RAW dup of 1
+        (4L, "something else", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val Array(r) = Dedup.canonDedupGain(spark, ddir).collect()
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === 4L, "raw: docs 1 and 3 share a hash")
+    assert(r.getLong(2) === 2L, "canon: {0,1,2,3} collapse, 4 stands")
+    assert(r.getLong(3) === 2L)
+    assert(r.getDouble(4) ===
+      BigDecimal(1.0 / 5 + 1e-9).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(5) ===
+      BigDecimal(3.0 / 5 + 1e-9).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("neardup_incremental: exact copy and lightly-edited recrawl are " +
        "rejected, fresh batch docs admitted") {
     val base = (1 to 40).map(i => f"token$i%02d").mkString(" ")

@@ -40,6 +40,55 @@ class ExtendedOpsSpec extends AnyFunSuite {
       "exactly the at-floor gram survives; 31 < 32 is cut")
   }
 
+  test("zipf_slope: naive OLS recompute over the rank-frequency head; " +
+       "a planted geometric series fits with high r2 and negative slope") {
+    import spark.implicits._
+    // counts 16/8/4/2/1 → ln-ln nearly linear, slope < 0
+    val text = (Seq.fill(16)("aa") ++ Seq.fill(8)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(2)("dd") ++ Seq("ee")).mkString(" ")
+    val d = TestFixtures.writeDir(Map("documents" ->
+      Seq((0L, text, "en", "s")).toDF("doc_id", "text", "lang", "source")))
+    val Array(row) = Corpus.zipfSlope(spark, d).collect()
+    val pts = Seq(16, 8, 4, 2, 1).zipWithIndex.map { case (c, i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    def r4(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getLong(0) === 5L)
+    assert(row.getDouble(1) === r4(slope))
+    assert(row.getDouble(2) === r4((sy - slope * sx) / n))
+    assert(row.getDouble(3) === r4(
+      (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))))
+    assert(row.getDouble(1) < 0, "rank-frequency slope must be negative")
+    assert(row.getDouble(3) > 0.9,
+      "a geometric series is near-log-linear (exact r2 pinned above)")
+  }
+
+  test("vocab_coverage: planted 70-term vocab — the 64 budget covers " +
+       "exactly the top-64 occurrence mass, larger budgets cover all") {
+    import spark.implicits._
+    // term i (1..70) appears (71 - i) times → total = 70*71/2 = 2485;
+    // top-64 misses terms 65..70 = counts 6+5+4+3+2+1 = 21
+    val text = (1 to 70).flatMap(i =>
+      Seq.fill(71 - i)(f"t$i%02d")).mkString(" ")
+    val d = TestFixtures.writeDir(Map("documents" ->
+      Seq((0L, text, "en", "s")).toDF("doc_id", "text", "lang", "source")))
+    val rows = Corpus.vocabCoverage(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(64L) === ((64L, 2485L - 21L, 2485L,
+      BigDecimal(2464.0 / 2485 + 1e-9).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(rows(256L) === ((70L, 2485L, 2485L, 1.0)))
+    assert(rows(1024L) === ((70L, 2485L, 2485L, 1.0)))
+  }
+
   test("tfidf_topterms: exactly 3 terms per doc, scores non-increasing") {
     val rows = Corpus.tfidfTopTerms(spark, dir).collect()
     val perDoc = rows.groupBy(_.getLong(0))
