@@ -459,10 +459,15 @@ object Corpus {
     * ExtendedOpsSpec asserts prefiltered ≡ unfiltered. Support floor
     * 32 is an absolute-count literal (shares are reported, not
     * thresholded, so no engine ever compares a float). */
-  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val minSupport = 32L
-    def grams = Tables.spread(Tables.t(spark, dir, "documents"))
-      .filter(col("text").isNotNull)
+  /** The heavy-hitter support floor — shared by the batch operator and
+    * its streaming twin so the two can never drift. */
+  private[graft] val HhMinSupport = 32L
+
+  /** Bigram stream shaping shared by the batch heavy-hitter pass and
+    * the streaming twin (EventStream.heavyHittersStream): identical
+    * filters and gram text, batch or unbounded input alike. */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .withColumn("toks", split(col("text"), "\\s+"))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -470,15 +475,26 @@ object Corpus {
           |  i -> concat(element_at(toks, i + 1), ' ',
           |              element_at(toks, i + 2)))""".stripMargin))
         .as("gram"))
+
+  /** The corpus Count-Min sketch — built distributively once over the
+    * batch corpus; for the streaming twin this is the PUBLISHED artifact
+    * of the offline run (the benchBloom deployment shape). */
+  private[graft] def corpusCms(spark: SparkSession, dir: String)
+      : org.apache.spark.util.sketch.CountMinSketch =
+    bigramsOf(Tables.spread(Tables.t(spark, dir, "documents")))
+      .stat.countMinSketch("gram", 0.001, 0.99, 42)
+
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    def grams = bigramsOf(Tables.spread(Tables.t(spark, dir, "documents")))
     // one distributed pass builds the sketch; totalCount rides along,
     // so the share denominator costs no extra scan
-    val cms = grams.stat.countMinSketch("gram", 0.001, 0.99, 42)
+    val cms = corpusCms(spark, dir)
     val total = cms.totalCount().toDouble
     grams
       .filter(graft.functions.CmsEstimate.estimate(col("gram"), cms)
-        >= minSupport)
+        >= HhMinSupport)
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
+      .filter(col("n") >= HhMinSupport)
       .withColumn("share",
         round(col("n").cast("double") / lit(total) + 1e-9, 6))
       .orderBy(col("gram"))

@@ -168,7 +168,13 @@ object StreamingBatch {
       "complete", "sq_decontaminate")
       .orderBy("doc_id")
 
+  def streamingHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.heavyHittersStream(spark, dir),
+      "complete", "sq_heavyhit")
+      .orderBy("gram")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_heavy_hitters" -> (streamingHeavyHitters _),
     "streaming_totals"        -> (streamingTotals _),
     "streaming_range_frame"   -> (streamingRangeFrame _),
     "streaming_quota"         -> (streamingQuota _),
@@ -181,6 +187,19 @@ object StreamingBatch {
     "streaming_decontaminate" -> (streamingDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    // complete-mode final table == the exact heavy-hitter counts: the
+    // CMS only prunes (never under-counts) and the exact >= floor
+    // filter decides, so batching and sketch layout can't change it
+    "streaming_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT gram, COUNT(*)::BIGINT AS n FROM g
+        |GROUP BY 1 HAVING COUNT(*) >= 32 ORDER BY gram""".stripMargin,
     // complete-mode final table == the plain batch aggregate
     "streaming_totals" ->
       """SELECT event_type,

