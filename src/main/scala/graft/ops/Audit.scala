@@ -232,7 +232,126 @@ object Audit {
     .map(k => s"(CASE WHEN o_totalprice > e$k THEN 1 ELSE 0 END)")
     .mkString(" + ")
 
+  /** k-anonymity audit over the customer table — the privacy gate a
+    * training-data release runs before shipping records keyed by quasi-
+    * identifiers. QI = (nation, market segment, 2000-wide account-balance
+    * band): every combination an adversary could plausibly know. The
+    * dataset's k-anonymity is the smallest equivalence-class size; the
+    * audit also reports how many ROWS sit in classes below the usual
+    * k ∈ {2, 5, 10} thresholds (those are the re-identifiable ones) and
+    * the k=5 risk in ppm — all integers, so cross-engine parity is exact
+    * by construction (the ppm is one half-away-from-zero rounding both
+    * engines share).
+    *
+    * Scale: one map-side-combinable groupBy onto the QI key — the shuffle
+    * carries ≤ |classes| groups per task — then a single 1-row aggregate
+    * over the Θ(classes) relation, unpivoted to a fixed 8-row report.
+    * Nothing row-level ever leaves the first aggregate. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "customer"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+               floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(sum(col("sz")).as("rows_total"),
+           count(lit(1)).as("classes_total"),
+           min(col("sz")).as("min_class_size"),
+           sum(when(col("sz") < 2, col("sz")).otherwise(0L))
+             .as("rows_k2_violating"),
+           sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+             .as("rows_k5_violating"),
+           sum(when(col("sz") < 10, col("sz")).otherwise(0L))
+             .as("rows_k10_violating"),
+           sum(when(col("sz") < 5, 1L).otherwise(0L))
+             .as("classes_k5_violating"))
+      .select(expr(
+        """stack(8,
+          |  'rows_total',          rows_total,
+          |  'classes_total',       classes_total,
+          |  'min_class_size',      min_class_size,
+          |  'rows_k2_violating',   rows_k2_violating,
+          |  'rows_k5_violating',   rows_k5_violating,
+          |  'rows_k10_violating',  rows_k10_violating,
+          |  'classes_k5_violating', classes_k5_violating,
+          |  'k5_risk_ppm', CAST(round(rows_k5_violating * 1e6 / rows_total)
+          |                      AS BIGINT)) AS (stat, value)
+          |""".stripMargin))
+      .orderBy(col("stat"))
+
+  /** l-diversity audit — k-anonymity's sibling: a class can be large (k
+    * safe) yet homogeneous in the SENSITIVE attribute, so membership
+    * alone reveals it (the homogeneity attack). QI here is (nation,
+    * balance band) — the k_anonymity QI minus the segment, which becomes
+    * the sensitive attribute; l = distinct sensitive values per class.
+    * Reported: class/row totals, min/max l, l=1 (homogeneous) classes
+    * and the rows they expose, and mean l in ppm — all integers (the ppm
+    * is one shared half-away-from-zero rounding).
+    *
+    * Scale: one two-level aggregate — groupBy the QI key with a distinct
+    * count inside (Spark expands to a two-phase partial distinct), then
+    * a 1-row aggregate over the Θ(classes) relation. Fixed 7-row report. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.t(spark, dir, "customer"))
+      .groupBy(col("c_nationkey"),
+               floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"),
+           countDistinct(col("c_mktsegment")).as("l"))
+      .agg(count(lit(1)).as("classes_total"),
+           sum(col("sz")).as("rows_total"),
+           min(col("l")).as("min_l"),
+           max(col("l")).as("max_l"),
+           sum(when(col("l") === 1, 1L).otherwise(0L)).as("classes_l1"),
+           sum(when(col("l") === 1, col("sz")).otherwise(0L))
+             .as("rows_l1"),
+           sum(col("l")).as("sum_l"))
+      .select(expr(
+        """stack(7,
+          |  'classes_total', classes_total,
+          |  'rows_total',    rows_total,
+          |  'min_l',         min_l,
+          |  'max_l',         max_l,
+          |  'classes_l1',    classes_l1,
+          |  'rows_l1',       rows_l1,
+          |  'mean_l_ppm',    CAST(round(sum_l * 1e6 / classes_total)
+          |                        AS BIGINT)) AS (stat, value)
+          |""".stripMargin))
+      .orderBy(col("stat"))
+
+  /** Join fan-out audit of the lineitem self-join on l_partkey — the
+    * edge build behind pagerank / frequent_pairs / triangles, and the
+    * first place a skewed key quietly turns Θ(N) into Θ(N²). Per key
+    * multiplicity c: how many keys, how many input rows they hold, and
+    * the c²·keys join rows they will emit; the per-row totals give the
+    * amplification factor the optimizer needs BEFORE running the join
+    * (Σc² is exactly the self-equi-join cardinality — pinned against
+    * the actual join in AuditSpec).
+    *
+    * Scale: two map-side-combinable aggregations (key → count, count →
+    * histogram); output is bounded by the max multiplicity, never the
+    * corpus; totals are a 1-row aggregate over that histogram broadcast
+    * back. The prediction itself never runs the join. */
+  def joinFanout(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.spread(Tables.t(spark, dir, "lineitem"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c").as("key_multiplicity"))
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("total_rows", col("key_multiplicity") * col("n_keys"))
+      .withColumn("pairs_contributed",
+        col("key_multiplicity") * col("key_multiplicity") * col("n_keys"))
+    val tot = hist.agg(
+      sum(col("total_rows")).as("input_rows"),
+      sum(col("pairs_contributed")).as("join_rows"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("key_multiplicity"), col("n_keys"), col("total_rows"),
+        col("pairs_contributed"), col("input_rows"), col("join_rows"),
+        round(col("join_rows").cast("double") / col("input_rows") + 1e-9, 4)
+          .as("amplification"))
+      .orderBy(col("key_multiplicity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_anonymity"     -> (kAnonymity _),
+    "l_diversity"     -> (lDiversity _),
+    "join_fanout"     -> (joinFanout _),
     "psi_drift"       -> (psiDrift _),
     "dq_checks"       -> (dqChecks _),
     "value_histogram" -> (valueHistogram _),
@@ -240,6 +359,89 @@ object Audit {
     "crosstab_assoc"  -> (crosstabAssoc _))
 
   val oracle: Map[String, String] = Map(
+    "l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey,
+        |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |         CAST(COUNT(*) AS BIGINT) AS sz,
+        |         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS classes_total,
+        |         CAST(SUM(sz) AS BIGINT) AS rows_total,
+        |         MIN(l) AS min_l, MAX(l) AS max_l,
+        |         CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS classes_l1,
+        |         CAST(SUM(CASE WHEN l = 1 THEN sz ELSE 0 END) AS BIGINT)
+        |           AS rows_l1,
+        |         CAST(SUM(l) AS BIGINT) AS sum_l
+        |  FROM cls)
+        |SELECT stat, value FROM (
+        |  SELECT 'classes_total' AS stat, classes_total AS value FROM a
+        |  UNION ALL SELECT 'rows_total', rows_total FROM a
+        |  UNION ALL SELECT 'min_l', min_l FROM a
+        |  UNION ALL SELECT 'max_l', max_l FROM a
+        |  UNION ALL SELECT 'classes_l1', classes_l1 FROM a
+        |  UNION ALL SELECT 'rows_l1', rows_l1 FROM a
+        |  UNION ALL SELECT 'mean_l_ppm',
+        |    CAST(round(sum_l * 1e6 / classes_total, 0) AS BIGINT) FROM a)
+        |ORDER BY stat""".stripMargin,
+    "join_fanout" ->
+      """WITH kc AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |hist AS (
+        |  SELECT c AS key_multiplicity,
+        |         CAST(COUNT(*) AS BIGINT) AS n_keys
+        |  FROM kc GROUP BY 1),
+        |h2 AS (
+        |  SELECT key_multiplicity, n_keys,
+        |         key_multiplicity * n_keys AS total_rows,
+        |         key_multiplicity * key_multiplicity * n_keys
+        |           AS pairs_contributed
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(SUM(total_rows) AS BIGINT) AS input_rows,
+        |         CAST(SUM(pairs_contributed) AS BIGINT) AS join_rows
+        |  FROM h2)
+        |SELECT key_multiplicity, n_keys, total_rows, pairs_contributed,
+        |  input_rows, join_rows,
+        |  ROUND(CAST(join_rows AS DOUBLE) / input_rows + 1e-9, 4)
+        |    AS amplification
+        |FROM h2 CROSS JOIN tot
+        |ORDER BY key_multiplicity""".stripMargin,
+    "k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |         CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT CAST(SUM(sz) AS BIGINT) AS rows_total,
+        |         CAST(COUNT(*) AS BIGINT) AS classes_total,
+        |         MIN(sz) AS min_class_size,
+        |         CAST(SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT)
+        |           AS rows_k2_violating,
+        |         CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |           AS rows_k5_violating,
+        |         CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |           AS rows_k10_violating,
+        |         CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS classes_k5_violating
+        |  FROM cls)
+        |SELECT stat, value FROM (
+        |  SELECT 'rows_total' AS stat, rows_total AS value FROM a
+        |  UNION ALL SELECT 'classes_total', classes_total FROM a
+        |  UNION ALL SELECT 'min_class_size', min_class_size FROM a
+        |  UNION ALL SELECT 'rows_k2_violating', rows_k2_violating FROM a
+        |  UNION ALL SELECT 'rows_k5_violating', rows_k5_violating FROM a
+        |  UNION ALL SELECT 'rows_k10_violating', rows_k10_violating FROM a
+        |  UNION ALL SELECT 'classes_k5_violating', classes_k5_violating
+        |    FROM a
+        |  UNION ALL SELECT 'k5_risk_ppm',
+        |    CAST(round(rows_k5_violating * 1e6 / rows_total, 0) AS BIGINT)
+        |    FROM a)
+        |ORDER BY stat""".stripMargin,
     "psi_drift" ->
       s"""WITH edges AS (
          |  SELECT quantile_cont(o_totalprice, 0.1) AS e1,

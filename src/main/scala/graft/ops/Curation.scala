@@ -915,7 +915,179 @@ object Curation {
     s"((d8 div $p) % 2) * ${1L << (2 * i)} + ((c8 div $p) % 2) * ${1L << (2 * i + 1)}"
   }.mkString(" + ")
 
+  /** Calibration audit (reliability table + expected calibration error)
+    * of a cheap length-based quality classifier against the rule
+    * ensemble's verdict — the check a pipeline runs before using a
+    * scalar "quality score" to THRESHOLD a corpus: a miscalibrated score
+    * silently shifts the retention rate. Confidence is a logistic over
+    * doc length (center 400 chars, scale 150 — spans the fixture's
+    * length range); the outcome is qualityEnsemble's keep bit, REUSED
+    * from the operator itself so classifier and referee can't drift.
+    *
+    * Parity: conf is rounded to 6 dp per doc before binning (bin
+    * membership can't flip on an exp() ulp); per-bin means average
+    * already-rounded values; ECE folds ≤10 products, rounded at 6 dp.
+    *
+    * Scale: one doc_id equi-join between two single-scan projections,
+    * then a map-side-combinable groupBy onto ≤10 bins; ECE is a second
+    * aggregate over the 10-row relation, broadcast back. */
+  def calibrationEce(spark: SparkSession, dir: String): DataFrame = {
+    val conf = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) +
+            exp((lit(400) - col("n_chars")).cast("double") / 150.0))
+          + 1e-9, 6).as("conf"))
+    val outcome = qualityEnsemble(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    val bins = conf.join(outcome, Seq("doc_id"))
+      .withColumn("bin",
+        least(floor(col("conf") * 10), lit(9.0)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("conf")), 6).as("mean_conf"),
+           round(avg(when(col("keep"), 1.0).otherwise(0.0)), 6)
+             .as("frac_keep"))
+      .withColumn("abs_gap",
+        round(abs(col("mean_conf") - col("frac_keep")) + 1e-9, 6))
+    val ece = bins.agg(
+      round(sum(col("n") * col("abs_gap")) / sum(col("n")) + 1e-9, 6)
+        .as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("mean_conf"), col("frac_keep"),
+              col("abs_gap"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
+  /** Sequence-length budget planning: for each candidate max-seq-len,
+    * how many docs fit untruncated and what fraction of the corpus's
+    * tokens survive truncation — the measurement that sizes a training
+    * run's context window (too short throws tokens away; too long pays
+    * padding, which padding_audit prices). Budgets are powers of two
+    * spanning the fixture's length range; the operator shape (multi-
+    * budget conditional sums in ONE aggregate pass) is what scales, not
+    * the budget list.
+    *
+    * All counts are integers (exact parity); the two fractions are
+    * integer ratios under the +1e-9 decimal-tie doctrine. Scale: a
+    * single map-side-combinable aggregate over one scan — no joins, no
+    * windows — unpivoted to a fixed 4-row report. */
+  def seqlenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budgets = Seq(32L, 64L, 128L, 256L)
+    val base = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+    val measures = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("total_toks")) ++
+      budgets.flatMap { b =>
+        Seq(sum(when(col("n_toks") <= b, 1L).otherwise(0L)).as(s"fit_$b"),
+            sum(least(col("n_toks"), lit(b))).as(s"kept_$b"))
+      }
+    val stacked = budgets.map(b =>
+      s"CAST($b AS BIGINT), fit_$b, kept_$b").mkString(",\n  ")
+    base.agg(measures.head, measures.tail: _*)
+      .select(
+        expr(s"stack(${budgets.size},\n  $stacked) " +
+             "AS (budget, n_docs_fit, toks_kept)"),
+        col("n_docs"), col("total_toks"))
+      .select(col("budget"), col("n_docs_fit"), col("toks_kept"),
+        round(col("n_docs_fit").cast("double") / col("n_docs") + 1e-9, 6)
+          .as("frac_docs_fit"),
+        round(col("toks_kept").cast("double") / col("total_toks") + 1e-9, 6)
+          .as("frac_toks_kept"))
+      .orderBy(col("budget"))
+  }
+
+  /** Inter-judge agreement (Cohen's kappa) between two independent
+    * quality filters — the rule ensemble's keep bit vs a length-threshold
+    * classifier (calibration_ece's logistic at its 0.5 point, i.e.
+    * n_chars ≥ 400, kept integer-exact). Raw agreement overstates
+    * reliability when both judges mostly say "keep"; kappa subtracts the
+    * chance-agreement floor, which is the number a labeling pipeline
+    * quotes before trusting a cheap filter as a stand-in for the
+    * expensive one.
+    *
+    * Parity: po and pe come from INTEGER confusion counts with exactly
+    * one division each (pe's numerator is the integer Σ_v nA_v·nB_v —
+    * never a sum of per-class quotients whose fold order could differ);
+    * the degenerate no-variation case (pe = 1) reports kappa 0 by
+    * convention instead of dividing by zero, in both engines.
+    *
+    * Scale: judging is map-side; the only shuffle is a groupBy onto ≤4
+    * confusion cells with map-side partials; marginals and kappa run
+    * over that relation. One audit row out at any corpus size. */
+  def kappaAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val ens = qualityEnsemble(spark, dir)
+      .select(col("doc_id"), col("keep").as("pred_a"))
+    val len = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("n_chars") >= 400).as("pred_b"))
+    val conf = ens.join(len, Seq("doc_id"))
+      .groupBy(col("pred_a"), col("pred_b"))
+      .agg(count(lit(1)).as("n"))
+    val stats = conf.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("pred_a") === col("pred_b"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val peNum = conf.groupBy(col("pred_a").as("v"))
+      .agg(sum(col("n")).as("na"))
+      .join(conf.groupBy(col("pred_b").as("v"))
+              .agg(sum(col("n")).as("nb")), Seq("v"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    val po = col("n_agree").cast("double") / col("n_docs")
+    val pe = col("pe_num").cast("double") /
+      (col("n_docs") * col("n_docs"))
+    stats.crossJoin(peNum)
+      .select(col("n_docs"), col("n_agree"),
+        round(po + 1e-9, 6).as("po"),
+        round(pe + 1e-9, 6).as("pe"),
+        round(when(pe === 1.0, lit(0.0))
+                .otherwise((po - pe) / (lit(1.0) - pe)) + 1e-9, 6)
+          .as("kappa"))
+  }
+
+  /** Curriculum schedule: docs ranked by a difficulty proxy (token
+    * count — the standard short-to-long curriculum) and cut into four
+    * difficulty tiers, each reporting its size, token mass, length
+    * range, and mean quality-rule pass count — the table a curriculum
+    * trainer consumes as its epoch order (tier = epoch).
+    *
+    * Scale: the global ranking rides `Relational.distributedRank`
+    * (range-bucketed parallel sorts + a P-row offset broadcast — never
+    * a single-task unpartitioned window over a corpus-sized relation);
+    * `ntileFromRank` derives exact ANSI NTILE(4) from the global rank,
+    * which is what the oracle's plain NTILE computes. Mean quality is
+    * an exact integer ratio (sum/count, one division both engines).
+    * The tier aggregate is map-side-combinable onto 4 groups. */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+    val n = docs.count()
+    val ranked = Relational.distributedRank(
+      docs, "n_toks", asc = true,
+      Seq(col("n_toks"), col("doc_id")), "rnk")
+      .withColumn("tier", Relational.ntileFromRank(col("rnk"), n, 4))
+    ranked
+      .join(qualityEnsemble(spark, dir)
+              .select(col("doc_id"), col("n_passed")), Seq("doc_id"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("total_toks"),
+           min(col("n_toks")).as("min_toks"),
+           max(col("n_toks")).as("max_toks"),
+           round(sum(col("n_passed")).cast("double") / count(lit(1))
+             + 1e-9, 6).as("mean_quality"))
+      .orderBy(col("tier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curriculum_schedule" -> (curriculumSchedule _),
+    "calibration_ece"  -> (calibrationEce _),
+    "kappa_agreement"  -> (kappaAgreement _),
+    "seqlen_budget"    -> (seqlenBudget _),
     "source_temperature" -> (sourceTemperature _),
     "zorder_layout"    -> (zorderLayout _),
     "negative_pairs"   -> (negativePairs _),
@@ -965,6 +1137,41 @@ object Curation {
       |        THEN 1 ELSE 0 END) AS tainted
       |  FROM labels l LEFT JOIN direct d ON l.doc_id = d.doc_id
       |  GROUP BY 1)""".stripMargin
+
+  /** Shared oracle CTE chain for the quality-filter rule stack (signals
+    * + per-rule verdicts) — single source for the quality_ensemble and
+    * calibration_ece oracles, so a threshold change edits one string. */
+  private val duckQualityCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (
+      |  SELECT doc_id,
+      |    len(toks)::BIGINT AS n_toks,
+      |    ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)),
+      |        'sum') AS DOUBLE) / len(toks) + 1e-9, 4) AS mean_tok_len,
+      |    ROUND(len(list_filter(toks,
+      |        x -> x IN ('the', 'a', 'of', 'and')))::DOUBLE
+      |      / len(toks) + 1e-9, 4) AS stop_frac,
+      |    ROUND(len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+      |      / len(text) + 1e-9, 4) AS digit_frac,
+      |    ROUND(CASE WHEN len(toks) >= 2 THEN
+      |        (len(list_transform(range(1, len(toks)),
+      |            i -> toks[i] || ' ' || toks[i + 1]))
+      |         - len(list_distinct(list_transform(range(1, len(toks)),
+      |            i -> toks[i] || ' ' || toks[i + 1]))))::DOUBLE
+      |        / len(list_transform(range(1, len(toks)),
+      |            i -> toks[i] || ' ' || toks[i + 1]))
+      |      ELSE 0.0 END + 1e-9, 4) AS dup_bigram_frac
+      |  FROM t),
+      |r AS (
+      |  SELECT *,
+      |    (n_toks >= 30) AS r_len,
+      |    (mean_tok_len >= 3.0 AND mean_tok_len <= 5.0) AS r_wordlen,
+      |    (stop_frac >= 0.02) AS r_stop,
+      |    (digit_frac <= 0.2) AS r_digit,
+      |    (dup_bigram_frac <= 0.1) AS r_rep
+      |  FROM s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "quantile_norm" ->
@@ -1247,36 +1454,7 @@ object Curation {
         |    PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
     "quality_ensemble" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |s AS (
-        |  SELECT doc_id,
-        |    len(toks)::BIGINT AS n_toks,
-        |    ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)),
-        |        'sum') AS DOUBLE) / len(toks) + 1e-9, 4) AS mean_tok_len,
-        |    ROUND(len(list_filter(toks,
-        |        x -> x IN ('the', 'a', 'of', 'and')))::DOUBLE
-        |      / len(toks) + 1e-9, 4) AS stop_frac,
-        |    ROUND(len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-        |      / len(text) + 1e-9, 4) AS digit_frac,
-        |    ROUND(CASE WHEN len(toks) >= 2 THEN
-        |        (len(list_transform(range(1, len(toks)),
-        |            i -> toks[i] || ' ' || toks[i + 1]))
-        |         - len(list_distinct(list_transform(range(1, len(toks)),
-        |            i -> toks[i] || ' ' || toks[i + 1]))))::DOUBLE
-        |        / len(list_transform(range(1, len(toks)),
-        |            i -> toks[i] || ' ' || toks[i + 1]))
-        |      ELSE 0.0 END + 1e-9, 4) AS dup_bigram_frac
-        |  FROM t),
-        |r AS (
-        |  SELECT *,
-        |    (n_toks >= 30) AS r_len,
-        |    (mean_tok_len >= 3.0 AND mean_tok_len <= 5.0) AS r_wordlen,
-        |    (stop_frac >= 0.02) AS r_stop,
-        |    (digit_frac <= 0.2) AS r_digit,
-        |    (dup_bigram_frac <= 0.1) AS r_rep
-        |  FROM s)
+      s"""$duckQualityCtes
         |SELECT doc_id, n_toks, mean_tok_len, stop_frac, digit_frac,
         |  dup_bigram_frac, r_len, r_wordlen, r_stop, r_digit, r_rep,
         |  (CASE WHEN r_len THEN 1 ELSE 0 END
@@ -1286,6 +1464,124 @@ object Curation {
         |   + CASE WHEN r_rep THEN 1 ELSE 0 END)::BIGINT AS n_passed,
         |  (r_len AND r_wordlen AND r_stop AND r_digit AND r_rep) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "calibration_ece" ->
+      s"""$duckQualityCtes,
+        |k AS (
+        |  SELECT doc_id, (r_len AND r_wordlen AND r_stop AND r_digit
+        |                  AND r_rep) AS keep
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id,
+        |    ROUND(1.0 / (1.0 + exp((400 - n_chars) / 150.0)) + 1e-9, 6)
+        |      AS conf
+        |  FROM documents WHERE text IS NOT NULL),
+        |j AS (
+        |  SELECT c.conf, k.keep,
+        |    CAST(least(floor(c.conf * 10), 9) AS BIGINT) AS bin
+        |  FROM c JOIN k USING (doc_id)),
+        |bins AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROUND(AVG(conf), 6) AS mean_conf,
+        |    ROUND(AVG(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6)
+        |      AS frac_keep
+        |  FROM j GROUP BY 1),
+        |b2 AS (
+        |  SELECT *, ROUND(abs(mean_conf - frac_keep) + 1e-9, 6) AS abs_gap
+        |  FROM bins),
+        |e AS (
+        |  SELECT ROUND(SUM(n * abs_gap) / SUM(n) + 1e-9, 6) AS ece
+        |  FROM b2)
+        |SELECT bin, n, mean_conf, frac_keep, abs_gap, ece
+        |FROM b2 CROSS JOIN e ORDER BY bin""".stripMargin,
+    "curriculum_schedule" ->
+      s"""$duckQualityCtes,
+        |np AS (
+        |  SELECT doc_id, n_toks,
+        |    (CASE WHEN r_len THEN 1 ELSE 0 END
+        |     + CASE WHEN r_wordlen THEN 1 ELSE 0 END
+        |     + CASE WHEN r_stop THEN 1 ELSE 0 END
+        |     + CASE WHEN r_digit THEN 1 ELSE 0 END
+        |     + CASE WHEN r_rep THEN 1 ELSE 0 END)::BIGINT AS n_passed
+        |  FROM r),
+        |nt AS (
+        |  SELECT doc_id, n_toks, n_passed,
+        |    CAST(NTILE(4) OVER (ORDER BY n_toks, doc_id) AS BIGINT)
+        |      AS tier
+        |  FROM np)
+        |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+        |  MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks,
+        |  ROUND(CAST(SUM(n_passed) AS DOUBLE) / COUNT(*) + 1e-9, 6)
+        |    AS mean_quality
+        |FROM nt GROUP BY tier ORDER BY tier""".stripMargin,
+    "kappa_agreement" ->
+      s"""$duckQualityCtes,
+        |ka AS (
+        |  SELECT doc_id, (r_len AND r_wordlen AND r_stop AND r_digit
+        |                  AND r_rep) AS pred_a
+        |  FROM r),
+        |kb AS (
+        |  SELECT doc_id, (n_chars >= 400) AS pred_b
+        |  FROM documents WHERE text IS NOT NULL),
+        |conf AS (
+        |  SELECT pred_a, pred_b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ka JOIN kb USING (doc_id) GROUP BY 1, 2),
+        |st AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN pred_a = pred_b THEN n ELSE 0 END)
+        |         AS BIGINT) AS n_agree
+        |  FROM conf),
+        |pn AS (
+        |  SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS pe_num
+        |  FROM (SELECT pred_a AS v, SUM(n) AS na FROM conf GROUP BY 1) x
+        |  JOIN (SELECT pred_b AS v, SUM(n) AS nb FROM conf GROUP BY 1) y
+        |    USING (v))
+        |SELECT n_docs, n_agree,
+        |  ROUND(CAST(n_agree AS DOUBLE) / n_docs + 1e-9, 6) AS po,
+        |  ROUND(CAST(pe_num AS DOUBLE) / (n_docs * n_docs) + 1e-9, 6)
+        |    AS pe,
+        |  ROUND(CASE
+        |      WHEN CAST(pe_num AS DOUBLE) / (n_docs * n_docs) = 1.0
+        |        THEN 0.0
+        |      ELSE (CAST(n_agree AS DOUBLE) / n_docs
+        |            - CAST(pe_num AS DOUBLE) / (n_docs * n_docs))
+        |           / (1.0 - CAST(pe_num AS DOUBLE) / (n_docs * n_docs))
+        |      END + 1e-9, 6) AS kappa
+        |FROM st CROSS JOIN pn""".stripMargin,
+    "seqlen_budget" ->
+      """WITH t AS (
+        |  SELECT len(string_split_regex(text, '\s+'))::BIGINT AS n_toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+        |         CAST(SUM(CASE WHEN n_toks <= 32 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS fit_32,
+        |         CAST(SUM(least(n_toks, 32)) AS BIGINT) AS kept_32,
+        |         CAST(SUM(CASE WHEN n_toks <= 64 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS fit_64,
+        |         CAST(SUM(least(n_toks, 64)) AS BIGINT) AS kept_64,
+        |         CAST(SUM(CASE WHEN n_toks <= 128 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS fit_128,
+        |         CAST(SUM(least(n_toks, 128)) AS BIGINT) AS kept_128,
+        |         CAST(SUM(CASE WHEN n_toks <= 256 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS fit_256,
+        |         CAST(SUM(least(n_toks, 256)) AS BIGINT) AS kept_256
+        |  FROM t)
+        |SELECT budget, n_docs_fit, toks_kept,
+        |  ROUND(CAST(n_docs_fit AS DOUBLE) / n_docs + 1e-9, 6)
+        |    AS frac_docs_fit,
+        |  ROUND(CAST(toks_kept AS DOUBLE) / total_toks + 1e-9, 6)
+        |    AS frac_toks_kept
+        |FROM (
+        |  SELECT CAST(32 AS BIGINT) AS budget, fit_32 AS n_docs_fit,
+        |         kept_32 AS toks_kept, n_docs, total_toks FROM a
+        |  UNION ALL SELECT 64, fit_64, kept_64, n_docs, total_toks FROM a
+        |  UNION ALL SELECT 128, fit_128, kept_128, n_docs, total_toks
+        |    FROM a
+        |  UNION ALL SELECT 256, fit_256, kept_256, n_docs, total_toks
+        |    FROM a)
+        |ORDER BY budget""".stripMargin,
     "importance_resample" ->
       """WITH t AS (
         |  SELECT doc_id, (doc_id % 50 = 0) AS is_target,

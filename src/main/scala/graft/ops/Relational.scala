@@ -587,7 +587,7 @@ object Relational {
     * definition both Spark and DuckDB implement. Computing it from the
     * distributed rank keeps quintile scoring off the single-task
     * unpartitioned-window path. */
-  private def ntileFromRank(rn: Column, n: Long, k: Int): Column = {
+  private[ops] def ntileFromRank(rn: Column, n: Long, k: Int): Column = {
     val q = n / k
     val r = n % k
     when(rn <= r * (q + 1),

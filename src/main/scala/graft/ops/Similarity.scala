@@ -493,7 +493,112 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Retrieval-quality evaluation of the LSH ANN tier against the exact
+    * brute-force ground truth: NDCG@5 and MRR per probe query — the pair
+    * a retrieval pipeline publishes alongside ann_recall's set-overlap
+    * recall (recall says HOW MANY true neighbors came back; NDCG/MRR say
+    * whether they came back IN THE RIGHT ORDER, which is what the
+    * downstream RAG context window actually consumes).
+    *
+    * Graded relevance derives from the exact ranking (rel = 6 − true
+    * rank ∈ {5..1}); an ANN result outside the truth list scores 0.
+    * Both rankings are on the 6-dp-rounded cosine with id tie-break (the
+    * reproducibility doctrine of every similarity ranking here), so both
+    * engines rank identically; the DCG folds are ≤5 identically-derived
+    * doubles, rounded at 6 dp.
+    *
+    * Scale: truth is the broadcast-probe brute force (topKBrute's shape,
+    * |Q|·|C| map-side dot products, no corpus shuffle); ANN candidates
+    * meet through the sign-bucket hash join; metric math runs over the
+    * |Q|·k joined rank lists — Θ(|Q|·k), never the corpus. */
+  def annNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val truth = topKBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("t_rnk"),
+              (lit(6) - col("rnk")).cast("double").as("rel"))
+
+    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+              signBucket(col("embedding"), bits).as("bucket"))
+    val ann = rankTopK(
+      e.filter(col("vec_id") < 10)
+        .select(col("bucket"), col("vec_id").as("query_id"),
+                col("embedding").as("q_emb"))
+        .join(e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+                       col("embedding").as("n_emb")), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
+      k)
+
+    val scored = ann.as("a")
+      .join(truth.as("t"),
+        col("a.query_id") === col("t.query_id") &&
+          col("a.neighbor_id") === col("t.neighbor_id"), "left")
+      .select(col("a.query_id").as("query_id"), col("a.rnk"),
+              coalesce(col("t.rel"), lit(0.0)).as("rel"))
+    val annAgg = scored.groupBy(col("query_id"))
+      .agg(sum(col("rel") / log2(col("rnk") + 1)).as("dcg"),
+           sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit"),
+           max(when(col("rel") > 0, lit(1.0) / col("rnk"))).as("mrr"))
+    // ideal DCG from the truth list itself — a query with a short truth
+    // list (corpus < k+1) is normalized against its own best ordering
+    val ideal = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+           sum(col("rel") / log2(col("t_rnk") + 1)).as("idcg"))
+    ideal.join(annAgg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg") + 1e-9, 6)
+          .as("ndcg"),
+        round(coalesce(col("mrr"), lit(0.0)) + 1e-9, 6).as("mrr"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Embedding-distribution drift audit between two ingestion batches
+    * (even vec_ids = reference batch, odd = new batch — the snapshot_diff
+    * doctrine of deterministic batch labels): per-dimension mean shift
+    * with the top-10 most-drifted dimensions reported, plus the cosine
+    * between the two batch centroids — the early-warning signal that an
+    * embedding-model upgrade or a source-mix change moved the vector
+    * space out from under a trained ANN index / classifier.
+    *
+    * Parity: per-dim means are rounded to 6 dp FIRST (the kmeansAssign
+    * centroid doctrine), and the centroid cosine is computed from those
+    * rounded means in both engines, so the only cross-engine freedom is
+    * the avg's summation-order ulp, absorbed by the rounding.
+    *
+    * Scale: one posexplode scan into a (dim)-keyed partial aggregate —
+    * Θ(dim) groups at any corpus size; the centroid cosine is a second
+    * aggregate over the dim-row relation; top-10 is TakeOrdered on the
+    * rounded shift with a position tie-break. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(((col("vec_id") % 2) === 1).as("is_new"),
+              (col("pos") + 1).cast("long").as("dim"),
+              col("col").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(round(avg(when(!col("is_new"), col("v"))), 6).as("mean_old"),
+           round(avg(when(col("is_new"), col("v"))), 6).as("mean_new"))
+      .withColumn("shift",
+        round(abs(col("mean_new") - col("mean_old")) + 1e-9, 6))
+    val centroidCos = dims.agg(
+      round(sum(col("mean_old") * col("mean_new")) /
+        (sqrt(sum(col("mean_old") * col("mean_old"))) *
+         sqrt(sum(col("mean_new") * col("mean_new")))) + 1e-9, 6)
+        .as("centroid_cos"))
+    dims.orderBy(col("shift").desc, col("dim")).limit(10)
+      .crossJoin(broadcast(centroidCos))
+      .select(col("dim"), col("mean_old"), col("mean_new"), col("shift"),
+              col("centroid_cos"))
+      .orderBy(col("shift").desc, col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ndcg"       -> (annNdcg _),
+    "embed_drift"    -> (embedDrift _),
     "embedding_quantize" -> (embeddingQuantize _),
     "vector_stats"   -> (vectorStats _),
     "sparse_cosine"  -> (sparseCosine _),
@@ -773,6 +878,78 @@ object Similarity {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
          |  FROM r) WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "ann_ndcg" ->
+      s"""WITH b AS (
+         |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "c.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id
+         |  WHERE a.vec_id < 10),
+         |tr AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |    AS BIGINT) AS t_rnk
+         |  FROM b),
+         |truth AS (
+         |  SELECT query_id, neighbor_id, t_rnk,
+         |         CAST(6 - t_rnk AS DOUBLE) AS rel
+         |  FROM tr WHERE t_rnk <= 5),
+         |e AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "c.embedding")} AS sim
+         |  FROM e a JOIN e c ON a.bucket = c.bucket
+         |  WHERE a.vec_id <> c.vec_id AND a.vec_id < 10),
+         |ar AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |    AS BIGINT) AS rnk
+         |  FROM p),
+         |sc AS (
+         |  SELECT ann.query_id, ann.rnk, COALESCE(truth.rel, 0.0) AS rel
+         |  FROM (SELECT * FROM ar WHERE rnk <= 5) ann
+         |  LEFT JOIN truth ON ann.query_id = truth.query_id
+         |               AND ann.neighbor_id = truth.neighbor_id),
+         |ag AS (
+         |  SELECT query_id,
+         |    SUM(rel / log2(rnk + 1)) AS dcg,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hit,
+         |    MAX(CASE WHEN rel > 0 THEN 1.0 / rnk END) AS mrr
+         |  FROM sc GROUP BY query_id),
+         |ideal AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |         SUM(rel / log2(t_rnk + 1)) AS idcg
+         |  FROM truth GROUP BY query_id)
+         |SELECT ideal.query_id, n_truth,
+         |  COALESCE(n_hit, 0) AS n_hit,
+         |  ROUND(COALESCE(dcg, 0.0) / idcg + 1e-9, 6) AS ndcg,
+         |  ROUND(COALESCE(mrr, 0.0) + 1e-9, 6) AS mrr
+         |FROM ideal LEFT JOIN ag ON ideal.query_id = ag.query_id
+         |ORDER BY ideal.query_id""".stripMargin,
+    "embed_drift" ->
+      """WITH x AS (
+        |  SELECT (vec_id % 2 = 1) AS is_new,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT dim,
+        |    ROUND(AVG(CASE WHEN NOT is_new THEN v END), 6) AS mean_old,
+        |    ROUND(AVG(CASE WHEN is_new THEN v END), 6) AS mean_new
+        |  FROM x GROUP BY dim),
+        |d2 AS (
+        |  SELECT *, ROUND(abs(mean_new - mean_old) + 1e-9, 6) AS shift
+        |  FROM dims),
+        |cc AS (
+        |  SELECT ROUND(SUM(mean_old * mean_new) /
+        |    (sqrt(SUM(mean_old * mean_old)) *
+        |     sqrt(SUM(mean_new * mean_new))) + 1e-9, 6) AS centroid_cos
+        |  FROM d2)
+        |SELECT dim, mean_old, mean_new, shift, centroid_cos
+        |FROM d2 CROSS JOIN cc
+        |ORDER BY shift DESC, dim LIMIT 10""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $duckBucket AS bucket

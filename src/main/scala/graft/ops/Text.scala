@@ -57,17 +57,20 @@ object Text {
           .as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Marker lists for langId, factored for reuse by future labelers. */
+  private[ops] val LangMarkers = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+
   /** N-gram/stopword-heuristic language ID: per-language marker-token hit
     * counts, argmax with a fixed priority order (deterministic, SQL-
     * expressible in the oracle). Marker lists are tiny — the operator shape
     * (score fan-out + argmax) is what scales, not the lists. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val markers = Seq(
-      "en" -> Seq("the", "a", "of", "and"),
-      "de" -> Seq("der", "die", "und", "ist"),
-      "es" -> Seq("el", "la", "los", "que"),
-      "fr" -> Seq("le", "les", "des", "est"),
-      "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+    val markers = LangMarkers
     val base = Tables.spread(Tables.t(spark, dir, "documents"))
       .withColumn("toks", tokens(col("text")))
     val scored = markers.foldLeft(base) { case (d, (l, ws)) =>

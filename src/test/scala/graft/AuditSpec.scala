@@ -135,4 +135,58 @@ class AuditSpec extends AnyFunSuite {
       assert(psi >= -1e-9, s"bin $bin psi $psi")
     }
   }
+
+  test("k_anonymity: every stat recomputes exactly from the QI class " +
+       "sizes, and the k-threshold rows nest") {
+    val sizes = Tables.t(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+               floor(col("c_acctbal") / 2000).cast("long"))
+      .count().collect().map(_.getLong(3))
+    val m = Audit.kAnonymity(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("rows_total") === sizes.sum)
+    assert(m("classes_total") === sizes.length.toLong)
+    assert(m("min_class_size") === sizes.min)
+    assert(m("rows_k2_violating") === sizes.filter(_ < 2).sum)
+    assert(m("rows_k5_violating") === sizes.filter(_ < 5).sum)
+    assert(m("rows_k10_violating") === sizes.filter(_ < 10).sum)
+    assert(m("classes_k5_violating") === sizes.count(_ < 5).toLong)
+    assert(m("k5_risk_ppm") ===
+      math.round(m("rows_k5_violating") * 1e6 / m("rows_total")))
+    assert(m("rows_k2_violating") <= m("rows_k5_violating"))
+    assert(m("rows_k5_violating") <= m("rows_k10_violating"))
+  }
+
+  test("l_diversity: stats recompute exactly from the per-class " +
+       "distinct-sensitive counts") {
+    val cls = Tables.t(spark, dir, "customer").collect()
+      .map(r => ((r.getInt(2), math.floor(r.getDouble(3) / 2000).toLong),
+                 r.getString(4)))
+      .groupBy(_._1).values
+      .map(v => (v.size.toLong, v.map(_._2).distinct.size.toLong)).toSeq
+    val m = Audit.lDiversity(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("classes_total") === cls.size.toLong)
+    assert(m("rows_total") === cls.map(_._1).sum)
+    assert(m("min_l") === cls.map(_._2).min)
+    assert(m("max_l") === cls.map(_._2).max)
+    assert(m("classes_l1") === cls.count(_._2 == 1).toLong)
+    assert(m("rows_l1") === cls.filter(_._2 == 1).map(_._1).sum)
+    assert(m("mean_l_ppm") ===
+      math.round(cls.map(_._2).sum * 1e6 / cls.size))
+  }
+
+  test("join_fanout: the predicted Σc² equals the ACTUAL self-join " +
+       "cardinality, and the histogram conserves the input") {
+    val rows = Audit.joinFanout(spark, dir).collect()
+    val li = Tables.t(spark, dir, "lineitem").select(col("l_partkey"))
+    val actual = li.as("a").join(li.as("b"), "l_partkey").count()
+    val predicted = rows.head.getLong(5)
+    assert(predicted === actual, "Σc² must equal the real join size")
+    assert(rows.map(_.getLong(2)).sum === li.count(), "input conservation")
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1))
+      assert(r.getLong(3) === r.getLong(0) * r.getLong(0) * r.getLong(1))
+    }
+  }
 }

@@ -623,4 +623,105 @@ class CurationSpec extends AnyFunSuite {
       (5L, 1L, 2L, 0L, 0.0),
       (7L, 1L, 2L, 2L, 1.0)))
   }
+
+  test("calibration_ece: bins conserve the corpus, each gap recomputes " +
+       "from its own row, and ece is the n-weighted gap mean") {
+    val rows = Curation.calibrationEce(spark, dir).collect()
+    val nDocs = Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "bin conservation")
+    val bins = rows.map(_.getLong(0)).toSeq
+    assert(bins === bins.sorted && bins.forall(b => b >= 0 && b <= 9))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) -
+        math.abs(r.getDouble(2) - r.getDouble(3))) < 2e-6, "abs_gap")
+    }
+    val ece = rows.map(r => r.getLong(1) * r.getDouble(4)).sum /
+      rows.map(_.getLong(1)).sum
+    rows.foreach(r => assert(math.abs(r.getDouble(5) - ece) < 2e-6, "ece"))
+  }
+
+  test("kappa_agreement: po/pe/kappa recompute from the two judges' " +
+       "outputs; a no-variation fixture reports kappa 0 by convention") {
+    val r = Curation.kappaAgreement(spark, dir).collect().head
+    val keep = Curation.qualityEnsemble(spark, dir)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    val lenJ = Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("n_chars") >= 400).as("b")).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    val n = keep.size.toLong
+    val agree = keep.count { case (id, a) => lenJ(id) == a }.toLong
+    val peNum = Seq(true, false).map(v =>
+      keep.values.count(_ == v).toLong * lenJ.values.count(_ == v)).sum
+    val po = agree.toDouble / n
+    val pe = peNum.toDouble / (n * n)
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === agree)
+    assert(math.abs(r.getDouble(2) - po) < 1e-6)
+    assert(math.abs(r.getDouble(3) - pe) < 1e-6)
+    assert(math.abs(r.getDouble(4) - (po - pe) / (1 - pe)) < 1e-6)
+
+    val degDir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (1L, "tiny text", "en", "web", 9L),
+        (2L, "also tiny", "en", "web", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")))
+    val dr = Curation.kappaAgreement(spark, degDir).collect().head
+    assert(dr.getDouble(3) === 1.0, "degenerate pe")
+    assert(dr.getDouble(4) === 0.0, "degenerate kappa convention")
+  }
+
+  test("curriculum_schedule: tiers reproduce a naive ANSI NTILE over " +
+       "(n_toks, doc_id), and tier length ranges are non-overlapping " +
+       "and ascending") {
+    val toks = Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+      .sortBy { case (id, n) => (n, id) }
+    val n = toks.length
+    val q = n / 4; val r = n % 4
+    val tierOf = (rank: Int) => // ANSI NTILE: first r tiers get q+1 rows
+      if (rank <= r * (q + 1)) (rank - 1) / (q + 1) + 1
+      else r + (rank - 1 - r * (q + 1)) / q + 1
+    val naive = toks.zipWithIndex
+      .map { case ((_, nt), i) => (tierOf(i + 1).toLong, nt) }
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum,
+                       v.map(_._2).min, v.map(_._2).max)).toMap
+    val rows = Curation.curriculumSchedule(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    rows.foreach { row =>
+      val (nd, tt, mn, mx) = naive(row.getLong(0))
+      assert(row.getLong(1) === nd, s"tier ${row.getLong(0)} size")
+      assert(row.getLong(2) === tt, s"tier ${row.getLong(0)} tokens")
+      assert(row.getLong(3) === mn)
+      assert(row.getLong(4) === mx)
+    }
+    // short-to-long curriculum: rank order makes token counts
+    // non-decreasing across tiers, so ranges may touch but never invert
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(3), "tier ranges must ascend")
+    }
+  }
+
+  test("seqlen_budget: exact naive recompute per budget, and coverage " +
+       "fractions are monotone in the budget") {
+    val toks = Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), "\\s+"))).collect()
+      .map(_.getInt(0).toLong)
+    val rows = Curation.seqlenBudget(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(32L, 64L, 128L, 256L))
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) === toks.count(_ <= b).toLong, s"fit@$b")
+      assert(r.getLong(2) === toks.map(math.min(_, b)).sum, s"kept@$b")
+    }
+    val fd = rows.map(_.getDouble(3)).toSeq
+    val ft = rows.map(_.getDouble(4)).toSeq
+    assert(fd === fd.sorted && ft === ft.sorted, "monotone coverage")
+  }
 }

@@ -389,6 +389,89 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("jaro_winkler"))
   }
 
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ann_ndcg: naive per-query NDCG/MRR recompute matches, and a " +
+       "perfect ANN ranking scores exactly 1") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top5(cands: Iterable[Long], q: Long): Seq[Long] =
+      cands.filter(_ != q).toSeq
+        .map(n => (r6(cos(emb(q), emb(n))), n))
+        .sortBy { case (s, n) => (-s, n) }.take(5).map(_._2)
+    val bits = Similarity.adaptiveBits(emb.size.toLong)
+    def bucket(v: Array[Float]): String =
+      (0 until bits).map(i => if (v(i) >= 0) '1' else '0').mkString
+    val log2 = math.log(2)
+
+    val rows = Similarity.annNdcg(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 10L))
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val truth = top5(emb.keys, q)
+      val rel = truth.zipWithIndex
+        .map { case (n, i) => n -> (5 - i).toDouble }.toMap
+      val ann = top5(
+        emb.keys.filter(n => bucket(emb(n)) == bucket(emb(q))), q)
+      val dcg = ann.zipWithIndex.map { case (n, i) =>
+        rel.getOrElse(n, 0.0) / (math.log(i + 2) / log2) }.sum
+      val idcg = truth.zipWithIndex.map { case (n, i) =>
+        rel(n) / (math.log(i + 2) / log2) }.sum
+      val hits = ann.zipWithIndex.filter { case (n, _) => rel.contains(n) }
+      val mrr =
+        hits.headOption.map { case (_, i) => 1.0 / (i + 1) }.getOrElse(0.0)
+      assert(r.getLong(1) === truth.size.toLong, s"n_truth q=$q")
+      assert(r.getLong(2) === hits.size.toLong, s"n_hit q=$q")
+      assert(math.abs(r.getDouble(3) - dcg / idcg) < 1e-5, s"ndcg q=$q")
+      assert(math.abs(r.getDouble(4) - mrr) < 1e-5, s"mrr q=$q")
+      if (ann == truth)
+        assert(math.abs(r.getDouble(3) - 1.0) < 1e-6,
+          s"identical ranking must score ndcg 1 (q=$q)")
+    }
+  }
+
+  test("embed_drift: per-dim means, shift ranking, and centroid cosine " +
+       "recompute from the raw vectors") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dim = vecs.head._2.length
+    val olds = vecs.filter(_._1 % 2 == 0).map(_._2)
+    val news = vecs.filter(_._1 % 2 == 1).map(_._2)
+    def meanAt(vs: Array[Array[Float]], d: Int): Double =
+      r6(vs.map(_(d).toDouble).sum / vs.length)
+    val dims = (0 until dim).map { d =>
+      val mo = meanAt(olds, d); val mn = meanAt(news, d)
+      (d + 1L, mo, mn, r6(math.abs(mn - mo) + 1e-9))
+    }
+    val cc = r6(dims.map(t => t._2 * t._3).sum /
+      (math.sqrt(dims.map(t => t._2 * t._2).sum) *
+       math.sqrt(dims.map(t => t._3 * t._3).sum)) + 1e-9)
+    val expTop = dims.sortBy(t => (-t._4, t._1)).take(10)
+
+    val rows = Similarity.embedDrift(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.zip(expTop).foreach { case (r, (d, mo, mn, sh)) =>
+      assert(r.getLong(0) === d, "drift dim selection")
+      assert(math.abs(r.getDouble(1) - mo) < 2e-6)
+      assert(math.abs(r.getDouble(2) - mn) < 2e-6)
+      assert(math.abs(r.getDouble(3) - sh) < 2e-6)
+      assert(math.abs(r.getDouble(4) - cc) < 2e-6)
+    }
+  }
+
   test("linkage_verify: planted near-identical pair scores high, " +
        "unrelated candidate scores lower") {
     // three docs land in one LSH bucket only if minhash agrees; instead
