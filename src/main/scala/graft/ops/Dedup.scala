@@ -868,7 +868,42 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-source duplication matrix — which source PAIRS share near-dup
+    * clusters (the provenance question behind every mixing decision: a
+    * source that mostly mirrors another adds weight, not information,
+    * and double-counts whatever the mixing schedule gives both). The
+    * diagonal (a = a, requiring ≥2 docs of that source in one cluster)
+    * is intra-source duplication; off-diagonal cells are cross-source
+    * contamination.
+    *
+    * Scale: one doc_id key join of the staged label table against the
+    * source column, a map-side-combinable (cluster, source) aggregate —
+    * ≤ |sources| rows per cluster — then a cluster-keyed self-join of
+    * that Θ(clusters·sources) relation (fan-out ≤ |sources|² per
+    * cluster) into a Θ(|sources|²) final matrix. Nothing row-level
+    * crosses the second shuffle, and the lineage is staged once per
+    * session (materializeOnce), shared with every other label consumer. */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val cs = stagedLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(Tables.t(spark, dir, "documents")
+              .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("m"))
+    cs.as("a")
+      .join(cs.as("b"), col("a.cluster_id") === col("b.cluster_id") &&
+        (col("a.source") < col("b.source") ||
+         (col("a.source") === col("b.source") && col("a.m") >= 2)))
+      .groupBy(col("a.source").as("source_a"),
+               col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("a.m") + when(col("a.source") === col("b.source"),
+             lit(0L)).otherwise(col("b.m"))).as("n_docs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> (dedupCrossSource _),
     "linkage_verify"     -> (linkageVerify _),
     "minhash_est_error"  -> (minhashEstError _),
     "dedup_survivorship" -> (survivorship _),
@@ -1243,6 +1278,24 @@ object Dedup {
           |SELECT id AS doc_id, min(r) AS cluster_id,
           |       (min(r) = id) AS is_canonical
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    "dedup_cross_source" ->
+      (duckReachCtes +
+        """,
+          |labels AS (
+          |  SELECT id AS doc_id, MIN(r) AS cluster_id
+          |  FROM reach GROUP BY id),
+          |cs AS (
+          |  SELECT l.cluster_id, d.source, CAST(COUNT(*) AS BIGINT) AS m
+          |  FROM labels l JOIN documents d USING (doc_id)
+          |  GROUP BY 1, 2)
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          |  CAST(SUM(a.m + CASE WHEN a.source = b.source THEN 0
+          |                      ELSE b.m END) AS BIGINT) AS n_docs
+          |FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id
+          |  AND (a.source < b.source
+          |       OR (a.source = b.source AND a.m >= 2))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "embed_neardup" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $duckSignBucket AS bucket

@@ -298,4 +298,30 @@ class DedupSpec extends AnyFunSuite {
     assert(gold === want)
     assert(gold.nonEmpty, "fixture must contain near-dup merge groups")
   }
+
+  test("dedup_cross_source: matrix recomputes from the cluster labels " +
+       "and the source column, diagonal requires two docs of a source") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val labels = Dedup.stagedLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cs = labels.toSeq.map { case (d, c) => (c, src(d)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .toSeq.map { case ((c, s), m) => (c, s, m) }
+    val want = (for {
+      (c1, sa, ma) <- cs; (c2, sb, mb) <- cs
+      if c1 == c2 && (sa < sb || (sa == sb && ma >= 2))
+    } yield ((sa, sb), if (sa == sb) ma else ma + mb))
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val got = Dedup.dedupCrossSource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === want)
+    assert(got.nonEmpty, "fixture plants duplicates; matrix expected")
+  }
 }
