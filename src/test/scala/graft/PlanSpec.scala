@@ -543,6 +543,46 @@ class PlanSpec extends AnyFunSuite {
       "first-seen must combine map-side before the gram shuffle")
   }
 
+  test("curriculum_schedule: ranking rides the bucket-partitioned " +
+       "distributed rank — no unpartitioned row_number over the corpus") {
+    val p = plan(Curation.curriculumSchedule(spark, sf))
+    assert(!p.contains("windowspecdefinition(") ||
+      !p.split("\n").exists(l => l.contains("windowspecdefinition(") &&
+        !l.contains("_bkt")),
+      "every window must be partitioned by the rank bucket")
+    assert(p.contains("BroadcastHashJoin"),
+      "the P-row offset table must broadcast back")
+  }
+
+  test("join_fanout: the prediction never executes the self-join — no " +
+       "join operator at all, totals broadcast back") {
+    val p = plan(graft.ops.Audit.joinFanout(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "fan-out prediction must not run the join it prices")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"),
+      "the 1-row totals must come back as a broadcast")
+  }
+
+  test("k_anonymity / l_diversity: one QI shuffle each — the rollup " +
+       "runs over the class relation, never a second corpus scan") {
+    for (df <- Seq(graft.ops.Audit.kAnonymity(spark, sf),
+                   graft.ops.Audit.lDiversity(spark, sf))) {
+      val p = plan(df)
+      val scans = "FileScan".r.findAllIn(p).length
+      assert(scans === 1, s"expected a single customer scan, got $scans")
+    }
+  }
+
+  test("calibration_ece: the 1-row ece aggregate joins back as a " +
+       "broadcast, never a shuffle join") {
+    val p = plan(Curation.calibrationEce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "ece must broadcast onto the 10-row bin table")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join in a 10-row " +
+      "cross join")
+  }
+
   test("mm_dedup: only 16-byte digests shuffle — the payload column " +
        "never crosses the exchange") {
     val p = plan(graft.ops.Multimodal.payloadDedup(spark, sf))
