@@ -420,26 +420,13 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  /** One-pass quality-filter ensemble — the production filter STACK
-    * (FineWeb/Gopher-style rule sets: length, mean word length, stopword
-    * presence, digit density, bigram repetition) evaluated as a single
-    * map-side pass with every rule verdict kept for auditability. The
-    * point of the operator is the SHAPE: five signals that separately
-    * would be five jobs (text_quality, repetition_stats, …) fold into
-    * one projection — every signal is array-local (higher-order
-    * functions over the token array; no explode, no groupBy, no join),
-    * so the whole gate runs at scan speed and composes with partition
-    * pruning at 100 TB. Per-rule flags + pass count make the drop
-    * REASON queryable (the audit a curation run must publish); keep
-    * requires all five.
-    *
-    * Float doctrine: every signal is a ratio of integers — exact double
-    * division in both engines, no transcendental on data values — and
-    * every threshold compares the ROUNDED signal to a literal, so rule
-    * membership cannot flip on a ulp. */
-  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+  /** The ensemble's signal + rule chain on any documents-shaped relation
+    * — factored so the batch operator and its streaming twin run ONE
+    * definition (the heavy-hitters gram-shaping doctrine: twins that
+    * recompute rules independently drift). Entirely map-side. */
+  private[graft] def qualityVerdicts(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
-    Tables.spread(Tables.t(spark, dir, "documents"))
+    docs
       .filter(col("text").isNotNull)
       .withColumn("toks", toks)
       .withColumn("n_toks", size(col("toks")).cast("long"))
@@ -472,12 +459,32 @@ object Curation {
         (Seq("r_len", "r_wordlen", "r_stop", "r_digit", "r_rep")
           .map(r => when(col(r), 1L).otherwise(0L)).reduce(_ + _)))
       .withColumn("keep", col("n_passed") === 5)
+  }
+
+  /** One-pass quality-filter ensemble — the production filter STACK
+    * (FineWeb/Gopher-style rule sets: length, mean word length, stopword
+    * presence, digit density, bigram repetition) evaluated as a single
+    * map-side pass with every rule verdict kept for auditability. The
+    * point of the operator is the SHAPE: five signals that separately
+    * would be five jobs (text_quality, repetition_stats, …) fold into
+    * one projection — every signal is array-local (higher-order
+    * functions over the token array; no explode, no groupBy, no join),
+    * so the whole gate runs at scan speed and composes with partition
+    * pruning at 100 TB. Per-rule flags + pass count make the drop
+    * REASON queryable (the audit a curation run must publish); keep
+    * requires all five.
+    *
+    * Float doctrine: every signal is a ratio of integers — exact double
+    * division in both engines, no transcendental on data values — and
+    * every threshold compares the ROUNDED signal to a literal, so rule
+    * membership cannot flip on a ulp. */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame =
+    qualityVerdicts(Tables.spread(Tables.t(spark, dir, "documents")))
       .select(col("doc_id"), col("n_toks"), col("mean_tok_len"),
         col("stop_frac"), col("digit_frac"), col("dup_bigram_frac"),
         col("r_len"), col("r_wordlen"), col("r_stop"), col("r_digit"),
         col("r_rep"), col("n_passed"), col("keep"))
       .orderBy(col("doc_id"))
-  }
 
   /** Deterministic stratified train/val/test split: every document gets
     * a split label from a seeded hash of (lang | doc_id), thresholded at
@@ -1141,7 +1148,7 @@ object Curation {
   /** Shared oracle CTE chain for the quality-filter rule stack (signals
     * + per-rule verdicts) — single source for the quality_ensemble and
     * calibration_ece oracles, so a threshold change edits one string. */
-  private val duckQualityCtes: String =
+  private[graft] val duckQualityCtes: String =
     """WITH t AS (
       |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
       |  FROM documents WHERE text IS NOT NULL),

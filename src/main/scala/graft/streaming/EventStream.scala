@@ -465,6 +465,21 @@ object EventStream {
     * pruned; the final ≥ floor filter on the EXACT count kills the
     * over-estimate admissions, making the final table equal the batch
     * operator bit-for-bit regardless of batching. */
+  /** Streaming quality-filter admission tallies (12th twin): the rule
+    * ensemble runs map-side on each arriving document — the five signals
+    * are array-local, so the filter itself is STATELESS and runs at
+    * ingest speed — and the complete-mode counter keeps one row per pass
+    * count. State is Θ(6) rows at any stream length; the final table
+    * equals the batch ensemble's rollup bit-for-bit because each doc's
+    * verdict is deterministic (the SHARED Curation.qualityVerdicts
+    * chain — twins that recompute rules independently drift) and counts
+    * are arrival-order-independent. */
+  def qualityStream(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.qualityVerdicts(readDocuments(spark, dir))
+      .groupBy(col("n_passed"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+
   def heavyHittersStream(spark: SparkSession, dir: String): DataFrame = {
     val cms = graft.ops.Corpus.corpusCms(spark, dir)
     graft.ops.Corpus.bigramsOf(readDocuments(spark, dir))

@@ -173,7 +173,13 @@ object StreamingBatch {
       "complete", "sq_heavyhit")
       .orderBy("gram")
 
+  def streamingQuality(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.qualityStream(spark, dir),
+      "complete", "sq_quality")
+      .orderBy("n_passed")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_quality"       -> (streamingQuality _),
     "streaming_heavy_hitters" -> (streamingHeavyHitters _),
     "streaming_totals"        -> (streamingTotals _),
     "streaming_range_frame"   -> (streamingRangeFrame _),
@@ -190,6 +196,23 @@ object StreamingBatch {
     // complete-mode final table == the exact heavy-hitter counts: the
     // CMS only prunes (never under-counts) and the exact >= floor
     // filter decides, so batching and sketch layout can't change it
+    // complete-mode final table == the batch rule-ensemble rollup: each
+    // doc's verdict is deterministic (shared qualityVerdicts chain) and
+    // the per-pass-count tallies are arrival-order-independent
+    "streaming_quality" ->
+      (graft.ops.Curation.duckQualityCtes +
+        """,
+          |np AS (
+          |  SELECT (CASE WHEN r_len THEN 1 ELSE 0 END
+          |        + CASE WHEN r_wordlen THEN 1 ELSE 0 END
+          |        + CASE WHEN r_stop THEN 1 ELSE 0 END
+          |        + CASE WHEN r_digit THEN 1 ELSE 0 END
+          |        + CASE WHEN r_rep THEN 1 ELSE 0 END)::BIGINT AS n_passed
+          |  FROM r)
+          |SELECT n_passed, COUNT(*)::BIGINT AS n_docs,
+          |  SUM(CASE WHEN n_passed = 5 THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_kept
+          |FROM np GROUP BY 1 ORDER BY 1""".stripMargin),
     "streaming_heavy_hitters" ->
       """WITH t AS (
         |  SELECT string_split_regex(text, '\s+') AS toks

@@ -190,6 +190,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming quality: final tallies equal the batch ensemble " +
+       "rollup (shared verdict chain, stateless map + Θ(6)-row state)") {
+    val streamed = graft.streaming.StreamingBatch
+      .streamingQuality(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.ops.Curation
+      .qualityEnsemble(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(11), r.getBoolean(12)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.count(_._2).toLong)).toMap
+    assert(streamed === batch,
+      "the streaming twin must reproduce the batch rollup exactly")
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (np, (nd, nk)) =>
+      assert(nk === (if (np == 5) nd else 0L), "keep ⇔ all five rules")
+    }
+  }
+
   test("complete-mode running totals equal the batch aggregate after " +
        "the last batch") {
     val dir = "/root/testdata/sf0.001"
