@@ -66,12 +66,20 @@ object Tables {
     * scan yields ONE input split and expression-heavy operators (md5
     * shingling, regex token stats, cosine math) run single-threaded. A
     * round-robin repartition of the raw rows is a few MB of shuffle and
-    * unlocks full parallelism. At 100 TB the source is many splits and the
-    * file scan parallelizes naturally — this helper is then a cheap no-op
-    * to drop, and it never changes results (no keyed semantics attached).
-    */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * unlocks full parallelism.
+    *
+    * CONDITIONAL by design: at 100 TB the file scan already yields
+    * thousands of byte-ranged splits, and an unconditional
+    * `repartition(defaultParallelism)` there would be a full shuffle of
+    * the corpus that REDUCES parallelism — the one line that turns a
+    * scan-speed operator into a cluster-wide reshuffle. The probe reads
+    * only the scan's partitioning metadata (no job runs), and the helper
+    * never changes results (no keyed semantics attached; every output is
+    * proven layout-independent by PartitionInvarianceSpec). */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** Mirrors raw_gdp_growth / raw_unemployment (database.py:31-55). */
   val rawIndicatorSchema: StructType = StructType(Seq(
