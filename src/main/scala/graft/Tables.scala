@@ -72,13 +72,21 @@ object Tables {
     * thousands of byte-ranged splits, and an unconditional
     * `repartition(defaultParallelism)` there would be a full shuffle of
     * the corpus that REDUCES parallelism — the one line that turns a
-    * scan-speed operator into a cluster-wide reshuffle. The probe reads
-    * only the scan's partitioning metadata (no job runs), and the helper
-    * never changes results (no keyed semantics attached; every output is
-    * proven layout-independent by PartitionInvarianceSpec). */
+    * scan-speed operator into a cluster-wide reshuffle.
+    *
+    * The width probe is `inputFiles` — file-index metadata, so no job can
+    * run (an `.rdd`-based probe would eagerly materialize upstream
+    * shuffle stages under AQE if the input ever carried an exchange).
+    * File count is a LOWER bound on scan splits (large files split
+    * further by byte range), so the check can only err toward the
+    * previously-unconditional repartition, never toward
+    * under-parallelizing. Results never change (no keyed semantics
+    * attached; every output is proven layout-independent by
+    * PartitionInvarianceSpec). */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (files >= p) df else df.repartition(p)
   }
 
   /** Mirrors raw_gdp_growth / raw_unemployment (database.py:31-55). */

@@ -328,7 +328,11 @@ object Audit {
     * Scale: two map-side-combinable aggregations (key → count, count →
     * histogram); output is bounded by the max multiplicity, never the
     * corpus; totals are a 1-row aggregate over that histogram broadcast
-    * back. The prediction itself never runs the join. */
+    * back. The prediction itself never runs the join. The quadratic
+    * columns (c²·keys and their sum) are DOUBLE: a BIGINT c² overflows
+    * ANSI-loudly at exactly the hot-key inputs the audit exists to
+    * flag, while the double stays exact below 2^53 pairs and degrades
+    * to magnitude (which is all a >9e18-pair warning needs) above. */
   def joinFanout(spark: SparkSession, dir: String): DataFrame = {
     val hist = Tables.spread(Tables.t(spark, dir, "lineitem"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
@@ -336,14 +340,15 @@ object Audit {
       .agg(count(lit(1)).as("n_keys"))
       .withColumn("total_rows", col("key_multiplicity") * col("n_keys"))
       .withColumn("pairs_contributed",
-        col("key_multiplicity") * col("key_multiplicity") * col("n_keys"))
+        col("key_multiplicity").cast("double") *
+          col("key_multiplicity") * col("n_keys"))
     val tot = hist.agg(
       sum(col("total_rows")).as("input_rows"),
       sum(col("pairs_contributed")).as("join_rows"))
     hist.crossJoin(broadcast(tot))
       .select(col("key_multiplicity"), col("n_keys"), col("total_rows"),
         col("pairs_contributed"), col("input_rows"), col("join_rows"),
-        round(col("join_rows").cast("double") / col("input_rows") + 1e-9, 4)
+        round(col("join_rows") / col("input_rows") + 1e-9, 4)
           .as("amplification"))
       .orderBy(col("key_multiplicity"))
   }
@@ -397,17 +402,16 @@ object Audit {
         |h2 AS (
         |  SELECT key_multiplicity, n_keys,
         |         key_multiplicity * n_keys AS total_rows,
-        |         key_multiplicity * key_multiplicity * n_keys
-        |           AS pairs_contributed
+        |         CAST(key_multiplicity AS DOUBLE) * key_multiplicity
+        |           * n_keys AS pairs_contributed
         |  FROM hist),
         |tot AS (
         |  SELECT CAST(SUM(total_rows) AS BIGINT) AS input_rows,
-        |         CAST(SUM(pairs_contributed) AS BIGINT) AS join_rows
+        |         SUM(pairs_contributed) AS join_rows
         |  FROM h2)
         |SELECT key_multiplicity, n_keys, total_rows, pairs_contributed,
         |  input_rows, join_rows,
-        |  ROUND(CAST(join_rows AS DOUBLE) / input_rows + 1e-9, 4)
-        |    AS amplification
+        |  ROUND(join_rows / input_rows + 1e-9, 4) AS amplification
         |FROM h2 CROSS JOIN tot
         |ORDER BY key_multiplicity""".stripMargin,
     "k_anonymity" ->

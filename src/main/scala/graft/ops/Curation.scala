@@ -922,6 +922,12 @@ object Curation {
     s"((d8 div $p) % 2) * ${1L << (2 * i)} + ((c8 div $p) % 2) * ${1L << (2 * i + 1)}"
   }.mkString(" + ")
 
+  /** Center (chars) of the length-logistic quality classifier — shared
+    * by calibrationEce (logistic center) and kappaAgreement (the
+    * logistic's 0.5 point as a threshold) and interpolated into both
+    * oracles, so retuning the classifier edits exactly one number. */
+  private[graft] val QualityConfCenter = 400
+
   /** Calibration audit (reliability table + expected calibration error)
     * of a cheap length-based quality classifier against the rule
     * ensemble's verdict — the check a pipeline runs before using a
@@ -943,7 +949,8 @@ object Curation {
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) +
-            exp((lit(400) - col("n_chars")).cast("double") / 150.0))
+            exp((lit(QualityConfCenter) - col("n_chars"))
+              .cast("double") / 150.0))
           + 1e-9, 6).as("conf"))
     val outcome = qualityEnsemble(spark, dir)
       .select(col("doc_id"), col("keep"))
@@ -1016,9 +1023,12 @@ object Curation {
     * expensive one.
     *
     * Parity: po and pe come from INTEGER confusion counts with exactly
-    * one division each (pe's numerator is the integer Σ_v nA_v·nB_v —
-    * never a sum of per-class quotients whose fold order could differ);
-    * the degenerate no-variation case (pe = 1) reports kappa 0 by
+    * one division each — pe's numerator is Σ_v nA_v·nB_v with the
+    * marginals promoted to DOUBLE before the product (a BIGINT n²
+    * would overflow ANSI-loudly at ~3e9 docs; the IEEE product and the
+    * ≤2-term commutative sum are bit-identical in both engines) —
+    * never a sum of per-class quotients whose fold order could differ.
+    * The degenerate no-variation case (pe = 1) reports kappa 0 by
     * convention instead of dividing by zero, in both engines.
     *
     * Scale: judging is map-side; the only shuffle is a groupBy onto ≤4
@@ -1029,7 +1039,8 @@ object Curation {
       .select(col("doc_id"), col("keep").as("pred_a"))
     val len = Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), (col("n_chars") >= 400).as("pred_b"))
+      .select(col("doc_id"),
+              (col("n_chars") >= QualityConfCenter).as("pred_b"))
     val conf = ens.join(len, Seq("doc_id"))
       .groupBy(col("pred_a"), col("pred_b"))
       .agg(count(lit(1)).as("n"))
@@ -1041,10 +1052,11 @@ object Curation {
       .agg(sum(col("n")).as("na"))
       .join(conf.groupBy(col("pred_b").as("v"))
               .agg(sum(col("n")).as("nb")), Seq("v"))
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+      .agg(coalesce(sum(col("na").cast("double") * col("nb")), lit(0.0))
+        .as("pe_num"))
     val po = col("n_agree").cast("double") / col("n_docs")
-    val pe = col("pe_num").cast("double") /
-      (col("n_docs") * col("n_docs"))
+    val pe = col("pe_num") /
+      (col("n_docs").cast("double") * col("n_docs"))
     stats.crossJoin(peNum)
       .select(col("n_docs"), col("n_agree"),
         round(po + 1e-9, 6).as("po"),
@@ -1479,7 +1491,8 @@ object Curation {
         |  FROM r),
         |c AS (
         |  SELECT doc_id,
-        |    ROUND(1.0 / (1.0 + exp((400 - n_chars) / 150.0)) + 1e-9, 6)
+        |    ROUND(1.0 / (1.0 + exp(($QualityConfCenter - n_chars)
+        |                            / 150.0)) + 1e-9, 6)
         |      AS conf
         |  FROM documents WHERE text IS NOT NULL),
         |j AS (
@@ -1528,7 +1541,7 @@ object Curation {
         |                  AND r_rep) AS pred_a
         |  FROM r),
         |kb AS (
-        |  SELECT doc_id, (n_chars >= 400) AS pred_b
+        |  SELECT doc_id, (n_chars >= $QualityConfCenter) AS pred_b
         |  FROM documents WHERE text IS NOT NULL),
         |conf AS (
         |  SELECT pred_a, pred_b, CAST(COUNT(*) AS BIGINT) AS n
@@ -1539,20 +1552,20 @@ object Curation {
         |         AS BIGINT) AS n_agree
         |  FROM conf),
         |pn AS (
-        |  SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS pe_num
+        |  SELECT COALESCE(SUM(CAST(na AS DOUBLE) * nb), 0.0) AS pe_num
         |  FROM (SELECT pred_a AS v, SUM(n) AS na FROM conf GROUP BY 1) x
         |  JOIN (SELECT pred_b AS v, SUM(n) AS nb FROM conf GROUP BY 1) y
         |    USING (v))
         |SELECT n_docs, n_agree,
         |  ROUND(CAST(n_agree AS DOUBLE) / n_docs + 1e-9, 6) AS po,
-        |  ROUND(CAST(pe_num AS DOUBLE) / (n_docs * n_docs) + 1e-9, 6)
+        |  ROUND(pe_num / (CAST(n_docs AS DOUBLE) * n_docs) + 1e-9, 6)
         |    AS pe,
         |  ROUND(CASE
-        |      WHEN CAST(pe_num AS DOUBLE) / (n_docs * n_docs) = 1.0
+        |      WHEN pe_num / (CAST(n_docs AS DOUBLE) * n_docs) = 1.0
         |        THEN 0.0
         |      ELSE (CAST(n_agree AS DOUBLE) / n_docs
-        |            - CAST(pe_num AS DOUBLE) / (n_docs * n_docs))
-        |           / (1.0 - CAST(pe_num AS DOUBLE) / (n_docs * n_docs))
+        |            - pe_num / (CAST(n_docs AS DOUBLE) * n_docs))
+        |           / (1.0 - pe_num / (CAST(n_docs AS DOUBLE) * n_docs))
         |      END + 1e-9, 6) AS kappa
         |FROM st CROSS JOIN pn""".stripMargin,
     "seqlen_budget" ->

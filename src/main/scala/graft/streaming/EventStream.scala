@@ -451,20 +451,6 @@ object EventStream {
       .agg(count(lit(1)).as("n_hit"))
   }
 
-  /** Streaming heavy-hitter counter — the frequency twin of
-    * [[decontaminateVerifiedStream]]'s membership gate: the Count-Min
-    * sketch (the PUBLISHED artifact of the offline
-    * Corpus.cmsHeavyHitters run, riding into the stream as a codegen'd
-    * constant) prunes sub-floor grams MAP-SIDE before any state exists,
-    * and the complete-mode exact count decides. That prefilter is
-    * precisely what bounds a streaming counter's state: without it the
-    * aggregate holds one count per DISTINCT gram in the stream
-    * (unbounded on raw text); with it, state is Θ(true heavy hitters +
-    * sketch false positives) — the working set a dashboard must hold
-    * anyway. CMS never under-counts, so no true heavy hitter is ever
-    * pruned; the final ≥ floor filter on the EXACT count kills the
-    * over-estimate admissions, making the final table equal the batch
-    * operator bit-for-bit regardless of batching. */
   /** Streaming quality-filter admission tallies (12th twin): the rule
     * ensemble runs map-side on each arriving document — the five signals
     * are array-local, so the filter itself is STATELESS and runs at
@@ -480,6 +466,20 @@ object EventStream {
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
 
+  /** Streaming heavy-hitter counter — the frequency twin of
+    * [[decontaminateVerifiedStream]]'s membership gate: the Count-Min
+    * sketch (the PUBLISHED artifact of the offline
+    * Corpus.cmsHeavyHitters run, riding into the stream as a codegen'd
+    * constant) prunes sub-floor grams MAP-SIDE before any state exists,
+    * and the complete-mode exact count decides. That prefilter is
+    * precisely what bounds a streaming counter's state: without it the
+    * aggregate holds one count per DISTINCT gram in the stream
+    * (unbounded on raw text); with it, state is Θ(true heavy hitters +
+    * sketch false positives) — the working set a dashboard must hold
+    * anyway. CMS never under-counts, so no true heavy hitter is ever
+    * pruned; the final ≥ floor filter on the EXACT count kills the
+    * over-estimate admissions, making the final table equal the batch
+    * operator bit-for-bit regardless of batching. */
   def heavyHittersStream(spark: SparkSession, dir: String): DataFrame = {
     val cms = graft.ops.Corpus.corpusCms(spark, dir)
     graft.ops.Corpus.bigramsOf(readDocuments(spark, dir))

@@ -193,9 +193,6 @@ object StreamingBatch {
     "streaming_decontaminate" -> (streamingDecontaminate _))
 
   val oracle: Map[String, String] = Map(
-    // complete-mode final table == the exact heavy-hitter counts: the
-    // CMS only prunes (never under-counts) and the exact >= floor
-    // filter decides, so batching and sketch layout can't change it
     // complete-mode final table == the batch rule-ensemble rollup: each
     // doc's verdict is deterministic (shared qualityVerdicts chain) and
     // the per-pass-count tallies are arrival-order-independent
@@ -213,6 +210,9 @@ object StreamingBatch {
           |  SUM(CASE WHEN n_passed = 5 THEN 1 ELSE 0 END)::BIGINT
           |    AS n_kept
           |FROM np GROUP BY 1 ORDER BY 1""".stripMargin),
+    // complete-mode final table == the exact heavy-hitter counts: the
+    // CMS only prunes (never under-counts) and the exact >= floor
+    // filter decides, so batching and sketch layout can't change it
     "streaming_heavy_hitters" ->
       """WITH t AS (
         |  SELECT string_split_regex(text, '\s+') AS toks

@@ -181,12 +181,16 @@ class AuditSpec extends AnyFunSuite {
     val rows = Audit.joinFanout(spark, dir).collect()
     val li = Tables.t(spark, dir, "lineitem").select(col("l_partkey"))
     val actual = li.as("a").join(li.as("b"), "l_partkey").count()
-    val predicted = rows.head.getLong(5)
-    assert(predicted === actual, "Σc² must equal the real join size")
+    // the quadratic columns are DOUBLE (overflow-safe at hot keys) but
+    // exact below 2^53 pairs — so equality here is exact, not approx
+    val predicted = rows.head.getDouble(5)
+    assert(predicted === actual.toDouble,
+      "Σc² must equal the real join size")
     assert(rows.map(_.getLong(2)).sum === li.count(), "input conservation")
     rows.foreach { r =>
       assert(r.getLong(2) === r.getLong(0) * r.getLong(1))
-      assert(r.getLong(3) === r.getLong(0) * r.getLong(0) * r.getLong(1))
+      assert(r.getDouble(3) ===
+        (r.getLong(0) * r.getLong(0) * r.getLong(1)).toDouble)
     }
   }
 }
