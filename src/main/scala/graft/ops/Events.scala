@@ -818,7 +818,43 @@ object Events {
       .orderBy(col("dow"), col("hod"))
   }
 
+  /** Weekday seasonal decomposition of the per-type value series: each
+    * (event_type, day-of-week) cell's mean against the type's overall
+    * mean, plus a variance-explained seasonality strength
+    * (1 − within-dow variance / total variance — the ANOVA identity,
+    * computed from the same moment sums). One map-side-combinable
+    * aggregate to ≤ |types|·7 cells carries n/Σ/Σ² — every later
+    * quantity (means, seasonal offsets, both variances) derives from
+    * those moments, so the pass count is ONE regardless of corpus size,
+    * and the type-level totals are a ≤|types|-row broadcast back onto
+    * the cells. Presentation floats follow the round(+1e-9) doctrine
+    * (stats_agg/autocorr precedent for moment-sum parity). */
+  def seasonalDow(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+               (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+           sum(col("value") * col("value")).as("ss"))
+    val tot = cell.groupBy(col("event_type").as("t_type"))
+      .agg(sum(col("n")).as("nn"), sum(col("s")).as("stot"),
+           sum(col("ss")).as("sstot"),
+           sum(col("ss") - col("s") * col("s") / col("n")).as("resid_ss"))
+      .select(col("t_type"), (col("stot") / col("nn")).as("om"),
+        ((col("sstot") - col("stot") * col("stot") / col("nn"))
+          - col("resid_ss")).as("explained_ss"),
+        (col("sstot") - col("stot") * col("stot") / col("nn"))
+          .as("total_ss"))
+    cell.join(broadcast(tot), col("event_type") === col("t_type"))
+      .select(col("event_type"), col("dow"), col("n"),
+        round(col("s") / col("n") + 1e-9, 4).as("dow_mean"),
+        round(col("s") / col("n") - col("om") + 1e-9, 4).as("seasonal"),
+        round(col("explained_ss") / col("total_ss") + 1e-9, 6)
+          .as("strength"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal"   -> (seasonalDow _),
     "events_autocorr"   -> (autocorr _),
     "events_heatmap"    -> (heatmap _),
     "gap_detect"        -> (gapDetect _),
@@ -855,6 +891,24 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "events_seasonal" ->
+      """WITH cell AS (
+        |  SELECT event_type,
+        |         CAST(dayofweek(ts::TIMESTAMP) AS BIGINT) AS dow,
+        |         COUNT(*) AS n, SUM(value) AS s, SUM(value*value) AS ss
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type,
+        |         SUM(n) AS nn, SUM(s) AS stot, SUM(ss) AS sstot,
+        |         SUM(ss - s*s/n) AS resid_ss
+        |  FROM cell GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.n,
+        |  ROUND(c.s/c.n + 1e-9, 4) AS dow_mean,
+        |  ROUND(c.s/c.n - t.stot/t.nn + 1e-9, 4) AS seasonal,
+        |  ROUND(((t.sstot - t.stot*t.stot/t.nn) - t.resid_ss)
+        |        / (t.sstot - t.stot*t.stot/t.nn) + 1e-9, 6) AS strength
+        |FROM cell c JOIN tot t USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
     "events_autocorr" ->
       """WITH daily AS (
         |  SELECT event_type, (ts::TIMESTAMP)::DATE AS day,

@@ -238,11 +238,52 @@ object Graph {
       .orderBy(col("deg"))
   }
 
+  /** 3-core of the 1997-H1 co-purchase subgraph: the maximal subgraph
+    * where every node keeps ≥ 3 neighbors, by synchronous peeling —
+    * drop sub-3-degree nodes, recount degrees among survivors, repeat.
+    * Eight peel rounds are unrolled (the pagerank fixed-iteration
+    * stance; GraphSpec asserts rounds 7 and 8 agree, i.e. the fixpoint
+    * was REACHED, so the bound is checked, not hoped — a deployment on
+    * a deeper graph raises the constant or drives the same loop from
+    * the driver with a convergence check, exactly like pagerank's).
+    *
+    * Dataflow per round: the symmetric edge table (persisted, pre-
+    * partitioned on dst ONCE) joins the skinny alive set on dst, counts
+    * by src with map-side partial aggregation, semi-joins the previous
+    * alive set on the group key, and filters deg ≥ 3 — per iteration
+    * only Θ(alive) rows and the partial-agg combine move, the edge
+    * relation never reshuffles. Output is all-integer (node, in-core
+    * degree). */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val K = 3
+    // persisted like pagerank's edge table; the harness clears caches
+    // between queries (Bench/Verify), embedding callers own clearCache
+    val edges = directedEdges(
+      incidences(spark, dir, "1997-01-01", "1997-07-01"))
+      .repartition(col("dst")).persist()
+    var alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= K)
+      .select(col("src").as("node"), col("deg"))
+    for (_ <- 1 to 8) {
+      val cnt = edges
+        .join(alive.select(col("node")), col("dst") === col("node"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      alive = cnt
+        .join(alive.select(col("node").as("prev")),
+              col("src") === col("prev"), "left_semi")
+        .filter(col("deg") >= K)
+        .select(col("src").as("node"), col("deg"))
+    }
+    alive.select(col("node").as("part"), col("deg").as("core_deg"))
+      .orderBy(col("part"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank"     -> (pagerank _),
     "triangles"    -> (triangles _),
     "link_predict" -> (linkPredict _),
     "frequent_pairs" -> (frequentPairs _),
+    "kcore"        -> (kcore _),
     "degree_dist"  -> (degreeDist _))
 
   /** Shared SQL prelude: distinct incidences + directed edges. */
@@ -312,9 +353,29 @@ object Graph {
        |FROM deg LEFT JOIN corners ON corners.part = deg.x
        |ORDER BY part""".stripMargin
 
+  /** 8 unrolled synchronous peels (each restricts both endpoints to the
+    * previous alive set — the same recurrence the operator runs). */
+  private def kcoreSql: String = {
+    val peels = (1 to 8).map { k =>
+      s"""a$k AS (
+         |  SELECT e.src AS node, COUNT(*) AS deg
+         |  FROM e JOIN a${k - 1} d ON e.dst = d.node
+         |       JOIN a${k - 1} s ON e.src = s.node
+         |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql("1997-01-01", "1997-07-01")},
+       |a0 AS (
+       |  SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1
+       |  HAVING COUNT(*) >= 3),
+       |$peels
+       |SELECT node AS part, CAST(deg AS BIGINT) AS core_deg
+       |FROM a8 ORDER BY part""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
     "triangles" -> trianglesSql,
+    "kcore" -> kcoreSql,
     // link_predict: the 64-degree center cap is part of the operator's
     // definition — the oracle applies the identical cap.
     "link_predict" ->

@@ -507,6 +507,185 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Integer line revenue in 10^-4-dollar units: cents(extendedprice) ×
+    * (100 − cents-of-discount). Each factor is ONE scalar op on the raw
+    * double (deterministic IEEE — no accumulation), rounded to the exact
+    * integer both engines agree on, so sums over it are bit-exact in any
+    * aggregation order and across engines. The basis for every query
+    * below that compares or ties-breaks on a revenue AGGREGATE (max-
+    * equality, top-k cutoffs), where the usual round-after-sum doctrine
+    * would leave a double boundary. Magnitude: ≤ ~1e9 units/row, so a
+    * LongType sum stays exact below ~1e9 rows per GROUP; a 100 TB
+    * all-in-one-group rollup swaps the sum to decimal(38,0) (same
+    * exactness, wider range) — group-keyed aggregates never get there. */
+  private def revUnits: Column =
+    round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+
+  /** TPC-H Q8-flavor market share: NATION_3's share of STANDARD-part
+    * revenue sold to EUROPE customers, per order year. Five dimension
+    * legs (part/supplier/customer/nation/region — all projected to key +
+    * predicate columns) broadcast; the only shuffles are lineitem⋈orders
+    * on orderkey and the |years|-group final agg. The share divides two
+    * integer-exact revenue sums (revUnits), so the ratio is the same
+    * double in both engines before the displayed rounding. */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.t(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val supp = Tables.t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val natS = Tables.t(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val natC = Tables.t(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val reg = Tables.t(spark, dir, "region")
+      .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))
+    val ord = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    Tables.t(spark, dir, "lineitem")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", revUnits)
+          .otherwise(0L)).as("nation_units"),
+        sum(revUnits).as("total_units"))
+      .select(col("o_year"),
+        round(col("nation_units") / 10000.0, 4).as("nation_rev"),
+        round(col("total_units") / 10000.0, 4).as("total_rev"),
+        round(col("nation_units").cast("double") / col("total_units")
+          + 1e-9, 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9-flavor product profit by supplier nation and year (the
+    * fixture has no partsupp, so supply cost is proxied as 60% of the
+    * part's retail price — the join/agg SHAPE is Q9's). All-integer
+    * amount in 10^-4-dollar units: revUnits − 60·retail-cents·quantity,
+    * exact per row and under any sum order. part (key+cost) and the
+    * nation name broadcast; supplier broadcasts projected; shuffles are
+    * lineitem⋈orders and the |nations|·|years| final agg. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.t(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("rp_cents"))
+    val supp = Tables.t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val amount = revUnits -
+      lit(60L) * col("rp_cents") * round(col("l_quantity"), 0).cast("long")
+    Tables.t(spark, dir, "lineitem")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+               year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).as("units"), count(lit(1)).as("n_lines"))
+      .select(col("nation"), col("o_year"),
+        round(col("units") / 10000.0, 4).as("profit"), col("n_lines"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** TPC-H Q10-flavor returned-item report: top 20 customers by revenue
+    * lost to returns (l_returnflag = 'R') in 1997H1. Aggregates the
+    * fact FIRST (one orderkey shuffle + one custkey agg, ≤ |customers|
+    * rows), joins customer/nation attributes by KEY after — the
+    * dimension attaches to the aggregate, never to the fact — then cuts
+    * top-k on the integer revenue with a custkey tie-break, so the
+    * cutoff is a TakeOrderedAndProject over Θ(customers), deterministic
+    * across engines. */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(revUnits).as("units"), count(lit(1)).as("n_lines"))
+    val cust = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+              col("c_nationkey"))
+    val nat = Tables.t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    perCust
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"),
+        round(col("units") / 10000.0, 4).as("revenue"), col("n_lines"),
+        col("units"))
+      .orderBy(col("units").desc, col("c_custkey"))
+      .limit(20)
+      .drop("units")
+  }
+
+  /** TPC-H Q15-flavor top supplier: the supplier(s) whose 1997H2 revenue
+    * equals the global maximum. Per-supplier revenue is one suppkey agg
+    * (Θ(suppliers) rows); the maximum reduces that aggregate to a 1-row
+    * broadcast scalar the aggregate then filters against — no window,
+    * no second fact scan. Equality at the max is on the INTEGER revenue
+    * units, so "ties for first" is exact, not a double coincidence. */
+  def q15TopSupp(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revUnits).as("units"))
+    val best = perSupp.agg(max(col("units")).as("best_units"))
+    perSupp.crossJoin(broadcast(best))
+      .filter(col("units") === col("best_units"))
+      .join(broadcast(Tables.t(spark, dir, "supplier")
+              .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("units") / 10000.0, 4).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17-flavor small-quantity revenue by brand: lines whose
+    * quantity is below 20% of their part's average order quantity. The
+    * correlated AVG decorrelates into one per-part aggregate
+    * (Θ(parts), map-side combinable) joined back by partkey; the
+    * comparison cross-multiplies to integers (5·qty·n_lines < Σqty —
+    * quantities are integral) so the 20% boundary cannot wobble with
+    * either engine's division. Output is the Θ(brands) rollup of the
+    * surviving lines' revenue. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val qty = round(col("l_quantity"), 0).cast("long")
+    val li = Tables.t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+    val perPart = li.groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_lines"))
+    val brands = Tables.t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(perPart, col("l_partkey") === col("pp_key"))
+      .filter(lit(5L) * qty * col("n_lines") < col("sum_qty"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(revUnits).as("units"), count(lit(1)).as("n_small"))
+      .select(col("p_brand"),
+        round(col("units") / 10000.0, 4).as("small_qty_rev"),
+        col("n_small"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Distributed global ranking — the replacement for an UNPARTITIONED
     * `Window.orderBy(...)` whenever the ranked relation grows with the
     * corpus (per-customer / per-supplier aggregates do: a dimension is
@@ -1171,6 +1350,11 @@ object Relational {
     "cond_agg"       -> (condAgg _),
     "sql_having"     -> (sqlHaving _),
     "q7_volume"      -> (q7Volume _),
+    "q8_share"       -> (q8Share _),
+    "q9_profit"      -> (q9Profit _),
+    "q10_returned"   -> (q10Returned _),
+    "q15_topsupp"    -> (q15TopSupp _),
+    "q17_smallqty"   -> (q17SmallQty _),
     "sql_recursive"  -> (sqlRecursive _),
     "cohort_ltv"     -> (cohortLtv _),
     "q13_custdist"   -> (q13Custdist _),
@@ -1389,6 +1573,96 @@ object Relational {
         |SELECT l_suppkey, revenue, rnk, cum_share,
         |       cum_share <= 0.8 AS is_top80
         |FROM r ORDER BY rnk""".stripMargin,
+    "q8_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS units,
+        |         n1.n_name AS supp_nation
+        |  FROM lineitem
+        |    JOIN part      ON l_partkey = p_partkey
+        |    JOIN orders    ON l_orderkey = o_orderkey
+        |    JOIN supplier  ON l_suppkey = s_suppkey
+        |    JOIN customer  ON o_custkey = c_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |    JOIN region    ON n2.n_regionkey = r_regionkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN units
+        |                 ELSE 0 END) AS BIGINT) / 10000.0, 4) AS nation_rev,
+        |  ROUND(CAST(SUM(units) AS BIGINT) / 10000.0, 4) AS total_rev,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN units
+        |                 ELSE 0 END) AS DOUBLE)
+        |        / CAST(SUM(units) AS DOUBLE) + 1e-9, 6) AS mkt_share
+        |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |          * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+        |        - 60 * CAST(ROUND(p_retailprice*100) AS BIGINT)
+        |          * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+        |        / 10000.0, 4) AS profit,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |  JOIN part     ON l_partkey = p_partkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q10_returned" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+        |      AS units,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-07-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, c_acctbal,
+        |       ROUND(units / 10000.0, 4) AS revenue, n_lines
+        |FROM pc
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |ORDER BY units DESC, c_custkey LIMIT 20""".stripMargin,
+    "q15_topsupp" ->
+      """WITH ps AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+        |      AS units
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |       ROUND(units / 10000.0, 4) AS total_revenue
+        |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE units = (SELECT MAX(units) FROM ps)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_smallqty" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pp_key,
+        |         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS sum_qty,
+        |         COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+        |    / 10000.0, 4) AS small_qty_rev,
+        |  COUNT(*) AS n_small
+        |FROM lineitem
+        |  JOIN pp   ON l_partkey = pp_key
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE 5 * CAST(ROUND(l_quantity) AS BIGINT) * n_lines < sum_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       year(l_shipdate) AS l_year,

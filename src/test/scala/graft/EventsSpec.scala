@@ -364,4 +364,24 @@ class EventsSpec extends AnyFunSuite {
     // each user stream of k events yields k-1 adjacent pairs
     assert(rows.map(_.getLong(2)).sum === nEvents - nUsers)
   }
+
+  test("events_seasonal: hand-computed means, offsets and ANOVA strength " +
+       "on a two-weekday fixture") {
+    // Mon (2024-01-01): 1, 3 → mean 2; Tue: 5, 7 → mean 6; overall 4.
+    // total_ss = 84 − 64 = 20, resid = 2 + 2 = 4 → strength = 16/20.
+    val d = TestFixtures.writeDir(Map("events" -> Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "a", 3.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 2L, "a", 5.0, "{}"),
+      (4L, ts("2024-01-02 11:00:00"), 2L, "a", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    val r = Events.seasonalDow(spark, d).collect()
+    assert(r.length === 2)
+    val mon = r.find(_.getLong(1) == 1L).get
+    val tue = r.find(_.getLong(1) == 2L).get
+    assert(mon.getLong(2) === 2L && tue.getLong(2) === 2L)
+    assert(mon.getDouble(3) === 2.0 && tue.getDouble(3) === 6.0)
+    assert(mon.getDouble(4) === -2.0 && tue.getDouble(4) === 2.0)
+    assert(mon.getDouble(5) === 0.8 && tue.getDouble(5) === 0.8)
+  }
 }

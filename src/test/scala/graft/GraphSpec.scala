@@ -53,6 +53,28 @@ class GraphSpec extends AnyFunSuite {
       s"rank mass $total outside [S - 7(n+|E|), S]")
   }
 
+  test("kcore equals a naive synchronous peel, and 8 rounds REACH the " +
+       "fixpoint on this graph (the unrolled bound is checked, not hoped)") {
+    val e = edges("1997-01-01", "1997-07-01")
+    var alive = e.groupBy(_._1).collect {
+      case (v, es) if es.size >= 3 => v }.toSet
+    var prev = Set.empty[Long]
+    var deg = Map.empty[Long, Int]
+    for (_ <- 1 to 8) {
+      prev = alive
+      deg = e.toSeq.filter { case (u, v) => alive(u) && alive(v) }
+        .groupBy(_._1).map { case (v, es) => v -> es.size }
+      alive = deg.collect { case (v, d) if d >= 3 => v }.toSet
+    }
+    assert(alive === prev, "8 peels must reach the fixpoint here")
+    val got = Graph.kcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === alive)
+    got.foreach { case (v, d) => assert(d === deg(v).toLong, s"deg of $v") }
+    // every survivor keeps >= 3 in-core neighbors (the 3-core property)
+    got.values.foreach(d => assert(d >= 3L))
+  }
+
   test("triangles equals a brute-force adjacency count") {
     val adj = edges("1997-01-01", "1997-07-01")
       .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }

@@ -595,4 +595,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!reduceSide.contains("text#"),
       "payload bytes must not cross the shuffle")
   }
+
+  test("q8_share: all five dimension legs broadcast — the only joins " +
+       "that shuffle are on the fact") {
+    val p = plan(Relational.q8Share(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 5, s"expected >=5 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the snowflake")
+  }
+
+  test("q10_returned: fact aggregates before the dimension attaches; " +
+       "top-20 is a TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q10Returned(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.split("TakeOrderedAndProject")(0).contains("Sort "),
+      "top-k should not globally sort")
+  }
+
+  test("q15_topsupp: the max is a 1-row broadcast scalar, never a " +
+       "shuffle join or window") {
+    val p = plan(Relational.q15TopSupp(spark, sf))
+    // Catalyst folds crossJoin(1-row max) + the equality filter into an
+    // equi BroadcastHashJoin on `units` — either broadcast form is the
+    // asserted property; a SortMergeJoin against a 1-row side is not.
+    assert(p.contains("BroadcastHashJoin") ||
+           p.contains("BroadcastNestedLoopJoin"),
+      "max must attach as a 1-row broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the scalar max must never shuffle-join")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows === 0, "argmax must not run an unpartitioned window")
+  }
+
+  test("q17_smallqty: the correlated AVG is decorrelated — per-part " +
+       "aggregate joined back, no subquery in the physical plan") {
+    val p = plan(Relational.q17SmallQty(spark, sf))
+    assert(!p.toLowerCase.contains("subquery"),
+      "decorrelation must happen in the DataFrame, not a runtime subquery")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, "per-part aggregate must partial-aggregate map-side")
+  }
 }
