@@ -261,10 +261,28 @@ object Graph {
     val edges = directedEdges(
       incidences(spark, dir, "1997-01-01", "1997-07-01"))
       .repartition(col("dst")).persist()
+    // Each round CUTS its lineage with an eager localCheckpoint: the
+    // round-k plan references alive TWICE (degree count + the semi
+    // join), so without the cut the LOGICAL tree doubles per round —
+    // 2^8 copies of the base plan by round 8, and analysis cost (not
+    // the 12k-edge data!) took 95 s and then the driver heap. persist()
+    // does not help: caching shortcuts execution, but Catalyst still
+    // analyzes the full tree. After the checkpoint each round's plan is
+    // a constant-size LogicalRDD. local[·] keeps blocks on the one JVM;
+    // a cluster deployment swaps in reliable checkpoint() so an
+    // executor loss cannot orphan a round. */
     var alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= K)
       .select(col("src").as("node"), col("deg"))
-    for (_ <- 1 to 8) {
+      .localCheckpoint()
+    // Early exit on an unchanged count: the alive set only ever shrinks
+    // (each round semi-joins the previous), so count-equal ⇒ set-equal
+    // ⇒ fixpoint, and further rounds are identities — stopping early
+    // returns EXACTLY the 8-round (oracle) result with fewer jobs.
+    var n = alive.count()
+    var round = 0
+    var changed = true
+    while (round < 8 && changed) {
       val cnt = edges
         .join(alive.select(col("node")), col("dst") === col("node"))
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -273,6 +291,11 @@ object Graph {
               col("src") === col("prev"), "left_semi")
         .filter(col("deg") >= K)
         .select(col("src").as("node"), col("deg"))
+        .localCheckpoint()
+      val m = alive.count()
+      changed = m != n
+      n = m
+      round += 1
     }
     alive.select(col("node").as("part"), col("deg").as("core_deg"))
       .orderBy(col("part"))
