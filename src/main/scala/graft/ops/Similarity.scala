@@ -393,6 +393,61 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** Adjusted Rand Index of the k-means clustering against the ground-
+    * truth labels — cluster_purity's CHANCE-CORRECTED sibling (purity
+    * rewards many small clusters; ARI subtracts the agreement a random
+    * partition with the same marginals would score, the same correction
+    * kappa_agreement applies to classifier agreement). All pair-count
+    * sums are integers — Σ C(n_ij,2), Σ C(a_i,2), Σ C(b_j,2), C(n,2)
+    * from the k·|labels| contingency cells — and the final ARI clears
+    * its denominators first:
+    *
+    *   ARI = (2·P·Σij − 2·Σa·Σb) / (P·(Σa + Σb) − 2·Σa·Σb),  P = C(n,2)
+    *
+    * so both engines divide the SAME two integers exactly once
+    * (degenerate 0-denominator reports 0, kappa's convention). The
+    * products reach ~n⁴/4: within long to ~50M items; past that the
+    * documented swap is decimal(38,0) sums, same exactness. Dataflow:
+    * one vec_id key join, one (cluster,label) aggregate, then three
+    * 1-row reductions of the contingency relation broadcast together —
+    * corpus cost is kmeansAssign's map-side assignment. */
+  def clusterAri(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"))
+    val cells = kmeansAssign(spark, dir)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("nij"))
+    val tot = cells.agg(
+      sum(expr("(nij * (nij - 1)) div 2")).as("sum_ij"),
+      sum(col("nij")).as("n"))
+    val byCluster = cells.groupBy(col("cluster"))
+      .agg(sum(col("nij")).as("a"))
+      .agg(sum(expr("(a * (a - 1)) div 2")).as("sum_a"),
+           count(lit(1)).as("n_clusters"))
+    val byLabel = cells.groupBy(col("label"))
+      .agg(sum(col("nij")).as("b"))
+      .agg(sum(expr("(b * (b - 1)) div 2")).as("sum_b"),
+           count(lit(1)).as("n_labels"))
+    tot.crossJoin(broadcast(byCluster)).crossJoin(broadcast(byLabel))
+      .withColumn("n_pairs", expr("(n * (n - 1)) div 2"))
+      .withColumn("ari_num",
+        lit(2L) * col("n_pairs") * col("sum_ij")
+          - lit(2L) * col("sum_a") * col("sum_b"))
+      .withColumn("ari_den",
+        col("n_pairs") * (col("sum_a") + col("sum_b"))
+          - lit(2L) * col("sum_a") * col("sum_b"))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("n_pairs"), col("sum_ij"), col("sum_a"), col("sum_b"),
+        when(col("ari_den") === 0L, lit(0.0))
+          .otherwise(round(col("ari_num").cast("double")
+            / col("ari_den") + 1e-9, 6)).as("ari"),
+        // plain Rand index for reference: agreeing pairs / all pairs
+        round((col("n_pairs") + lit(2L) * col("sum_ij")
+            - col("sum_a") - col("sum_b")).cast("double")
+          / col("n_pairs") + 1e-9, 6).as("rand_index"))
+  }
+
   /** Sparse text cosine similarity join over the RARE-term space — the
     * token-based twin of the dense embedding ops: documents as sparse
     * tf vectors, pairs formed only through shared terms (the inverted-
@@ -603,6 +658,7 @@ object Similarity {
     "vector_stats"   -> (vectorStats _),
     "sparse_cosine"  -> (sparseCosine _),
     "cluster_purity" -> (clusterPurity _),
+    "cluster_ari"    -> (clusterAri _),
     "kmeans_assign"  -> (kmeansAssign _),
     "ann_recall"     -> (annRecall _),
     "sim_topk_brute" -> (topKBrute _),
@@ -736,6 +792,39 @@ object Similarity {
           |       n_total::BIGINT AS n_total,
           |       ROUND(n::DOUBLE / n_total + 1e-9, 4) AS purity
           |FROM p WHERE rn = 1 ORDER BY cluster""".stripMargin),
+    "cluster_ari" ->
+      (duckKmeansCtes +
+        """, cells AS (
+          |  SELECT a2.cell AS cluster, e.label, COUNT(*)::BIGINT AS nij
+          |  FROM a2 JOIN embeddings e USING (vec_id)
+          |  GROUP BY 1, 2),
+          |t AS (
+          |  SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sum_ij,
+          |         CAST(SUM(nij) AS BIGINT) AS n
+          |  FROM cells),
+          |ra AS (
+          |  SELECT CAST(SUM((a * (a - 1)) // 2) AS BIGINT) AS sum_a,
+          |         COUNT(*) AS n_clusters
+          |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS a
+          |        FROM cells GROUP BY cluster)),
+          |rb AS (
+          |  SELECT CAST(SUM((b * (b - 1)) // 2) AS BIGINT) AS sum_b,
+          |         COUNT(*) AS n_labels
+          |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS b
+          |        FROM cells GROUP BY label))
+          |SELECT n, n_clusters, n_labels,
+          |  (n * (n - 1)) // 2 AS n_pairs, sum_ij, sum_a, sum_b,
+          |  CASE WHEN (n * (n - 1)) // 2 * (sum_a + sum_b)
+          |            - 2 * sum_a * sum_b = 0 THEN 0.0
+          |       ELSE ROUND(
+          |         CAST(2 * ((n * (n - 1)) // 2) * sum_ij
+          |              - 2 * sum_a * sum_b AS DOUBLE)
+          |         / (((n * (n - 1)) // 2) * (sum_a + sum_b)
+          |            - 2 * sum_a * sum_b) + 1e-9, 6) END AS ari,
+          |  ROUND(CAST((n * (n - 1)) // 2 + 2 * sum_ij
+          |             - sum_a - sum_b AS DOUBLE)
+          |        / ((n * (n - 1)) // 2) + 1e-9, 6) AS rand_index
+          |FROM t CROSS JOIN ra CROSS JOIN rb""".stripMargin),
     "ann_recall" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb

@@ -267,6 +267,38 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("cluster_ari == a driver-side pair-counting recompute from the " +
+       "operator's own assignments; perfect self-agreement scores 1") {
+    val sf = "/root/testdata/sf0.001"
+    val asg = Similarity.kmeansAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lbl = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    def c2(x: Long) = x * (x - 1) / 2
+    val cells = asg.toSeq.map { case (id, c) => (c, lbl(id)) }
+      .groupBy(identity).map { case (_, g) => g.size.toLong }
+    val sumIj = cells.map(c2).sum
+    val sumA = asg.values.groupBy(identity)
+      .map(g => c2(g._2.size.toLong)).sum
+    val sumB = lbl.values.groupBy(identity)
+      .map(g => c2(g._2.size.toLong)).sum
+    val n = asg.size.toLong
+    val p = c2(n)
+    val wantAri = (2.0 * p * sumIj - 2.0 * sumA * sumB) /
+      (p.toDouble * (sumA + sumB) - 2.0 * sumA * sumB)
+    val r = Similarity.clusterAri(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(3) === p && row.getLong(4) === sumIj)
+    assert(row.getLong(5) === sumA && row.getLong(6) === sumB)
+    assert(math.abs(row.getDouble(7) - wantAri) < 1e-5)
+    // metric ranges: ARI <= 1 (can go negative), Rand in [0, 1]
+    assert(row.getDouble(7) <= 1.0 + 1e-9)
+    assert(row.getDouble(8) >= 0.0 && row.getDouble(8) <= 1.0 + 1e-9)
+  }
+
   test("lang_confusion: cells conserve the corpus, rates row-normalize, " +
        "diagonal flagged") {
     val sf = "/root/testdata/sf0.001"
