@@ -155,6 +155,36 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Cross-asset shared-segment audit — crossdoc_dedup's multimodal
+    * twin at the storage-chunk granularity: a chunk fingerprint held by
+    * ≥ 2 DISTINCT assets marks a copied media segment (intro cards,
+    * watermarks, re-uploaded spans), and each asset reports how much of
+    * it is such shared material. Within-asset repeats deliberately do
+    * NOT count (intradoc_dedup's jurisdiction).
+    *
+    * Scale: rides the mm_chunks layout, so only 16-byte digests ever
+    * shuffle — the multi-asset fingerprint set is one digest-keyed
+    * aggregate, membership flows back as a digest-keyed SEMI join
+    * (never broadcast: shared fingerprints grow with the corpus), and
+    * the per-asset report is Θ(assets). */
+  def sharedSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+      .select(col("doc_id"), col("chunk_md5"))
+    val multi = ch.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_assets"))
+      .filter(col("n_assets") >= 2)
+      .select(col("chunk_md5"))
+    val flagged = ch.join(multi, Seq("chunk_md5"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+    ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("shared"), lit(0L)) / col("n_chunks")
+          + 1e-9, 4).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact binary dedup over the opaque payload column — the asset-level
     * twin of Dedup.exact: identical media files collapse to one digest
     * group (min doc_id canonical), with copy count and reclaimable
@@ -179,6 +209,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup"  -> (payloadDedup _),
+    "mm_shared_segments" -> (sharedSegments _),
     "mm_frames5050" -> (frames5050 _),
     "mm_meta"   -> (meta _),
     "mm_frames" -> (frames _),
@@ -233,6 +264,29 @@ object Multimodal {
         |       length(chunk)::BIGINT AS chunk_chars,
         |       md5(chunk) AS chunk_md5
         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+    "mm_shared_segments" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS n_chars
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |ch AS (
+        |  SELECT doc_id, md5(unnest(list_transform(
+        |      range(0, (n_chars + 63) // 64),
+        |      i -> substr(text, CAST(i * 64 + 1 AS INT), 64)))) AS m
+        |  FROM t),
+        |multi AS (
+        |  SELECT m FROM ch GROUP BY 1
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |f AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_shared
+        |  FROM ch JOIN multi USING (m) GROUP BY 1),
+        |tot AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_chunks FROM ch GROUP BY 1)
+        |SELECT tot.doc_id, n_chunks,
+        |       COALESCE(n_shared, 0)::BIGINT AS n_shared,
+        |       ROUND(COALESCE(n_shared, 0) / n_chunks::DOUBLE + 1e-9, 4)
+        |         AS shared_frac
+        |FROM tot LEFT JOIN f USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """WITH t AS (
         |  SELECT doc_id, encode(text) AS payload FROM documents)

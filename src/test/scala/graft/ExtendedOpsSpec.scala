@@ -450,6 +450,27 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(planted(9L) === ((1L, 11L, 0.0)))
   }
 
+  test("mm_shared_segments: planted aligned shared chunk counts once " +
+       "per holder; a within-doc repeat alone does not count") {
+    import spark.implicits._
+    val block = "x" * 64            // one exact chunk-aligned window
+    val other = "y" * 64
+    val pdir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (1L, block + "tail one", "en", "web"),   // shares chunk0 with 2
+        (2L, block + "tail twooo", "en", "web"),
+        (3L, "unique text here", "en", "web"),   // nothing shared
+        (4L, other + other, "en", "web"))        // self-repeat only
+        .toDF("doc_id", "text", "lang", "source")))
+    val r = Multimodal.sharedSegments(spark, pdir).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) === ((2L, 1L, 0.5)))
+    assert(r(2L) === ((2L, 1L, 0.5)))
+    assert(r(3L) === ((1L, 0L, 0.0)))
+    assert(r(4L) === ((2L, 0L, 0.0)), "within-doc repeats must not count")
+  }
+
   test("rfm_segments: quintiles balanced, recency anchored at corpus max") {
     val rows = Relational.rfmSegments(spark, dir).collect()
     val n = rows.length
