@@ -124,6 +124,38 @@ object Similarity {
       k = 3)
   }
 
+  /** Hard-negative mining for contrastive training — negative_pairs'
+    * quality-tier sibling: for each anchor, the MOST similar in-bucket
+    * vector whose cosine still falls below the near-dup line (0.9, the
+    * embed_neardup threshold) — similar enough to be informative, far
+    * enough to be a true negative (an accidental near-dup "negative"
+    * teaches the model to split duplicates). Candidates meet through
+    * the adaptive sign-LSH bucket join (never all-pairs); the < 0.9 cut
+    * applies to the 6-dp-ROUNDED cosine, so membership can't flip on a
+    * ulp; top-1 rides the bounded-heap TopKAggregator. Anchors whose
+    * bucket holds only near-dups emit nothing (the honest answer — a
+    * random negative is negative_pairs' job). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+              signBucket(col("embedding"), bits).as("bucket"))
+    val q = e.select(col("bucket"), col("vec_id").as("query_id"),
+                     col("embedding").as("q_emb"))
+    val c = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+                     col("embedding").as("n_emb"))
+    rankTopK(
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim"))
+        .filter(col("sim") < 0.9),
+      k = 1)
+      .select(col("query_id").as("anchor_id"),
+              col("neighbor_id").as("negative_id"), col("sim"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid cell (inverted lists); search only probes the query's own
     * cell. The codebook size scales with the corpus — C = ⌈√N⌉ — so
@@ -659,6 +691,7 @@ object Similarity {
     "sparse_cosine"  -> (sparseCosine _),
     "cluster_purity" -> (clusterPurity _),
     "cluster_ari"    -> (clusterAri _),
+    "hard_negatives" -> (hardNegatives _),
     "kmeans_assign"  -> (kmeansAssign _),
     "ann_recall"     -> (annRecall _),
     "sim_topk_brute" -> (topKBrute _),
@@ -1039,6 +1072,21 @@ object Similarity {
         |SELECT dim, mean_old, mean_new, shift, centroid_cos
         |FROM d2 CROSS JOIN cc
         |ORDER BY shift DESC, dim LIMIT 10""".stripMargin,
+    "hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |  WHERE a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY anchor_id ORDER BY sim DESC, negative_id) AS rn
+         |  FROM p WHERE sim < 0.9)
+         |SELECT anchor_id, negative_id, sim FROM r
+         |WHERE rn = 1 ORDER BY anchor_id""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $duckBucket AS bucket

@@ -152,6 +152,28 @@ class TextSimilaritySpec extends AnyFunSuite {
     shared.foreach(k => assert(brute(k) === ann(k)))
   }
 
+  test("hard_negatives: one sub-threshold negative per anchor, and it " +
+       "agrees with annLsh's ranking wherever the top-3 crosses 0.9") {
+    val dir = "/root/testdata/sf0.001"
+    val hn = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(hn.map(_._1).distinct.length === hn.length, "one row per anchor")
+    hn.foreach { case (_, (_, sim)) => assert(sim < 0.9) }
+    val hnMap = hn.toMap
+    // annLsh ranks ALL in-bucket candidates; if any of an anchor's top-3
+    // falls below 0.9, the first such entry IS the global hardest
+    // negative (everything outside the top-3 scores no higher).
+    val top3 = Similarity.annLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    top3.foreach { case (anchor, rows) =>
+      rows.sortBy(_._2).find(_._4 < 0.9).foreach { first =>
+        assert(hnMap(anchor) === ((first._3, first._4)),
+          s"anchor $anchor hard negative disagrees with annLsh ranking")
+      }
+    }
+  }
+
   test("quantized ANN: rescored sims are the exact fp32 cosines, results " +
        "subset the LSH candidate universe, int8 ordering is reproducible") {
     val dir = "/root/testdata/sf0.001"
