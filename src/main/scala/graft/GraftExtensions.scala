@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (args: Seq[Expression]) => GraftFunctions.buildJaroWinkler(args)))
+    // whole-operator extension: plans graft.plans.AsOfJoinPlan to its
+    // native co-partitioned merge exec (AsOf.join also self-registers
+    // on sessions built without these extensions)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -853,7 +853,30 @@ object Events {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** The native two-table as-of join (graft.plans.AsOfJoinExec — custom
+    * LogicalPlan + Strategy + SparkPlan) on the clicks⋈purchases shape:
+    * each click takes the most recent purchase at-or-before it. Differs
+    * from asofJoin's single-table window form ONLY in tie semantics —
+    * this is the pure-time trades⋈quotes as-of (a purchase at the
+    * click's exact instant matches regardless of event_id order; the
+    * window form only sees rows earlier in (ts, id) order), and in
+    * dataflow: two key-clustered exchanges feeding one O(n) forward
+    * merge with O(1) state, no union, no nullable-baggage columns. */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.plans.AsOf.join(clicks, purchases)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts").as("last_purchase_ts"),
+        col("asof_value").as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_native"       -> (asofNative _),
     "events_seasonal"   -> (seasonalDow _),
     "events_autocorr"   -> (autocorr _),
     "events_heatmap"    -> (heatmap _),
@@ -891,6 +914,27 @@ object Events {
   // All oracles truncate ns→µs up front (ts::TIMESTAMP floors, matching
   // Spark's `ts div 1000`) and use the truncated value throughout.
   val oracle: Map[String, String] = Map(
+    "asof_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         ts::TIMESTAMP AS ts_us
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id, user_id, ts_us FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts_us, event_id AS p_id, value FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us,
+        |         p.ts_us AS p_ts, p.value AS p_value,
+        |         ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |           ORDER BY p.ts_us DESC, p.p_id DESC) AS rn
+        |  FROM c LEFT JOIN p
+        |    ON c.user_id = p.user_id AND p.ts_us <= c.ts_us)
+        |SELECT event_id, user_id, ts_us AS ts,
+        |       p_ts AS last_purchase_ts, p_value AS last_purchase_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "events_seasonal" ->
       """WITH cell AS (
         |  SELECT event_type,

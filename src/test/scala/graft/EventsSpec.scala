@@ -365,6 +365,46 @@ class EventsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === nEvents - nUsers)
   }
 
+  test("asof_native (custom plan) == a driver-side per-click recompute " +
+       "on the real fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+                 r.getString(3), r.getDouble(4)))
+    val purchases = ev.filter(_._4 == "purchase").toSeq
+      .groupBy(_._2)
+      .map { case (k, v) => k -> v.sortBy(p => (p._3.getTime, p._1)) }
+    val want = ev.filter(_._4 == "click").map { c =>
+      val best = purchases.getOrElse(c._2, Seq.empty)
+        .filter(p => !p._3.after(c._3))          // p.ts <= click.ts
+        .lastOption                               // max (ts, event_id)
+      c._1 -> best.map(p => (p._3, p._5))
+    }.toMap
+    val got = Events.asofNative(spark, sf).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(3)) None
+                       else Some((r.getTimestamp(3), r.getDouble(4))))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("asof_native tie semantics: a purchase at the click's exact " +
+       "instant matches regardless of event_id order") {
+    val d = TestFixtures.writeDir(Map(
+      "events" -> Seq(
+        (2L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+        (5L, ts("2024-01-01 10:00:00"), 1L, "purchase", 9.0, "{}"),
+        (7L, ts("2024-01-02 08:00:00"), 2L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    val r = Events.asofNative(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+    assert(r(2L) === Some(9.0),
+      "same-instant purchase must match in pure-time as-of")
+    assert(r(7L) === None, "a user with no purchases joins NULL")
+  }
+
   test("events_seasonal: hand-computed means, offsets and ANOVA strength " +
        "on a two-weekday fixture") {
     // Mon (2024-01-01): 1, 3 → mean 2; Tue: 5, 7 → mean 6; overall 4.

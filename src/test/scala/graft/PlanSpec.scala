@@ -596,6 +596,18 @@ class PlanSpec extends AnyFunSuite {
       "payload bytes must not cross the shuffle")
   }
 
+  test("asof_native: the custom AsOfJoinExec plans in with exactly two " +
+       "key-clustered exchanges (one per side), no window machinery") {
+    val p = plan(graft.ops.Events.asofNative(spark, sf))
+    // SparkPlan.nodeName strips the Exec suffix: the operator prints
+    // as "AsOfJoin [output...]"
+    assert(p.contains("AsOfJoin "), "custom strategy must plan the node")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 2, s"expected 2 exchanges, got $shuffles")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows === 0, "native as-of must not fall back to a window")
+  }
+
   test("q8_share: all five dimension legs broadcast — the only joins " +
        "that shuffle are on the fact") {
     val p = plan(Relational.q8Share(spark, sf))
