@@ -829,12 +829,23 @@ object Events {
     * and the type-level totals are a ≤|types|-row broadcast back onto
     * the cells. Presentation floats follow the round(+1e-9) doctrine
     * (stats_agg/autocorr precedent for moment-sum parity). */
-  def seasonalDow(spark: SparkSession, dir: String): DataFrame = {
-    val cell = Tables.events(spark, dir)
+  def seasonalDow(spark: SparkSession, dir: String): DataFrame =
+    seasonalFromCells(seasonalCells(Tables.events(spark, dir)))
+
+  /** The moment-cell aggregate (SHARED with the streaming twin — twins
+    * that recompute signals independently drift): one map-side-
+    * combinable pass to ≤ |types|·7 cells carrying n/Σ/Σ². Works
+    * unchanged on a streaming DataFrame in complete mode — the cells
+    * ARE the bounded state. */
+  private[graft] def seasonalCells(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"),
                (dayofweek(col("ts")) - 1).cast("long").as("dow"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
            sum(col("value") * col("value")).as("ss"))
+
+  /** Derivation tail over the cell relation (shared, see above). */
+  private[graft] def seasonalFromCells(cell: DataFrame): DataFrame = {
     val tot = cell.groupBy(col("event_type").as("t_type"))
       .agg(sum(col("n")).as("nn"), sum(col("s")).as("stot"),
            sum(col("ss")).as("sstot"),

@@ -489,6 +489,18 @@ object EventStream {
       .filter(col("n") >= graft.ops.Corpus.HhMinSupport)
   }
 
+  /** Weekday seasonal moment cells on the unbounded stream (COMPLETE
+    * mode): the SHARED Events.seasonalCells aggregate runs unchanged —
+    * the ≤ |types|·7 cells ARE the bounded state (three mergeable
+    * accumulators per cell), so the live decomposition costs no more
+    * state than a totals dashboard. The twin derives the means/offsets/
+    * strength from the final cell table with the SAME shared tail the
+    * batch operator uses; count cells are arrival-order-independent and
+    * the moment sums enter the compared output only through the rounded
+    * presentation (the batch operator's own cross-engine doctrine). */
+  def seasonalCellsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.seasonalCells(readEvents(spark, dir))
+
   /** Running per-type totals in COMPLETE output mode — the live
     * dashboard aggregation (append mode suits finalized windows; a
     * dashboard wants the CURRENT totals re-emitted each batch). State is

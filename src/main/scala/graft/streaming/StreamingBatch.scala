@@ -173,6 +173,11 @@ object StreamingBatch {
       "complete", "sq_heavyhit")
       .orderBy("gram")
 
+  def streamingSeasonal(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.seasonalFromCells(
+      runToTable(EventStream.seasonalCellsStream(spark, dir),
+        "complete", "sq_seasonal"))
+
   def streamingQuality(spark: SparkSession, dir: String): DataFrame =
     runToTable(EventStream.qualityStream(spark, dir),
       "complete", "sq_quality")
@@ -180,6 +185,7 @@ object StreamingBatch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_quality"       -> (streamingQuality _),
+    "streaming_seasonal"      -> (streamingSeasonal _),
     "streaming_heavy_hitters" -> (streamingHeavyHitters _),
     "streaming_totals"        -> (streamingTotals _),
     "streaming_range_frame"   -> (streamingRangeFrame _),
@@ -193,6 +199,10 @@ object StreamingBatch {
     "streaming_decontaminate" -> (streamingDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    // complete-mode final cells == the batch moment cells (counts are
+    // arrival-order-independent; moment sums reach the compared output
+    // only through the shared derivation tail's rounded presentation)
+    "streaming_seasonal" -> graft.ops.Events.oracle("events_seasonal"),
     // complete-mode final table == the batch rule-ensemble rollup: each
     // doc's verdict is deterministic (shared qualityVerdicts chain) and
     // the per-pass-count tallies are arrival-order-independent

@@ -231,6 +231,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming seasonal decomposition equals the batch operator " +
+       "row-for-row through the shared cell + derivation chain") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingBatch
+      .streamingSeasonal(spark, dir).collect().map(_.toSeq)
+    val want = graft.ops.Events.seasonalDow(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("streaming quota admits exactly the first 100 events per user " +
        "in (ts, id) order") {
     val dir = "/root/testdata/sf0.001"
