@@ -1394,6 +1394,14 @@ object Relational {
     "row_counts"     -> (rowCounts _),
     "upsert_lww"     -> (upsertLww _))
 
+  /** DuckDB rendering of `revUnits` — SINGLE SOURCE for the five
+    * TPC-H-shape oracles (the duckCosine doctrine: a units or rounding
+    * change edits exactly one definition, so the oracles cannot drift
+    * from the operator's integer-revenue basis). */
+  private val revUnitsSql =
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT)" +
+      " * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+
   val oracle: Map[String, String] = Map(
     // Direct full-table aggregation: equality with the Spark side's
     // split-then-merge proves the partial-merge algebra is lossless.
@@ -1574,10 +1582,9 @@ object Relational {
         |       cum_share <= 0.8 AS is_top80
         |FROM r ORDER BY rnk""".stripMargin,
     "q8_share" ->
-      """WITH vol AS (
+      s"""WITH vol AS (
         |  SELECT year(o_orderdate) AS o_year,
-        |         CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS units,
+        |         $revUnitsSql AS units,
         |         n1.n_name AS supp_nation
         |  FROM lineitem
         |    JOIN part      ON l_partkey = p_partkey
@@ -1599,9 +1606,8 @@ object Relational {
         |        / CAST(SUM(units) AS DOUBLE) + 1e-9, 6) AS mkt_share
         |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_profit" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        |          * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM($revUnitsSql
         |        - 60 * CAST(ROUND(p_retailprice*100) AS BIGINT)
         |          * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
         |        / 10000.0, 4) AS profit,
@@ -1614,11 +1620,9 @@ object Relational {
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q10_returned" ->
-      """WITH pc AS (
+      s"""WITH pc AS (
         |  SELECT o_custkey,
-        |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
-        |      AS units,
+        |    CAST(SUM($revUnitsSql) AS BIGINT) AS units,
         |    COUNT(*) AS n_lines
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_returnflag = 'R'
@@ -1632,11 +1636,9 @@ object Relational {
         |  JOIN nation   ON c_nationkey = n_nationkey
         |ORDER BY units DESC, c_custkey LIMIT 20""".stripMargin,
     "q15_topsupp" ->
-      """WITH ps AS (
+      s"""WITH ps AS (
         |  SELECT l_suppkey,
-        |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
-        |      AS units
+        |    CAST(SUM($revUnitsSql) AS BIGINT) AS units
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
         |    AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1647,15 +1649,14 @@ object Relational {
         |WHERE units = (SELECT MAX(units) FROM ps)
         |ORDER BY s_suppkey""".stripMargin,
     "q17_smallqty" ->
-      """WITH pp AS (
+      s"""WITH pp AS (
         |  SELECT l_partkey AS pp_key,
         |         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
         |           AS sum_qty,
         |         COUNT(*) AS n_lines
         |  FROM lineitem GROUP BY 1)
         |SELECT p_brand,
-        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        |    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+        |  ROUND(CAST(SUM($revUnitsSql) AS BIGINT)
         |    / 10000.0, 4) AS small_qty_rev,
         |  COUNT(*) AS n_small
         |FROM lineitem

@@ -438,8 +438,12 @@ object Similarity {
     *
     * so both engines divide the SAME two integers exactly once
     * (degenerate 0-denominator reports 0, kappa's convention). The
-    * products reach ~n⁴/4: within long to ~50M items; past that the
-    * documented swap is decimal(38,0) sums, same exactness. Dataflow:
+    * SUMS stay long-exact to n ≈ 10⁹ (each is ≤ C(n,2)), but the final
+    * products reach ~n⁴/4 — past long at n ≈ 7·10⁴ — so the three
+    * products compute in decimal(38,0) (exact to n ≈ 10⁹; the oracle
+    * mirrors with HUGEINT) and convert to double only for the single
+    * division, where both engines round the same exact integer to the
+    * same nearest double. Dataflow:
     * one vec_id key join, one (cluster,label) aggregate, then three
     * 1-row reductions of the contingency relation broadcast together —
     * corpus cost is kmeansAssign's map-side assignment. */
@@ -463,12 +467,13 @@ object Similarity {
            count(lit(1)).as("n_labels"))
     tot.crossJoin(broadcast(byCluster)).crossJoin(broadcast(byLabel))
       .withColumn("n_pairs", expr("(n * (n - 1)) div 2"))
-      .withColumn("ari_num",
-        lit(2L) * col("n_pairs") * col("sum_ij")
-          - lit(2L) * col("sum_a") * col("sum_b"))
-      .withColumn("ari_den",
-        col("n_pairs") * (col("sum_a") + col("sum_b"))
-          - lit(2L) * col("sum_a") * col("sum_b"))
+      .withColumn("ari_num", expr(
+        "2 * CAST(n_pairs AS DECIMAL(38,0)) * CAST(sum_ij AS DECIMAL(38,0))" +
+          " - 2 * CAST(sum_a AS DECIMAL(38,0)) * CAST(sum_b AS DECIMAL(38,0))"))
+      .withColumn("ari_den", expr(
+        "CAST(n_pairs AS DECIMAL(38,0)) * (CAST(sum_a AS DECIMAL(38,0))" +
+          " + CAST(sum_b AS DECIMAL(38,0)))" +
+          " - 2 * CAST(sum_a AS DECIMAL(38,0)) * CAST(sum_b AS DECIMAL(38,0))"))
       .select(col("n"), col("n_clusters"), col("n_labels"),
         col("n_pairs"), col("sum_ij"), col("sum_a"), col("sum_b"),
         when(col("ari_den") === 0L, lit(0.0))
@@ -847,13 +852,16 @@ object Similarity {
           |        FROM cells GROUP BY label))
           |SELECT n, n_clusters, n_labels,
           |  (n * (n - 1)) // 2 AS n_pairs, sum_ij, sum_a, sum_b,
-          |  CASE WHEN (n * (n - 1)) // 2 * (sum_a + sum_b)
-          |            - 2 * sum_a * sum_b = 0 THEN 0.0
+          |  CASE WHEN CAST((n * (n - 1)) // 2 AS HUGEINT)
+          |              * (CAST(sum_a AS HUGEINT) + sum_b)
+          |            - 2 * CAST(sum_a AS HUGEINT) * sum_b = 0 THEN 0.0
           |       ELSE ROUND(
-          |         CAST(2 * ((n * (n - 1)) // 2) * sum_ij
-          |              - 2 * sum_a * sum_b AS DOUBLE)
-          |         / (((n * (n - 1)) // 2) * (sum_a + sum_b)
-          |            - 2 * sum_a * sum_b) + 1e-9, 6) END AS ari,
+          |         CAST(2 * CAST((n * (n - 1)) // 2 AS HUGEINT) * sum_ij
+          |              - 2 * CAST(sum_a AS HUGEINT) * sum_b AS DOUBLE)
+          |         / CAST(CAST((n * (n - 1)) // 2 AS HUGEINT)
+          |                  * (CAST(sum_a AS HUGEINT) + sum_b)
+          |                - 2 * CAST(sum_a AS HUGEINT) * sum_b AS DOUBLE)
+          |         + 1e-9, 6) END AS ari,
           |  ROUND(CAST((n * (n - 1)) // 2 + 2 * sum_ij
           |             - sum_a - sum_b AS DOUBLE)
           |        / ((n * (n - 1)) // 2) + 1e-9, 6) AS rand_index

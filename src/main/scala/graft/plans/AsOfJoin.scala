@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Native AS-OF join — the whole-operator Catalyst extension path
   * (LogicalPlan + SparkStrategy + SparkPlan, registered through
@@ -160,9 +160,27 @@ object AsOf {
     ensureStrategy(spark)
     val l = probe.queryExecution.analyzed
     val r = build.queryExecution.analyzed
+    // the merge reads POSITIONALLY (getLong/getDouble by index), so a
+    // mis-ordered or mis-typed input must fail loudly here — not emit
+    // plausible-looking wrong matches
+    def isTs(dt: org.apache.spark.sql.types.DataType) =
+      dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType
     require(l.output.length >= 3 && r.output.length == 4,
       "asof contract: left (event_id, user_id, ts, ...), " +
         "right (user_id, ts, event_id, value)")
+    require(l.output(0).dataType == LongType &&
+        l.output(1).dataType == LongType && isTs(l.output(2).dataType),
+      s"asof left contract (long id, long key, timestamp ts), got " +
+        l.output.take(3).map(_.dataType.simpleString).mkString(", "))
+    require(r.output(0).dataType == LongType &&
+        isTs(r.output(1).dataType) && r.output(2).dataType == LongType &&
+        r.output(3).dataType == DoubleType,
+      s"asof right contract (long key, timestamp ts, long id, double " +
+        s"value), got " +
+        r.output.map(_.dataType.simpleString).mkString(", "))
+    require(l.output(2).dataType == r.output(1).dataType,
+      "asof: probe and build timestamp types must match")
     val plan = AsOfJoinPlan(l, r,
       AttributeReference("asof_ts", r.output(1).dataType, nullable = true)(),
       AttributeReference("asof_value", DoubleType, nullable = true)())

@@ -373,9 +373,13 @@ class EventsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
                  r.getString(3), r.getDouble(4)))
+    // sort on MICROseconds (getTime floors to ms and would mis-order
+    // same-millisecond purchases against the operator's µs semantics)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val purchases = ev.filter(_._4 == "purchase").toSeq
       .groupBy(_._2)
-      .map { case (k, v) => k -> v.sortBy(p => (p._3.getTime, p._1)) }
+      .map { case (k, v) => k -> v.sortBy(p => (micros(p._3), p._1)) }
     val want = ev.filter(_._4 == "click").map { c =>
       val best = purchases.getOrElse(c._2, Seq.empty)
         .filter(p => !p._3.after(c._3))          // p.ts <= click.ts
