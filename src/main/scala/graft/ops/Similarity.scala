@@ -156,6 +156,39 @@ object Similarity {
       .orderBy(col("anchor_id"))
   }
 
+  /** Incremental ANN admission — neardup_incremental's embedding twin,
+    * the vector-index MAINTENANCE shape: the corpus (even vec_ids)
+    * stands as a sign-bucket index; each new-batch vector (odd ids)
+    * probes ONLY its own bucket, takes its best corpus match (max
+    * rounded cosine, min-id tie), and is admitted iff that best match
+    * stays below the near-dup line (0.9) — no candidates admits
+    * trivially. Per-batch-vector cost is Θ(bucket density); the corpus
+    * side is index maintenance, never rescored. The argmax is a
+    * max(struct(sim, −id)) — one aggregate, no window over the corpus,
+    * deterministic in both engines. */
+  def annIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+              signBucket(col("embedding"), bits).as("bucket"))
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+      .select(col("bucket"), col("vec_id").as("c_id"),
+              col("embedding").as("c_emb"))
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    batch.join(corpus, Seq("bucket"), "left")
+      .select(col("vec_id"), col("c_id"),
+        when(col("c_id").isNotNull,
+          round(cosine(col("embedding"), col("c_emb")), 6)).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(count(col("c_id")).as("n_candidates"),
+           max(struct(col("sim"), (-col("c_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), col("n_candidates"),
+        (-col("m")("nid")).as("best_match"),
+        col("m")("sim").as("best_sim"),
+        coalesce(col("m")("sim") < 0.9, lit(true)).as("admit"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid cell (inverted lists); search only probes the query's own
     * cell. The codebook size scales with the corpus — C = ⌈√N⌉ — so
@@ -697,6 +730,7 @@ object Similarity {
     "cluster_purity" -> (clusterPurity _),
     "cluster_ari"    -> (clusterAri _),
     "hard_negatives" -> (hardNegatives _),
+    "ann_incremental" -> (annIncremental _),
     "kmeans_assign"  -> (kmeansAssign _),
     "ann_recall"     -> (annRecall _),
     "sim_topk_brute" -> (topKBrute _),
@@ -1080,6 +1114,28 @@ object Similarity {
         |SELECT dim, mean_old, mean_new, shift, centroid_cos
         |FROM d2 CROSS JOIN cc
         |ORDER BY shift DESC, dim LIMIT 10""".stripMargin,
+    "ann_incremental" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket
+         |  FROM embeddings),
+         |b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |c AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |j AS (
+         |  SELECT b.vec_id, c.vec_id AS c_id,
+         |         CASE WHEN c.vec_id IS NULL THEN NULL
+         |              ELSE ${duckCosine("b.embedding", "c.embedding")}
+         |         END AS sim
+         |  FROM b LEFT JOIN c ON b.bucket = c.bucket),
+         |r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC NULLS LAST, c_id) AS rn,
+         |    COUNT(c_id) OVER (PARTITION BY vec_id) AS n_candidates
+         |  FROM j)
+         |SELECT vec_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       c_id AS best_match, sim AS best_sim,
+         |       COALESCE(sim < 0.9, TRUE) AS admit
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "hard_negatives" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $duckBucket AS bucket

@@ -174,6 +174,38 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ann_incremental: every batch row is odd, matches are even, the " +
+       "reported best_sim is the true pair cosine, and the admit rule " +
+       "is exactly best_sim < 0.9 (no candidates admits)") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def q6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val rows = Similarity.annIncremental(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSet ===
+      vecs.keySet.filter(_ % 2 == 1), "one verdict per odd-id batch row")
+    rows.foreach { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      if (n == 0) {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.getBoolean(4))
+      } else {
+        val (m, sim) = (r.getLong(2), r.getDouble(3))
+        assert(m % 2 == 0, s"best match of $id must come from the corpus")
+        assert(sim === q6(cos(vecs(id), vecs(m))),
+          s"reported best_sim of $id must be the true pair cosine")
+        assert(r.getBoolean(4) === (sim < 0.9))
+      }
+    }
+  }
+
   test("quantized ANN: rescored sims are the exact fp32 cosines, results " +
        "subset the LSH candidate universe, int8 ordering is reproducible") {
     val dir = "/root/testdata/sf0.001"
