@@ -859,7 +859,12 @@ object Events {
       .select(col("event_type"), col("dow"), col("n"),
         round(col("s") / col("n") + 1e-9, 4).as("dow_mean"),
         round(col("s") / col("n") - col("om") + 1e-9, 4).as("seasonal"),
-        round(col("explained_ss") / col("total_ss") + 1e-9, 6)
+        // a type whose values are all identical has total_ss = 0; the
+        // unguarded 0/0 would emit NaN here while the oracle's
+        // divide-by-zero behaves differently — report 0 by convention
+        // (the clusterAri `ari` doctrine), mirrored in the oracle
+        when(col("total_ss") === 0, lit(0.0))
+          .otherwise(round(col("explained_ss") / col("total_ss") + 1e-9, 6))
           .as("strength"))
       .orderBy(col("event_type"), col("dow"))
   }
@@ -960,8 +965,10 @@ object Events {
         |SELECT c.event_type, c.dow, c.n,
         |  ROUND(c.s/c.n + 1e-9, 4) AS dow_mean,
         |  ROUND(c.s/c.n - t.stot/t.nn + 1e-9, 4) AS seasonal,
-        |  ROUND(((t.sstot - t.stot*t.stot/t.nn) - t.resid_ss)
-        |        / (t.sstot - t.stot*t.stot/t.nn) + 1e-9, 6) AS strength
+        |  CASE WHEN t.sstot - t.stot*t.stot/t.nn = 0 THEN 0.0
+        |       ELSE ROUND(((t.sstot - t.stot*t.stot/t.nn) - t.resid_ss)
+        |            / (t.sstot - t.stot*t.stot/t.nn) + 1e-9, 6)
+        |  END AS strength
         |FROM cell c JOIN tot t USING (event_type)
         |ORDER BY 1, 2""".stripMargin,
     "events_autocorr" ->

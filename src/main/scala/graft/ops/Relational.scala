@@ -562,8 +562,11 @@ object Relational {
       .select(col("o_year"),
         round(col("nation_units") / 10000.0, 4).as("nation_rev"),
         round(col("total_units") / 10000.0, 4).as("total_rev"),
-        round(col("nation_units").cast("double") / col("total_units")
-          + 1e-9, 6).as("mkt_share"))
+        // degenerate-denominator guard (clusterAri `ari` doctrine): a
+        // zero-revenue year reports share 0, not NaN, both engines
+        when(col("total_units") === 0L, lit(0.0))
+          .otherwise(round(col("nation_units").cast("double")
+            / col("total_units") + 1e-9, 6)).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -1601,9 +1604,11 @@ object Relational {
         |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN units
         |                 ELSE 0 END) AS BIGINT) / 10000.0, 4) AS nation_rev,
         |  ROUND(CAST(SUM(units) AS BIGINT) / 10000.0, 4) AS total_rev,
-        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN units
-        |                 ELSE 0 END) AS DOUBLE)
-        |        / CAST(SUM(units) AS DOUBLE) + 1e-9, 6) AS mkt_share
+        |  CASE WHEN SUM(units) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+        |                      THEN units ELSE 0 END) AS DOUBLE)
+        |            / CAST(SUM(units) AS DOUBLE) + 1e-9, 6)
+        |  END AS mkt_share
         |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_profit" ->
       s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

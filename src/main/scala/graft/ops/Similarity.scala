@@ -512,10 +512,12 @@ object Similarity {
         when(col("ari_den") === 0L, lit(0.0))
           .otherwise(round(col("ari_num").cast("double")
             / col("ari_den") + 1e-9, 6)).as("ari"),
-        // plain Rand index for reference: agreeing pairs / all pairs
-        round((col("n_pairs") + lit(2L) * col("sum_ij")
-            - col("sum_a") - col("sum_b")).cast("double")
-          / col("n_pairs") + 1e-9, 6).as("rand_index"))
+        // plain Rand index for reference: agreeing pairs / all pairs;
+        // n ≤ 1 gives n_pairs = 0 — report 0 like `ari`, not NaN
+        when(col("n_pairs") === 0L, lit(0.0))
+          .otherwise(round((col("n_pairs") + lit(2L) * col("sum_ij")
+              - col("sum_a") - col("sum_b")).cast("double")
+            / col("n_pairs") + 1e-9, 6)).as("rand_index"))
   }
 
   /** Sparse text cosine similarity join over the RARE-term space — the
@@ -896,9 +898,10 @@ object Similarity {
           |                  * (CAST(sum_a AS HUGEINT) + sum_b)
           |                - 2 * CAST(sum_a AS HUGEINT) * sum_b AS DOUBLE)
           |         + 1e-9, 6) END AS ari,
-          |  ROUND(CAST((n * (n - 1)) // 2 + 2 * sum_ij
-          |             - sum_a - sum_b AS DOUBLE)
-          |        / ((n * (n - 1)) // 2) + 1e-9, 6) AS rand_index
+          |  CASE WHEN (n * (n - 1)) // 2 = 0 THEN 0.0
+          |       ELSE ROUND(CAST((n * (n - 1)) // 2 + 2 * sum_ij
+          |                  - sum_a - sum_b AS DOUBLE)
+          |            / ((n * (n - 1)) // 2) + 1e-9, 6) END AS rand_index
           |FROM t CROSS JOIN ra CROSS JOIN rb""".stripMargin),
     "ann_recall" ->
       s"""WITH q AS (

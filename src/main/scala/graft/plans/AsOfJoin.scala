@@ -107,17 +107,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var lastKey = 0L; var lastTs = 0L
       var lastVal = 0.0; var lastValNull = false
       lIt.map { l =>
-        val lKey = l.getLong(1)
-        val lTs = l.getLong(2)
-        var done = false
+        // NULL never satisfies an as-of predicate (SQL join semantics —
+        // and the DuckDB oracle's): a NULL probe key/ts emits no-match
+        // without touching the merge state, and a NULL build key/ts is
+        // skipped below. Reading them positionally as getLong would
+        // silently coerce NULL to 0 / epoch and invent matches.
+        val lNull = l.isNullAt(1) || l.isNullAt(2)
+        val lKey = if (lNull) 0L else l.getLong(1)
+        val lTs = if (lNull) 0L else l.getLong(2)
+        var done = lNull
         while (!done) {
           if (!rPending) {
             if (rIt.hasNext) {
               val r = rIt.next()
-              rKey = r.getLong(0); rTs = r.getLong(1)
-              rValNull = r.isNullAt(3)
-              rVal = if (rValNull) 0.0 else r.getDouble(3)
-              rPending = true
+              if (!(r.isNullAt(0) || r.isNullAt(1))) {
+                rKey = r.getLong(0); rTs = r.getLong(1)
+                rValNull = r.isNullAt(3)
+                rVal = if (rValNull) 0.0 else r.getDouble(3)
+                rPending = true
+              } // else: NULL-keyed build row — drop, pull the next one
             } else done = true
           }
           if (rPending) {
@@ -130,7 +138,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             } else done = true
           }
         }
-        if (haveLast && lastKey == lKey) {
+        if (!lNull && haveLast && lastKey == lKey) {
           extra.update(0, lastTs)
           if (lastValNull) extra.setNullAt(1) else extra.update(1, lastVal)
         } else { extra.setNullAt(0); extra.setNullAt(1) }
@@ -149,10 +157,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   * idempotently for sessions not built through GraftSession (whose
   * extensions already inject it). */
 object AsOf {
-  def ensureStrategy(spark: SparkSession): Unit = {
-    val es = spark.experimental.extraStrategies
-    if (!es.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies = es :+ AsOfJoinStrategy
+  private val strategyLock = new Object
+
+  /** Fallback registration for sessions NOT built through GraftSession:
+    * a session whose `spark.sql.extensions` names GraftExtensions already
+    * carries AsOfJoinStrategy as an injected planner strategy, so
+    * appending it to extraStrategies would plan every as-of twice (the
+    * planner takes the first candidate, but the duplicate work and the
+    * read-modify-write race remain). The lock serializes the
+    * check-then-append for plain sessions. */
+  def ensureStrategy(spark: SparkSession): Unit = strategyLock.synchronized {
+    val viaExtensions = spark.conf
+      .getOption("spark.sql.extensions")
+      .exists(_.contains(classOf[graft.GraftExtensions].getName))
+    if (!viaExtensions) {
+      val es = spark.experimental.extraStrategies
+      if (!es.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies = es :+ AsOfJoinStrategy
+    }
   }
 
   def join(probe: DataFrame, build: DataFrame): DataFrame = {
