@@ -88,6 +88,77 @@ object Similarity {
     math.min(dim, math.max(8, needed))
   }
 
+  /** Multi-probe radius of the sign-LSH search tier: a query probes every
+    * bucket within Hamming distance ≤ this of its own signature, not just
+    * its own bucket. Measured on the fixture (sf0.01, the gate scale):
+    * of the 50 true top-5 neighbors, the Hamming distance between query
+    * and neighbor signatures distributes 1/9/12/13/10/2/2/1 over
+    * 0..7 — single-probe recall@5 is 0.02 (the round-4 `ann_recall` red
+    * flag), radius 2 reaches 0.44, radius 3 reaches 0.70. Three is the
+    * smallest radius clearing the 0.5 line, so it is the shipped dial.
+    *
+    * Scale shape: the probe set is C(bits,0)+…+C(bits,3) buckets — 93 at
+    * 8 bits, ~2.3k at the 24 bits a 10⁹-vector corpus gets — growing
+    * POLYNOMIALLY in bits while the bucket count grows exponentially, so
+    * the probed fraction of the space shrinks as the corpus grows.
+    * Candidate work stays Θ(N · probes · bucket-density): a bounded
+    * equi-join fan-out, never all-pairs. */
+  val ProbeRadius = 3
+
+  /** All bucket signatures within Hamming distance ≤ `radius` of
+    * `bucket`, enumerated ARRAY-LOCALLY (nested higher-order transforms
+    * over flip positions — no join, no UDF; each probe flips a distinct
+    * position set, so the list is duplicate-free by construction and a
+    * candidate meets each query exactly once through its own bucket).
+    * Exact-bucket search is the degenerate radius 0. */
+  def probeBuckets(bucket: Column, bits: Int, radius: Int): Column = {
+    require(radius >= 0 && radius <= 3, s"unsupported probe radius $radius")
+    def flip(s: Column, i: Column): Column = concat(
+      substr(s, lit(1), i - 1),
+      when(substr(s, i, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+      substr(s, i + 1, lit(bits)))
+    val r0 = array(bucket)
+    lazy val r1 = transform(sequence(lit(1), lit(bits)), i => flip(bucket, i))
+    lazy val r2 = flatten(transform(sequence(lit(1), lit(bits - 1)), i =>
+      transform(sequence(i + 1, lit(bits)), j => flip(flip(bucket, i), j))))
+    lazy val r3 = flatten(flatten(transform(sequence(lit(1), lit(bits - 2)),
+      i => transform(sequence(i + 1, lit(bits - 1)), j =>
+        transform(sequence(j + 1, lit(bits)), k =>
+          flip(flip(flip(bucket, i), j), k))))))
+    radius match {
+      case 0 => r0
+      case 1 => concat(r0, r1)
+      case 2 => concat(r0, r1, r2)
+      case _ => concat(r0, r1, r2, r3)
+    }
+  }
+
+  /** Shared candidate stage of the multi-probe sign-LSH tier (annLsh,
+    * annRecall's LSH arm, annNdcg, hardNegatives): the corpus side keys
+    * on its OWN bucket; the query side explodes its ≤ C(bits,≤radius)
+    * probe signatures; candidates meet through the bucket equi-join —
+    * the same bounded hash-join dataflow as single-probe, fan-out
+    * multiplied by the probe count, never a similarity theta-join. The
+    * semantics (pinned by the oracles' quadratic form): candidate ⇔
+    * Hamming(query sig, candidate sig) ≤ radius. */
+  private def lshCandidates(spark: SparkSession, dir: String,
+      probeOnly: Option[Column] = None): DataFrame = {
+    // count() is answered from parquet footer metadata, no data scan
+    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+              signBucket(col("embedding"), bits).as("bucket"))
+    val q = probeOnly.fold(e)(e.filter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeBuckets(col("bucket"), bits, ProbeRadius)).as("bucket"))
+    val c = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+                     col("embedding").as("n_emb"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("q_emb"), col("n_emb")), 6).as("sim"))
+  }
+
   /** Exact brute-force cosine top-k: probe set = vec_id < 10, k = 5. */
   def topKBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
@@ -102,27 +173,12 @@ object Similarity {
       k = 5)
   }
 
-  /** Approximate all-pairs top-k: candidates must share a sign bucket
-    * (hash join on the bucket; width scales with N via adaptiveBits —
-    * 8 bits at fixture sizes), then exact cosine + rank within
-    * candidates, k = 3. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    // count() is answered from parquet footer metadata, no data scan
-    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
-    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"),
-              signBucket(col("embedding"), bits).as("bucket"))
-    val q = e.select(col("bucket"), col("vec_id").as("query_id"),
-                     col("embedding").as("q_emb"))
-    val c = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
-                     col("embedding").as("n_emb"))
-    rankTopK(
-      q.join(c, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
-      k = 3)
-  }
+  /** Approximate all-pairs top-k over the multi-probe sign-LSH tier
+    * (candidates ⇔ signatures within Hamming ≤ ProbeRadius, met through
+    * the bucket equi-join — see lshCandidates), then exact cosine +
+    * rank within candidates, k = 3. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    rankTopK(lshCandidates(spark, dir), k = 3)
 
   /** Hard-negative mining for contrastive training — negative_pairs'
     * quality-tier sibling: for each anchor, the MOST similar in-bucket
@@ -130,42 +186,30 @@ object Similarity {
     * embed_neardup threshold) — similar enough to be informative, far
     * enough to be a true negative (an accidental near-dup "negative"
     * teaches the model to split duplicates). Candidates meet through
-    * the adaptive sign-LSH bucket join (never all-pairs); the < 0.9 cut
-    * applies to the 6-dp-ROUNDED cosine, so membership can't flip on a
-    * ulp; top-1 rides the bounded-heap TopKAggregator. Anchors whose
-    * bucket holds only near-dups emit nothing (the honest answer — a
-    * random negative is negative_pairs' job). */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
-    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"),
-              signBucket(col("embedding"), bits).as("bucket"))
-    val q = e.select(col("bucket"), col("vec_id").as("query_id"),
-                     col("embedding").as("q_emb"))
-    val c = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
-                     col("embedding").as("n_emb"))
-    rankTopK(
-      q.join(c, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim"))
-        .filter(col("sim") < 0.9),
-      k = 1)
+    * the multi-probe sign-LSH tier (lshCandidates — never all-pairs);
+    * the < 0.9 cut applies to the 6-dp-ROUNDED cosine, so membership
+    * can't flip on a ulp; top-1 rides the bounded-heap TopKAggregator.
+    * Anchors whose probed buckets hold only near-dups emit nothing (the
+    * honest answer — a random negative is negative_pairs' job). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    rankTopK(lshCandidates(spark, dir).filter(col("sim") < 0.9), k = 1)
       .select(col("query_id").as("anchor_id"),
               col("neighbor_id").as("negative_id"), col("sim"))
       .orderBy(col("anchor_id"))
-  }
 
   /** Incremental ANN admission — neardup_incremental's embedding twin,
     * the vector-index MAINTENANCE shape: the corpus (even vec_ids)
     * stands as a sign-bucket index; each new-batch vector (odd ids)
-    * probes ONLY its own bucket, takes its best corpus match (max
-    * rounded cosine, min-id tie), and is admitted iff that best match
-    * stays below the near-dup line (0.9) — no candidates admits
-    * trivially. Per-batch-vector cost is Θ(bucket density); the corpus
-    * side is index maintenance, never rescored. The argmax is a
-    * max(struct(sim, −id)) — one aggregate, no window over the corpus,
-    * deterministic in both engines. */
+    * probes the buckets within Hamming ≤ ProbeRadius of its signature
+    * (a cos ≥ 0.9 near-dup still flips ~1 in 7 sign bits, so the
+    * single-probe form missed most true duplicates — the ann_recall
+    * lesson applied to the admission gate), takes its best corpus match
+    * (max rounded cosine, min-id tie), and is admitted iff that best
+    * match stays below the near-dup line (0.9) — no candidates admits
+    * trivially. Per-batch-vector cost is Θ(probes · bucket density);
+    * the corpus side is index maintenance, never rescored. The argmax
+    * is a max(struct(sim, −id)) — one aggregate, no window over the
+    * corpus, deterministic in both engines. */
   def annIncremental(spark: SparkSession, dir: String): DataFrame = {
     val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
@@ -175,6 +219,9 @@ object Similarity {
       .select(col("bucket"), col("vec_id").as("c_id"),
               col("embedding").as("c_emb"))
     val batch = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"),
+        explode(probeBuckets(col("bucket"), bits, ProbeRadius))
+          .as("bucket"))
     batch.join(corpus, Seq("bucket"), "left")
       .select(col("vec_id"), col("c_id"),
         when(col("c_id").isNotNull,
@@ -312,11 +359,13 @@ object Similarity {
     * deliberate, sized cost — that is what makes ground truth affordable
     * at any corpus size.
     *
-    * On the synthetic fixture the single-probe LSH recall is near zero
-    * while IVF lands higher — the expected shape for unstructured random
-    * vectors (a true top-5 neighbor rarely agrees on all 8 sign bits),
-    * and exactly the measurement that tells an operator to add probes /
-    * tables or widen nprobe before shipping an index. */
+    * History: on the synthetic fixture the round-4 SINGLE-probe LSH tier
+    * measured recall@5 = 0.02 (a true top-5 neighbor rarely agrees on
+    * all 8 sign bits of unstructured vectors) — exactly the measurement
+    * that tells an operator to add probes before shipping an index. The
+    * tier now multi-probes Hamming ≤ ProbeRadius, which this operator
+    * measures at 0.70 on the same fixture (vs IVF's 0.88); the radius
+    * constant's scaladoc carries the full distance histogram. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
     val truth = topKBrute(spark, dir) // probes vec_id < 10, top-5
@@ -334,20 +383,8 @@ object Similarity {
           round(col("n_hit").cast("double") / col("n_truth") + 1e-9, 4)
             .as("recall"))
 
-    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
-    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"),
-              signBucket(col("embedding"), bits).as("bucket"))
     val lsh = rankTopK(
-      e.filter(col("vec_id") < 10)
-        .select(col("bucket"), col("vec_id").as("query_id"),
-                col("embedding").as("q_emb"))
-        .join(e.select(col("bucket"), col("vec_id").as("neighbor_id"),
-                       col("embedding").as("n_emb")), Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
-      k)
+      lshCandidates(spark, dir, Some(col("vec_id") < 10)), k)
 
     val asg = ivfAssigned(spark, dir)
     val ivf = rankTopK(
@@ -644,20 +681,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("t_rnk"),
               (lit(6) - col("rnk")).cast("double").as("rel"))
 
-    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
-    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"),
-              signBucket(col("embedding"), bits).as("bucket"))
     val ann = rankTopK(
-      e.filter(col("vec_id") < 10)
-        .select(col("bucket"), col("vec_id").as("query_id"),
-                col("embedding").as("q_emb"))
-        .join(e.select(col("bucket"), col("vec_id").as("neighbor_id"),
-                       col("embedding").as("n_emb")), Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
-      k)
+      lshCandidates(spark, dir, Some(col("vec_id") < 10)), k)
 
     val scored = ann.as("a")
       .join(truth.as("t"),
@@ -756,6 +781,17 @@ object Similarity {
     (1 to 8).map(i =>
       s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
+
+  /** Hamming distance between two 8-bit signature strings — the oracle
+    * form of the multi-probe candidate rule. The oracle states the
+    * SEMANTICS as a quadratic theta-join (candidate ⇔ Hamming ≤
+    * ProbeRadius); the Spark side proves the bounded probe-bucket
+    * equi-join computes the same relation (the skyline-oracle doctrine:
+    * the oracle is the definition, the engine is the efficient shape). */
+  private[ops] def duckHamming(a: String, b: String): String =
+    (1 to 8).map(i =>
+      s"CASE WHEN substr($a,$i,1) <> substr($b,$i,1) THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
 
   /** k-means CTE chain up to the final assignment (a2) — duckCosine
     * rounds to 6 dp, so the ROW_NUMBER ranking IS the quantized-argmax
@@ -923,7 +959,8 @@ object Similarity {
          |lp AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
-         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |  FROM e a JOIN e b
+         |    ON ${duckHamming("a.bucket", "b.bucket")} <= $ProbeRadius
          |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
          |lsh AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -1066,7 +1103,8 @@ object Similarity {
          |p AS (
          |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "c.embedding")} AS sim
-         |  FROM e a JOIN e c ON a.bucket = c.bucket
+         |  FROM e a JOIN e c
+         |    ON ${duckHamming("a.bucket", "c.bucket")} <= $ProbeRadius
          |  WHERE a.vec_id <> c.vec_id AND a.vec_id < 10),
          |ar AS (
          |  SELECT *, CAST(ROW_NUMBER() OVER (
@@ -1128,7 +1166,8 @@ object Similarity {
          |         CASE WHEN c.vec_id IS NULL THEN NULL
          |              ELSE ${duckCosine("b.embedding", "c.embedding")}
          |         END AS sim
-         |  FROM b LEFT JOIN c ON b.bucket = c.bucket),
+         |  FROM b LEFT JOIN c
+         |    ON ${duckHamming("b.bucket", "c.bucket")} <= $ProbeRadius),
          |r AS (
          |  SELECT *,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1146,7 +1185,8 @@ object Similarity {
          |p AS (
          |  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
-         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |  FROM e a JOIN e b
+         |    ON ${duckHamming("a.bucket", "b.bucket")} <= $ProbeRadius
          |  WHERE a.vec_id <> b.vec_id),
          |r AS (
          |  SELECT *, ROW_NUMBER() OVER (
@@ -1161,7 +1201,8 @@ object Similarity {
          |p AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
-         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |  FROM e a JOIN e b
+         |    ON ${duckHamming("a.bucket", "b.bucket")} <= $ProbeRadius
          |  WHERE a.vec_id <> b.vec_id),
          |r AS (
          |  SELECT *, CAST(ROW_NUMBER() OVER (

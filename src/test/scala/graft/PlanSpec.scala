@@ -647,4 +647,18 @@ class PlanSpec extends AnyFunSuite {
     val aggs = "HashAggregate".r.findAllIn(p).length
     assert(aggs >= 4, "per-part aggregate must partial-aggregate map-side")
   }
+
+  test("sim_ann_lsh: the multi-probe fan-out is the bounded bucket " +
+       "equi-join — probe signatures explode map-side, candidates meet " +
+       "through a hash join on the bucket, never a similarity theta-join") {
+    val p = plan(Similarity.annLsh(spark, sf))
+    assert(p.contains("Generate"),
+      "expected the probe-bucket explode on the query side")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "multi-probe must stay an equi-join, not an all-pairs Hamming scan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      "candidates must meet through a hash-joinable bucket key")
+  }
 }

@@ -508,8 +508,12 @@ class TextSimilaritySpec extends AnyFunSuite {
       val truth = top5(emb.keys, q)
       val rel = truth.zipWithIndex
         .map { case (n, i) => n -> (5 - i).toDouble }.toMap
+      // multi-probe candidate rule: signatures within Hamming ≤ radius
       val ann = top5(
-        emb.keys.filter(n => bucket(emb(n)) == bucket(emb(q))), q)
+        emb.keys.filter { n =>
+          bucket(emb(n)).zip(bucket(emb(q))).count { case (a, b) => a != b } <=
+            Similarity.ProbeRadius
+        }, q)
       val dcg = ann.zipWithIndex.map { case (n, i) =>
         rel.getOrElse(n, 0.0) / (math.log(i + 2) / log2) }.sum
       val idcg = truth.zipWithIndex.map { case (n, i) =>
