@@ -689,6 +689,130 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** TPC-H Q21-shape: suppliers who single-handedly kept multi-supplier
+    * 'F' orders waiting — the notorious EXISTS + NOT-EXISTS
+    * double-correlated self-join on lineitem, the hardest decorrelation
+    * shape in the suite (sql_exists / q22_idle_rich cover the
+    * single-subquery forms). The fixture carries no commit/receipt
+    * dates, so "late" is proxied as shipping > 90 days after the order
+    * date, computed ONCE in the shared late-flag CTE that both engines
+    * state identically — the subqueries then correlate on pure lineitem
+    * columns exactly like the original.
+    *
+    * Written as SQL deliberately (the analyst form): Catalyst's
+    * RewritePredicateSubquery must decorrelate the EXISTS into a
+    * LEFT-SEMI and the NOT EXISTS into a LEFT-ANTI hash join on
+    * l_orderkey, each carrying the `<> supplier` residual condition —
+    * PlanSpec asserts both joins and that no subquery survives
+    * planning. ExtendedOpsSpec cross-checks the one-aggregate rewrite
+    * (per-order distinct-supplier counts: qualifies ⇔ late ∧ n_supp ≥ 2
+    * ∧ n_late_supp = 1), the single-shuffle form a 100 TB deployment
+    * would hand-write if the planner ever regressed. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    Tables.t(spark, dir, "supplier").createOrReplaceTempView("supplier_v")
+    Tables.t(spark, dir, "nation").createOrReplaceTempView("nation_v")
+    spark.sql(
+      """WITH lf AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, n_name, COUNT(*) AS numwait
+        |FROM lf l1
+        |  JOIN supplier_v ON l1.l_suppkey = s_suppkey
+        |  JOIN nation_v ON s_nationkey = n_nationkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lf l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lf l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.late)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** The one-aggregate rewrite of q21Waiting's qualification rule, used
+    * by ExtendedOpsSpec to prove the decorrelated SQL form computes the
+    * textbook semantics: per order, count distinct suppliers and
+    * distinct LATE suppliers in ONE orderkey-shuffled aggregate; a late
+    * line qualifies ⇔ its order has ≥ 2 suppliers and exactly 1 late
+    * one (necessarily the line's own). No self-join at all — the shape
+    * to hand-write at scale if planner decorrelation ever regressed. */
+  private[graft] def q21AggRewrite(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    val lf = Tables.t(spark, dir, "lineitem")
+      .join(Tables.t(spark, dir, "orders")
+              .filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+          .as("late"))
+    val perOrder = lf.groupBy(col("l_orderkey").as("po_key"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(when(col("late"), col("l_suppkey")))
+             .as("n_late_supp"))
+    lf.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("po_key"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(Tables.t(spark, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.t(spark, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q2-shape: minimum-cost supplier per part across the
+    * part→supplier→nation→region dimension chain — the correlated-MIN
+    * scalar subquery whose decorrelation (a per-part MIN aggregate
+    * joined back) is the other classic planner stress q17_smallqty's
+    * correlated AVG started. The fixture has no partsupp table, so the
+    * (part, supplier) cost relation derives from lineitem: cost =
+    * MIN(extendedprice) per pair, held in INTEGER cents so the
+    * correlated MIN and the outer equality are exact in both engines
+    * (a float min could disagree on a ulp and flip membership).
+    * Dimensions broadcast; the only shuffles are the ps aggregate and
+    * its per-part MIN twin. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    Tables.t(spark, dir, "part").createOrReplaceTempView("part_v")
+    Tables.t(spark, dir, "supplier").createOrReplaceTempView("supplier_v")
+    Tables.t(spark, dir, "nation").createOrReplaceTempView("nation_v")
+    Tables.t(spark, dir, "region").createOrReplaceTempView("region_v")
+    spark.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |           AS cost_c
+        |  FROM lineitem_v GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |       CAST(ROUND(cost_c / 100.0, 2) AS DOUBLE) AS supply_cost
+        |FROM part_v
+        |  JOIN ps ON pk = p_partkey
+        |  JOIN supplier_v ON sk = s_suppkey
+        |  JOIN nation_v ON s_nationkey = n_nationkey
+        |  JOIN region_v ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        |  AND cost_c = (SELECT MIN(ps2.cost_c)
+        |                FROM ps ps2
+        |                  JOIN supplier_v s2 ON ps2.sk = s2.s_suppkey
+        |                  JOIN nation_v n2
+        |                    ON s2.s_nationkey = n2.n_nationkey
+        |                  JOIN region_v r2
+        |                    ON n2.n_regionkey = r2.r_regionkey
+        |                WHERE r2.r_name = 'EUROPE'
+        |                  AND ps2.pk = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
   /** Distributed global ranking — the replacement for an UNPARTITIONED
     * `Window.orderBy(...)` whenever the ranked relation grows with the
     * corpus (per-customer / per-supplier aggregates do: a dimension is
@@ -1358,6 +1482,8 @@ object Relational {
     "q10_returned"   -> (q10Returned _),
     "q15_topsupp"    -> (q15TopSupp _),
     "q17_smallqty"   -> (q17SmallQty _),
+    "q21_waiting"    -> (q21Waiting _),
+    "q2_mincost"     -> (q2MinCost _),
     "sql_recursive"  -> (sqlRecursive _),
     "cohort_ltv"     -> (cohortLtv _),
     "q13_custdist"   -> (q13Custdist _),
@@ -1406,6 +1532,52 @@ object Relational {
       " * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q21_waiting" ->
+      """WITH lf AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, n_name, COUNT(*) AS numwait
+        |FROM lf l1
+        |  JOIN supplier ON l1.l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lf l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lf l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.late)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "q2_mincost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |           AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |       CAST(ROUND(cost_c / 100.0, 2) AS DOUBLE) AS supply_cost
+        |FROM part
+        |  JOIN ps ON pk = p_partkey
+        |  JOIN supplier ON sk = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        |  AND cost_c = (SELECT MIN(ps2.cost_c)
+        |                FROM ps ps2
+        |                  JOIN supplier s2 ON ps2.sk = s2.s_suppkey
+        |                  JOIN nation n2
+        |                    ON s2.s_nationkey = n2.n_nationkey
+        |                  JOIN region r2
+        |                    ON n2.n_regionkey = r2.r_regionkey
+        |                WHERE r2.r_name = 'EUROPE'
+        |                  AND ps2.pk = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
     // Direct full-table aggregation: equality with the Spark side's
     // split-then-merge proves the partial-merge algebra is lossless.
     "agg_merge" ->

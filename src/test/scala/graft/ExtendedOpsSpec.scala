@@ -703,6 +703,47 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q21_waiting: the decorrelated EXISTS/NOT-EXISTS form equals the " +
+       "one-aggregate rewrite (late ∧ n_supp ≥ 2 ∧ n_late_supp = 1)") {
+    val sql = Relational.q21Waiting(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val agg = Relational.q21AggRewrite(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(sql.nonEmpty, "the q21 shape must produce waiting suppliers")
+    assert(sql.toSeq === agg.toSeq,
+      "planner decorrelation and the hand aggregate must agree exactly")
+  }
+
+  test("q2_mincost: every surviving row's cost IS the minimum over the " +
+       "part's in-region suppliers (naive recompute)") {
+    val rows = Relational.q2MinCost(spark, dir).collect()
+      .map(r => (r.getLong(3), r.getString(1), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // naive: per part, min cost over EUROPE suppliers from raw tables
+    val nat = Tables.t(spark, dir, "nation").collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val eur = Tables.t(spark, dir, "region").collect()
+      .collectFirst { case r if r.getString(1) == "EUROPE" => r.getInt(0) }
+      .get
+    val supNation = Tables.t(spark, dir, "supplier").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val cost = scala.collection.mutable.Map[(Long, Long), Long]()
+    Tables.t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        val c = math.round(r.getDouble(2) * 100)
+        cost(k) = math.min(cost.getOrElse(k, Long.MaxValue), c)
+      }
+    val minEur = cost.toSeq
+      .filter { case ((_, sk), _) => nat(supNation(sk)) == eur }
+      .groupBy(_._1._1).map { case (pk, cs) => pk -> cs.map(_._2).min }
+    rows.foreach { case (pk, _, sc) =>
+      assert(sc === minEur(pk) / 100.0,
+        s"part $pk reported cost is not the in-region minimum")
+    }
+  }
+
   test("dataset_split: tallies conserve the corpus, every lang splits " +
        "~80/10/10") {
     val rows = graft.ops.Curation.datasetSplit(spark, dir).collect()

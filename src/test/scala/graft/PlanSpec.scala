@@ -648,6 +648,30 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, "per-part aggregate must partial-aggregate map-side")
   }
 
+  test("q21_waiting: both correlated subqueries decorrelate — a " +
+       "left-semi and a left-anti hash join on the order key, no " +
+       "subquery or nested loop survives planning") {
+    val p = plan(Relational.q21Waiting(spark, sf))
+    assert(!p.toLowerCase.contains("subquery"),
+      "EXISTS/NOT EXISTS must decorrelate, not execute per-row")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "the <> supplier residual must ride the equi-join, not a nested loop")
+  }
+
+  test("q2_mincost: the correlated MIN decorrelates to a per-part " +
+       "aggregate joined back; dimensions broadcast") {
+    val p = plan(Relational.q2MinCost(spark, sf))
+    assert(!p.toLowerCase.contains("subquery"),
+      "the correlated scalar MIN must decorrelate, not execute per-row")
+    assert(p.contains("BroadcastHashJoin"),
+      "nation/region dimension legs must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sim_ann_lsh: the multi-probe fan-out is the bounded bucket " +
        "equi-join — probe signatures explode map-side, candidates meet " +
        "through a hash join on the bucket, never a similarity theta-join") {
