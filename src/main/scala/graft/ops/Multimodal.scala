@@ -207,7 +207,76 @@ object Multimodal {
               round(col("reclaim_bytes"), 2).as("reclaim_bytes"))
       .orderBy(col("digest"))
 
+  /** Perceptual near-dup over media assets — payloadDedup's
+    * jitter-tolerant sibling, completing the exact→near progression the
+    * text family has (dedup_exact → minhash): an md5 avalanche means ONE
+    * changed byte defeats exact dedup, but a re-encoded / lightly-edited
+    * asset should still collapse. This is the dHash recipe every image
+    * pipeline runs, expressed over the payload's cell statistics:
+    *
+    *  1. resize: each payload maps onto a FIXED 17-cell grid
+    *     (stride = ⌊len/17⌋ — the length normalization that makes
+    *     signatures comparable across asset sizes, exactly pHash's
+    *     resize-to-8×8);
+    *  2. cell statistic: the codepoint sum per cell (the "brightness"
+    *     of the cell — a local, jitter-stable quantity, unlike a hash);
+    *  3. signature: 16 bits, bit i = sum(cell i) > sum(cell i+1)
+    *     (dHash's adjacent-gradient comparison — invariant to global
+    *     brightness shifts, and a small edit only perturbs the bits
+    *     whose cells it touches);
+    *  4. banded blocking: the 16-bit signature splits into 4 × 4-bit
+    *     bands; candidates share ≥ 1 band (the MinHash-band doctrine —
+    *     Hamming ≤ 2 pairs are GUARANTEED to agree on some band by
+    *     pigeonhole over 4 bands, so blocking loses nothing the
+    *     verdict would keep);
+    *  5. verify: exact Hamming over the full signature, near-dup ⇔ ≤ 2.
+    *
+    * Scale: steps 1-3 are array-local map-side work (Θ(payload) per
+    * asset, zero exchanges); only (id, 16-char signature, 4-char band)
+    * tuples ever shuffle — payloads never leave their scan partition
+    * (the mm_dedup digest-only doctrine); the band join is bounded
+    * blocking, never all-pairs. */
+  def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = 17
+    val sums = transform(sequence(lit(0), lit(cells - 1)), i =>
+      coalesce(aggregate(
+        transform(
+          split(col("text").substr((i * col("stride") + 1).cast("int"),
+                                   col("stride").cast("int")), ""),
+          ch => ascii(ch).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L)))
+    val sig = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("stride",
+        greatest(lit(1L), expr(s"CAST(length(text) AS BIGINT) div $cells")))
+      .withColumn("cs", sums)
+      .select(col("doc_id"),
+        concat((0 until 16).map(i =>
+          when(element_at(col("cs"), i + 1) > element_at(col("cs"), i + 2),
+               lit("1")).otherwise(lit("0"))): _*).as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => col("sig").substr((b * 4 + 1).cast("int"), lit(4)))))
+      .select(col("doc_id"), col("sig"),
+              col("pos").as("band_id"), col("col").as("band"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+    val ham = (1 to 16).map(i =>
+      when(col("sa").substr(i, 1) =!= col("sb").substr(i, 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    cand.select(col("doc_a"), col("doc_b"), ham.as("hamming"),
+                col("sa").as("sig_a"), col("sb").as("sig_b"))
+      .filter(col("hamming") <= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_neardup" -> (perceptualDedup _),
     "mm_dedup"  -> (payloadDedup _),
     "mm_shared_segments" -> (sharedSegments _),
     "mm_frames5050" -> (frames5050 _),
@@ -216,7 +285,40 @@ object Multimodal {
     "mm_chunks" -> (chunks _),
     "mm_resize" -> (resize _))
 
+  /** Oracle fragments of the perceptual signature — same fixed-grid /
+    * codepoint-sum / adjacent-comparison recipe stated in DuckDB. */
+  private def pCell(i: Int): String =
+    s"substr(text, CAST($i*stride+1 AS INT), CAST(stride AS INT))"
+  private def pSum(i: Int): String =
+    s"COALESCE(list_sum(list_transform(split(${pCell(i)}, ''), " +
+      s"x -> unicode(x))), 0)"
+  private val pBits = (0 until 16).map(i =>
+    s"CASE WHEN ${pSum(i)} > ${pSum(i + 1)} THEN '1' ELSE '0' END")
+    .mkString("(", " || ", ")")
+  private val pHam = (1 to 16).map(i =>
+    s"CASE WHEN substr(sa,$i,1) <> substr(sb,$i,1) THEN 1 ELSE 0 END")
+    .mkString("(", " + ", ")")
+
   val oracle: Map[String, String] = Map(
+    "mm_neardup" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, GREATEST(1, length(text) // 17) AS stride, text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |sig AS (SELECT doc_id, $pBits AS sig FROM s),
+         |bands AS (
+         |  SELECT doc_id, sig, b,
+         |         substr(sig, CAST(b*4+1 AS INT), 4) AS band
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.sig AS sa, b.sig AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST($pHam AS BIGINT) AS hamming,
+         |       sa AS sig_a, sb AS sig_b
+         |FROM cand WHERE $pHam <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_frames5050" ->
       """WITH t AS (
         |  SELECT doc_id, text, length(text)::BIGINT AS n_chars

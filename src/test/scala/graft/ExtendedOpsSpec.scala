@@ -703,6 +703,44 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_neardup: a jittered copy collapses (small Hamming), an " +
+       "unrelated payload of the same length does not") {
+    import spark.implicits._
+    // base "asset": 340 chars with a strongly varying per-cell profile
+    // (stride = 340/17 = 20 exactly, so cells tile the payload)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 17).map { c =>
+      val ch = ('a' + (c * 7) % 26).toChar
+      (0 until 20).map(_ =>
+        if (rnd.nextInt(4) == 0) ' ' else ch).mkString
+    }.mkString
+    // jitter: flip three characters in cells 2, 9, 16 — the md5-exact
+    // dedup is defeated, the perceptual signature must survive
+    val jittered = {
+      val b = base.toCharArray
+      b(2 * 20 + 3) = 'Z'; b(9 * 20 + 5) = 'Q'; b(16 * 20 + 7) = 'X'
+      new String(b)
+    }
+    // unrelated payload, same length (length alone must not pair docs)
+    val other = (0 until 340).map(i =>
+      ('a' + (i * 13 + 5) % 26).toChar).mkString
+    val ddir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (0L, base, "en", "s"), (1L, jittered, "en", "s"),
+        (2L, other, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val pairs = graft.ops.Multimodal.perceptualDedup(spark, ddir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)),
+      "the jittered copy must survive banding and the Hamming cut")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "an unrelated same-length payload must not collapse")
+    // and exact dedup indeed cannot see the jittered pair
+    val exact = graft.ops.Multimodal.payloadDedup(spark, ddir).collect()
+    assert(exact.forall(_.getLong(2) === 1L),
+      "fixture sanity: no md5-exact copies exist")
+  }
+
   test("q21_waiting: the decorrelated EXISTS/NOT-EXISTS form equals the " +
        "one-aggregate rewrite (late ∧ n_supp ≥ 2 ∧ n_late_supp = 1)") {
     val sql = Relational.q21Waiting(spark, dir).collect()

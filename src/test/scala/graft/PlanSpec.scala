@@ -596,6 +596,40 @@ class PlanSpec extends AnyFunSuite {
       "payload bytes must not cross the shuffle")
   }
 
+  test("mm_neardup: payloads never shuffle — signatures are computed " +
+       "map-side and only (id, sig, band) tuples cross the exchanges") {
+    // AQE's wrapper hides the tree from collect(); plan inspection wants
+    // the plain physical tree, so build this one query with AQE off
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      // precise form of the mm_dedup doctrine: no DATAFLOW shuffle (hash
+      // partitioning: the band join, the pair distinct) may carry the
+      // payload column — signatures are map-side work. Tables.spread's
+      // round-robin repartition is exempt: it is the single-file fixture
+      // parallelism shim, conditional on input splits < cores, and a
+      // no-op on any real multi-split layout.
+      graft.ops.Multimodal.perceptualDedup(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+                    .ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical
+                  .HashPartitioning] => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+    val df = graft.ops.Multimodal.perceptualDedup(spark, sf)
+    assert(exchanges.nonEmpty, "expected the band-join/distinct shuffles")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        "payload bytes must not cross any shuffle")
+    }
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "banded blocking must stay an equi-join, never all-pairs")
+  }
+
   test("asof_native: the custom AsOfJoinExec plans in with exactly two " +
        "key-clustered exchanges (one per side), no window machinery") {
     val p = plan(graft.ops.Events.asofNative(spark, sf))
