@@ -151,10 +151,12 @@ object EventStream {
     * first's shuffle layout. The time-ordering predicates are strict on
     * event time (not event_id), so the shape works on streams that
     * carry no global sequence — the common case at ingest. */
-  def funnelJoinStream(spark: SparkSession, dir: String): DataFrame = {
+  def funnelJoinStream(spark: SparkSession, dir: String,
+                       filesPerTrigger: Option[Int] = None): DataFrame = {
     def leg(t: String, tsName: String, extra: org.apache.spark.sql.Column*)
         : DataFrame =
-      readEvents(spark, dir).filter(col("event_type") === t)
+      readEvents(spark, dir, filesPerTrigger)
+        .filter(col("event_type") === t)
         .select((Seq(col("user_id").as(s"${t}_user"),
                      col("ts").as(tsName)) ++ extra): _*)
         .withWatermark(tsName, "2 hours")

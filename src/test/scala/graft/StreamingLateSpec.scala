@@ -70,6 +70,95 @@ class StreamingLateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel restart recovery: stopped mid-stream and restarted from " +
+       "its checkpoint, the parquet sink converges to the batch cascade " +
+       "on both state store providers") {
+    val fixture = "/root/testdata/sf0.001"
+    // ground truth: the batch cascade (StreamingSpec's twin); it also
+    // picks the KILL POINT — the click instant of the widest completed
+    // funnel whose purchase lands strictly later, so at the stop the
+    // checkpointed join state HOLDS that funnel's view+click and only a
+    // correct state restore can ever emit the match
+    val e = Tables.events(spark, fixture)
+    def leg(t: String, n: String) = e.filter(col("event_type") === t)
+      .select(col("user_id").as(s"${n}_u"), col("ts").as(s"${n}_ts"),
+              col("value").as(s"${n}_v"))
+    val batch = leg("view", "v")
+      .join(leg("click", "c"), col("v_u") === col("c_u") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"))
+      .join(leg("purchase", "p"), col("c_u") === col("p_u") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("v_u"), col("v_ts"), col("c_ts"), col("p_ts"),
+              col("p_v")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getTimestamp(3), r.getDouble(4)))
+    assert(batch.nonEmpty, "fixture must contain full funnels")
+    val spanning = batch.filter(m => m._4.getTime > m._3.getTime)
+    assert(spanning.nonEmpty,
+      "need a funnel whose purchase strictly follows its click")
+    val cut = spanning
+      .maxBy(m => m._4.getTime - m._3.getTime)._3 // widest click→purchase
+    // the raw fixture split at the cut (ts surfaces as NTZ wall-clock ≡
+    // instant under the UTC session): part 1 delivers the spanning
+    // funnel's view+click, part 2 its purchase — event-time ordered
+    // delivery, so watermark eviction cannot change the result
+    val raw = spark.read.parquet(s"$fixture/events.parquet")
+    val rawTs = col("ts").cast("timestamp")
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    for (provider <- Seq(None, Some(rocks))) {
+      val streamDir = Files.createTempDirectory("graft_restart").toString
+      val out = Files.createTempDirectory("graft_restart_out").toString
+      val ckpt = Files.createTempDirectory("graft_restart_ck").toString
+      addFile(raw.filter(rawTs <= cut), streamDir, 1)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      provider.foreach(spark.conf.set(provKey, _))
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def start() = EventStream
+          .funnelJoinStream(spark, streamDir, filesPerTrigger = Some(1))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/b$id")
+          }
+          .start()
+        // run 1: drain part 1, then die — the spanning funnel is now
+        // nothing but rows inside the two joins' checkpointed state
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop()
+        // part 2 arrives while the query is down
+        addFile(raw.filter(rawTs > cut), streamDir, 2)
+        // run 2: recover from the checkpoint and finish the stream
+        val q2 = start()
+        try {
+          q2.processAllAvailable()
+          assert(q2.recentProgress.nonEmpty,
+            "the restarted query must actually process the new file")
+        } finally q2.stop()
+        val dirs = Files.list(Paths.get(out)).toArray.map(_.toString).sorted
+        val got = spark.read.parquet(dirs: _*).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                     r.getTimestamp(3), r.getDouble(4)))
+        assert(got.length === batch.length,
+          s"provider=$provider: exactly-once emission count")
+        assert(got.toSet === batch.toSet,
+          s"provider=$provider: recovered stream must equal the batch " +
+            "cascade bit-for-bit")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None    => spark.conf.unset(provKey)
+        }
+      }
+    }
+  }
+
   test("foreachBatch sink: streamed keyed upsert converges to the batch " +
        "last-writer-wins result") {
     val streamDir = Files.createTempDirectory("graft_fb").toString
