@@ -230,19 +230,31 @@ object Dedup {
 
   /** Sign-LSH blocked cosine pairs at a threshold — shared by
     * embedNearDup (0.9, near-identical) and semanticDedup (0.35,
-    * same-topic clustering). */
+    * same-topic clustering). MULTI-PROBE (Similarity.ProbeRadius): a
+    * cos ≥ 0.9 pair still disagrees on each sign bit with p ≈ 0.14, so
+    * the exact-bucket form found only ~29 % of true near-dups — the
+    * ann_recall lesson applied to the dedup gate. Side `a` explodes its
+    * Hamming ≤ 3 probe signatures; pairs meet through the bucket
+    * equi-join exactly once each (the probe set is duplicate-free and
+    * `b` keys on its own bucket; id_a < id_b keeps one orientation), so
+    * no distinct pass is needed. At the 0.35 semantic threshold sign-LSH
+    * is inherently recall-limited (mean signature distance ≈ 3 of 8
+    * bits); the radius is the recall/cost dial and the oracle states the
+    * exact Hamming ≤ radius semantics. */
   private def embedPairs(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     // Bucket width scales with N (8 bits at fixture sizes, more as the
-    // corpus grows) so expected in-bucket pairing stays Θ(N·64), not
-    // N²/256 — see Similarity.adaptiveBits. count() is footer-only.
+    // corpus grows) so expected in-bucket pairing stays Θ(N·64·probes),
+    // not N²/256 — see Similarity.adaptiveBits. count() is footer-only.
     val bits = Similarity.adaptiveBits(
       Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
               Similarity.signBucket(col("embedding"), bits).as("bucket"))
-    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
-                     col("embedding").as("emb_a"))
+    val a = e.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"),
+        explode(Similarity.probeBuckets(col("bucket"), bits,
+          Similarity.ProbeRadius)).as("bucket"))
     val b = e.select(col("bucket"), col("vec_id").as("id_b"),
                      col("embedding").as("emb_b"))
     a.join(b, Seq("bucket"))
@@ -1302,7 +1314,9 @@ object Dedup {
          |  FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       ${duckCos("a.embedding", "b.embedding")} AS sim
-         |FROM e a JOIN e b ON a.bucket = b.bucket
+         |FROM e a JOIN e b
+         |  ON ${Similarity.duckHamming("a.bucket", "b.bucket")}
+         |     <= ${Similarity.ProbeRadius}
          |WHERE a.vec_id < b.vec_id
          |  AND ${duckCos("a.embedding", "b.embedding")} >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
@@ -1312,7 +1326,9 @@ object Dedup {
          |  FROM embeddings),
          |p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |  FROM e a JOIN e b
+         |    ON ${Similarity.duckHamming("a.bucket", "b.bucket")}
+         |       <= ${Similarity.ProbeRadius}
          |  WHERE a.vec_id < b.vec_id
          |    AND ${duckCos("a.embedding", "b.embedding")} >= 0.35),
          |edges AS (
