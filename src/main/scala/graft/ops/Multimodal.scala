@@ -275,7 +275,24 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Perceptual near-dup CLUSTER assignment — the media twin of
+    * dedup_clusters / semantic_dedup, completing the family's
+    * exact → near → clusters progression: connected components over the
+    * perceptual-signature pairs, every asset labeled with the minimum
+    * doc_id reachable in its component, `is_canonical` marking the one
+    * survivor a keep-one media dedup would retain. Rides the shared
+    * adaptive labeler (Dedup.labelComponents: driver union-find under
+    * 1M edges, GraphX Pregel above); universe = assets that received a
+    * signature (non-empty payloads). */
+  def payloadClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.labelComponents(spark,
+      perceptualDedup(spark, dir).select(col("doc_a"), col("doc_b")),
+      Tables.t(spark, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id")), "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_clusters" -> (payloadClusters _),
     "mm_neardup" -> (perceptualDedup _),
     "mm_dedup"  -> (payloadDedup _),
     "mm_shared_segments" -> (sharedSegments _),
@@ -300,6 +317,32 @@ object Multimodal {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "mm_clusters" ->
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, GREATEST(1, length(text) // 17) AS stride, text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |sig AS (SELECT doc_id, $pBits AS sig FROM s),
+         |bands AS (
+         |  SELECT doc_id, sig, b,
+         |         substr(sig, CAST(b*4+1 AS INT), 4) AS band
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.sig AS sa, b.sig AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+         |p AS (SELECT doc_a, doc_b FROM cand WHERE $pHam <= 2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM s
+         |  UNION
+         |  SELECT re.id, ed.dst FROM reach re JOIN edges ed ON ed.src = re.r)
+         |SELECT id AS doc_id, min(r) AS cluster_id,
+         |       (min(r) = id) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "mm_neardup" ->
       s"""WITH s AS (
          |  SELECT doc_id, GREATEST(1, length(text) // 17) AS stride, text

@@ -278,9 +278,11 @@ object Similarity {
     *
     * Scale shape: codes are a map-side projection (the same per-vector
     * symmetric scale embedding_quantize ships); candidates meet through
-    * the adaptive sign-LSH bucket (never all pairs); the rescore join
-    * touches Θ(candidates) fp32 rows — at 100 TB the fp32 table stays
-    * in cold storage and only candidate ids hit it. */
+    * the multi-probe sign-LSH tier (Hamming ≤ ProbeRadius via the
+    * probe-bucket explode — never all pairs, and the same candidate
+    * universe every other tier member sees); the rescore join touches
+    * Θ(candidates) fp32 rows — at 100 TB the fp32 table stays in cold
+    * storage and only candidate ids hit it. */
   def annQuant(spark: SparkSession, dir: String): DataFrame = {
     val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
     val base = Tables.spread(Tables.t(spark, dir, "embeddings"))
@@ -294,8 +296,9 @@ object Similarity {
           x => round(x.cast("double") / col("scale")).cast("long"))
           .as("code"))
     val q = codes.filter(col("vec_id") < 10)
-      .select(col("bucket"), col("vec_id").as("query_id"),
-              col("code").as("q_code"))
+      .select(col("vec_id").as("query_id"), col("code").as("q_code"),
+        explode(probeBuckets(col("bucket"), bits, ProbeRadius))
+          .as("bucket"))
     val c = codes.select(col("bucket"), col("vec_id").as("neighbor_id"),
                          col("code").as("n_code"))
     val cand = q.join(c, Seq("bucket"))
@@ -1065,7 +1068,8 @@ object Similarity {
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    CAST(list_dot_product(a.code::DOUBLE[], b.code::DOUBLE[])
          |      AS BIGINT) AS int_dot
-         |  FROM q8 a JOIN q8 b ON a.bucket = b.bucket
+         |  FROM q8 a JOIN q8 b
+         |    ON ${duckHamming("a.bucket", "b.bucket")} <= $ProbeRadius
          |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
          |cand AS (
          |  SELECT query_id, neighbor_id FROM (

@@ -236,6 +236,29 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Similarity.adaptiveBits(1L << 40, dim = 16) === 16) // dim cap
   }
 
+  test("probeBuckets enumerates EXACTLY the Hamming <= r ball of the " +
+       "signature, duplicate-free, for every supported radius") {
+    val all8 = (0 until 256).map(i =>
+      String.format("%8s", Integer.toBinaryString(i)).replace(' ', '0'))
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val sigs = Seq("10110010", "00000000", "11111111", "01010101")
+    for (r <- 0 to 3) {
+      val rows = sigs.toDF("sig")
+        .select(col("sig"),
+          graft.ops.Similarity.probeBuckets(col("sig"), 8, r).as("probes"))
+        .collect()
+      rows.foreach { row =>
+        val sig = row.getString(0)
+        val probes = row.getSeq[String](1)
+        assert(probes.distinct.size === probes.size,
+          s"radius $r: duplicate probes would double-count candidates")
+        assert(probes.toSet === all8.filter(ham(sig, _) <= r).toSet,
+          s"radius $r probe set of $sig is not the Hamming ball")
+      }
+    }
+  }
+
   test("upsert is idempotent and keeps exactly one row per key") {
     check(Prop.forAll(batchGen, batchGen) { (t, b) =>
       Prop.propBoolean(t.nonEmpty && b.nonEmpty) ==> {
