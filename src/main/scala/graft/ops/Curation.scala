@@ -340,6 +340,68 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-vs-quantity tradeoff curve — the measurement that SETS a
+    * quality filter's threshold: for each candidate lm_score cutoff
+    * (the score's own deciles), how many documents and tokens survive.
+    * seqlen_budget sizes the context window, calibration_ece checks the
+    * score is trustworthy; this prices what a given strictness COSTS in
+    * training data — the frontier every filtering pipeline plots before
+    * committing a cutoff.
+    *
+    * Shape (the psi_drift decile doctrine): exact score deciles as a
+    * 1-row broadcast, map-side CASE binning on the shared bin text,
+    * then survivors-from-the-top cumulated by windows over the 10-row
+    * bin relation only — the corpus crosses one |bins|-keyed aggregate
+    * and nothing row-level survives it. Scores are lm_score's (already
+    * 4-dp rounded), so edges interpolate identical doubles in both
+    * engines and bin membership cannot wobble. Docs too short to score
+    * (< 2 tokens) are outside the curve by definition. */
+  def qualityTradeoff(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(spark, dir).select(col("doc_id"), col("avg_logp"))
+    val toks = Tables.spread(Tables.t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val docs = scored.join(toks, "doc_id")
+    // edges rounded at 6 dp (+1e-9 decimal-tie break): the two engines'
+    // linear-interpolation FORMULAS differ — lo + (hi-lo)*f vs
+    // lo*(1-f) + hi*f — which lands 1 ulp apart exactly when lo == hi
+    // (tied 4-dp scores), and a 1-ulp edge wobble next to a real data
+    // value flips bin membership. Scores are 4-dp quantized, so 6-dp
+    // edges lose nothing and cannot wobble.
+    val edges = docs.agg(
+      expr("round(percentile(avg_logp, 0.1) + 1e-9, 6)").as("e1"),
+      (2 to 9).map(k =>
+        expr(s"round(percentile(avg_logp, 0.$k) + 1e-9, 6)")
+          .as(s"e$k")): _*)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // keeping bin b means keeping every bin ABOVE it too: cumulate from
+    // the top bin down (both windows run over the 10-row relation)
+    val wFromTop = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.crossJoin(broadcast(edges))
+      .withColumn("bin", expr(qtBinExpr).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        round(min(col("avg_logp")), 4).as("bin_floor"))
+      .withColumn("docs_kept", sum(col("n_docs")).over(wFromTop))
+      .withColumn("tokens_kept", sum(col("n_tokens")).over(wFromTop))
+      .select(col("bin"), col("bin_floor"), col("n_docs"), col("n_tokens"),
+        col("docs_kept"), col("tokens_kept"),
+        round(col("docs_kept") / sum(col("n_docs")).over(wAll) + 1e-9, 6)
+          .as("docs_frac"),
+        round(col("tokens_kept") / sum(col("n_tokens")).over(wAll) + 1e-9, 6)
+          .as("tokens_frac"))
+      .orderBy(col("bin"))
+  }
+
+  /** Decile-bin id over the lm score as one shared CASE-sum text (the
+    * psiBinExpr doctrine — valid Spark SQL AND DuckDB SQL). */
+  private[ops] val qtBinExpr: String = (1 to 9)
+    .map(k => s"(CASE WHEN avg_logp > e$k THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   /** Hashed-n-gram importance resampling — the data-selection stage that
     * picks raw documents LOOKING LIKE a small target corpus (DSIR; Xie
     * et al. 2023, "Data Selection for Language Models via Importance
@@ -1120,6 +1182,7 @@ object Curation {
     "shard_manifest"   -> (shardManifest _),
     "doc_shuffle"      -> (docShuffle _),
     "lm_score"         -> (lmScore _),
+    "quality_tradeoff" -> (qualityTradeoff _),
     "importance_resample" -> (importanceResample _),
     "quality_ensemble" -> (qualityEnsemble _),
     "doc_pack"         -> (docPack _),
@@ -1191,6 +1254,33 @@ object Curation {
       |    (digit_frac <= 0.2) AS r_digit,
       |    (dup_bigram_frac <= 0.1) AS r_rep
       |  FROM s)""".stripMargin
+
+  /** The bigram-LM scoring chain (tokens → top-K vocab + OOV mass →
+    * bigram counts) as shared CTE text — lm_score's definition, reused
+    * verbatim by the quality_tradeoff oracle so the two cannot drift.
+    * Declared ABOVE the oracle map: object vals initialize in order and
+    * a forward reference here would read null into every string. */
+  private val lmScoreCtes: String =
+    """t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |u AS (
+      |  SELECT unnest(toks) AS term FROM t),
+      |uc AS (SELECT term, COUNT(*) AS u_cnt FROM u GROUP BY 1),
+      |top AS (SELECT term, u_cnt FROM uc
+      |        ORDER BY u_cnt DESC, term LIMIT 32768),
+      |stats AS (SELECT
+      |    (SELECT COUNT(*) FROM top) + 1 AS v,
+      |    (SELECT COALESCE(SUM(u_cnt), 0) FROM uc)
+      |      - (SELECT COALESCE(SUM(u_cnt), 0) FROM top) AS oov_mass),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i])) AS a,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |  FROM t WHERE len(toks) >= 2),
+      |bc AS (SELECT gram, COUNT(*) AS b_cnt FROM bg GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "quantile_norm" ->
@@ -1637,26 +1727,7 @@ object Curation {
         |SELECT doc_id, n_toks, weight, (weight > w_cut) AS kept
         |FROM scored CROSS JOIN cut ORDER BY doc_id""".stripMargin,
     "lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |u AS (
-        |  SELECT unnest(toks) AS term FROM t),
-        |uc AS (SELECT term, COUNT(*) AS u_cnt FROM u GROUP BY 1),
-        |top AS (SELECT term, u_cnt FROM uc
-        |        ORDER BY u_cnt DESC, term LIMIT 32768),
-        |stats AS (SELECT
-        |    (SELECT COUNT(*) FROM top) + 1 AS v,
-        |    (SELECT COALESCE(SUM(u_cnt), 0) FROM uc)
-        |      - (SELECT COALESCE(SUM(u_cnt), 0) FROM top) AS oov_mass),
-        |bg AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(toks)),
-        |      i -> toks[i])) AS a,
-        |    unnest(list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
-        |  FROM t WHERE len(toks) >= 2),
-        |bc AS (SELECT gram, COUNT(*) AS b_cnt FROM bg GROUP BY 1)
+      s"""WITH $lmScoreCtes
         |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
         |  ROUND(AVG(ln((b_cnt + 1.0)
         |    / (COALESCE(top.u_cnt, stats.oov_mass) + stats.v))) + 1e-9, 4)
@@ -1666,6 +1737,57 @@ object Curation {
         |LEFT JOIN top ON bg.a = top.term
         |CROSS JOIN stats
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_tradeoff" ->
+      s"""WITH $lmScoreCtes,
+        |score AS (
+        |  SELECT doc_id,
+        |    ROUND(AVG(ln((b_cnt + 1.0)
+        |      / (COALESCE(top.u_cnt, stats.oov_mass) + stats.v))) + 1e-9, 4)
+        |      AS avg_logp
+        |  FROM bg
+        |  JOIN bc USING (gram)
+        |  LEFT JOIN top ON bg.a = top.term
+        |  CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |nt AS (
+        |  SELECT doc_id,
+        |         len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT s.doc_id, s.avg_logp, nt.n_tokens
+        |  FROM score s JOIN nt USING (doc_id)),
+        |edges AS (
+        |  SELECT ROUND(quantile_cont(avg_logp, 0.1) + 1e-9, 6) AS e1,
+        |         ROUND(quantile_cont(avg_logp, 0.2) + 1e-9, 6) AS e2,
+        |         ROUND(quantile_cont(avg_logp, 0.3) + 1e-9, 6) AS e3,
+        |         ROUND(quantile_cont(avg_logp, 0.4) + 1e-9, 6) AS e4,
+        |         ROUND(quantile_cont(avg_logp, 0.5) + 1e-9, 6) AS e5,
+        |         ROUND(quantile_cont(avg_logp, 0.6) + 1e-9, 6) AS e6,
+        |         ROUND(quantile_cont(avg_logp, 0.7) + 1e-9, 6) AS e7,
+        |         ROUND(quantile_cont(avg_logp, 0.8) + 1e-9, 6) AS e8,
+        |         ROUND(quantile_cont(avg_logp, 0.9) + 1e-9, 6) AS e9
+        |  FROM d),
+        |binned AS (
+        |  SELECT CAST($qtBinExpr AS BIGINT) AS bin, n_tokens, avg_logp
+        |  FROM d, edges),
+        |g AS (
+        |  SELECT bin, COUNT(*)::BIGINT AS n_docs,
+        |         SUM(n_tokens)::BIGINT AS n_tokens,
+        |         ROUND(MIN(avg_logp), 4) AS bin_floor
+        |  FROM binned GROUP BY bin),
+        |f AS (
+        |  SELECT *,
+        |    (SUM(n_docs) OVER (ORDER BY bin DESC
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT AS docs_kept,
+        |    (SUM(n_tokens) OVER (ORDER BY bin DESC
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT AS tokens_kept
+        |  FROM g)
+        |SELECT bin, bin_floor, n_docs, n_tokens, docs_kept, tokens_kept,
+        |  ROUND(docs_kept / CAST(SUM(n_docs) OVER () AS DOUBLE) + 1e-9, 6)
+        |    AS docs_frac,
+        |  ROUND(tokens_kept / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+        |        + 1e-9, 6) AS tokens_frac
+        |FROM f ORDER BY bin""".stripMargin,
     "doc_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

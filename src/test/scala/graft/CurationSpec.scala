@@ -724,4 +724,35 @@ class CurationSpec extends AnyFunSuite {
     val ft = rows.map(_.getDouble(4)).toSeq
     assert(fd === fd.sorted && ft === ft.sorted, "monotone coverage")
   }
+
+  test("quality_tradeoff: the curve conserves the scoreable corpus, " +
+       "cumulates monotonically from the strictest bin, and its token " +
+       "masses reconcile with the per-doc lm scores") {
+    val scores = Curation.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0)).toSet
+    val tokTotal = Tables.t(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .collect().collect {
+        case r if scores(r.getLong(0)) =>
+          r.getString(1).split("\\s+").length.toLong
+      }.sum
+    val rows = Curation.qualityTradeoff(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (0L until rows.length),
+      "bins are dense from 0")
+    assert(rows.map(_.getLong(2)).sum === scores.size.toLong,
+      "every scoreable doc lands in exactly one bin")
+    assert(rows.map(_.getLong(3)).sum === tokTotal,
+      "token mass conserves against the raw fixture")
+    val bin0 = rows.head
+    assert(bin0.getLong(4) === scores.size.toLong &&
+           math.abs(bin0.getDouble(6) - 1.0) < 1e-9,
+      "keeping every bin keeps the whole corpus")
+    val kept = rows.map(_.getLong(4))
+    kept.zip(kept.tail).foreach { case (a, b) =>
+      assert(a > b, "stricter thresholds keep strictly fewer docs") }
+    // floors ascend: a higher bin holds better-scored documents
+    val floors = rows.map(_.getDouble(1))
+    floors.zip(floors.tail).foreach { case (a, b) => assert(a < b) }
+  }
 }
