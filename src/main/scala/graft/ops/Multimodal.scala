@@ -214,18 +214,19 @@ object Multimodal {
     * asset should still collapse. This is the dHash recipe every image
     * pipeline runs, expressed over the payload's cell statistics:
     *
-    *  1. resize: each payload maps onto a FIXED 17-cell grid
-    *     (stride = ⌊len/17⌋ — the length normalization that makes
-    *     signatures comparable across asset sizes, exactly pHash's
-    *     resize-to-8×8);
+    *  1. resize: each payload maps onto a fixed grid of bits+1 cells
+    *     (17 at every fixture scale — perceptualBits below grows the
+    *     signature with the corpus; stride = ⌊len/cells⌋, the length
+    *     normalization that makes signatures comparable across asset
+    *     sizes, exactly pHash's resize-to-8×8);
     *  2. cell statistic: the codepoint sum per cell (the "brightness"
     *     of the cell — a local, jitter-stable quantity, unlike a hash);
-    *  3. signature: 16 bits, bit i = sum(cell i) > sum(cell i+1)
+    *  3. signature: bit i = sum(cell i) > sum(cell i+1)
     *     (dHash's adjacent-gradient comparison — invariant to global
     *     brightness shifts, and a small edit only perturbs the bits
     *     whose cells it touches);
-    *  4. banded blocking: the 16-bit signature splits into 4 × 4-bit
-    *     bands; candidates share ≥ 1 band (the MinHash-band doctrine —
+    *  4. banded blocking: the signature splits into 4 equal bands;
+    *     candidates share ≥ 1 band (the MinHash-band doctrine —
     *     Hamming ≤ 2 pairs are GUARANTEED to agree on some band by
     *     pigeonhole over 4 bands, so blocking loses nothing the
     *     verdict would keep);
@@ -236,8 +237,33 @@ object Multimodal {
     * tuples ever shuffle — payloads never leave their scan partition
     * (the mm_dedup digest-only doctrine); the band join is bounded
     * blocking, never all-pairs. */
+  /** Perceptual-signature width that SCALES WITH THE CORPUS — the
+    * banding-power defense (Similarity.adaptiveBits' doctrine applied
+    * to the dHash): bands stay FOUR (pigeonhole: a Hamming ≤ 2 pair
+    * always leaves ≥ 2 clean bands, at any width), but each band's
+    * width w grows so its 2^w key space keeps the expected band bucket
+    * at ≤ ~64 assets. A fixed 16-bit signature has 16 values per 4-bit
+    * band forever: at 50k assets every band bucket holds ~3k docs and
+    * in-band pairing is N²/16 — quadratic, the fixed-IVF-codebook
+    * failure class. w = max(4, ⌈log2(N/64)⌉) → 16 bits at every
+    * fixture scale (the oracles' constant, pinned by PropertySpec),
+    * 40 bits at 50k, 96 at 10⁹. The Hamming ≤ 2 verdict is width-
+    * independent ("a couple of local edits"); more cells = finer grid,
+    * so the gate tightens as the corpus grows — the conservative
+    * direction for a dedup gate. Payloads shorter than the cell count
+    * degrade to stride-1 cells with empty tails (their signatures
+    * cluster — short assets were never this operator's jurisdiction;
+    * payloadDedup's exact hash covers them). */
+  private[graft] def perceptualBits(n: Long): Int = {
+    val w = math.max(4, math.ceil(
+      math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt)
+    4 * w
+  }
+
   def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
-    val cells = 17
+    // count() is answered from parquet footer metadata, no data scan
+    val bits = perceptualBits(Tables.t(spark, dir, "documents").count())
+    val cells = bits + 1
     val sums = transform(sequence(lit(0), lit(cells - 1)), i =>
       coalesce(aggregate(
         transform(
@@ -251,12 +277,13 @@ object Multimodal {
         greatest(lit(1L), expr(s"CAST(length(text) AS BIGINT) div $cells")))
       .withColumn("cs", sums)
       .select(col("doc_id"),
-        concat((0 until 16).map(i =>
+        concat((0 until bits).map(i =>
           when(element_at(col("cs"), i + 1) > element_at(col("cs"), i + 2),
                lit("1")).otherwise(lit("0"))): _*).as("sig"))
+    val bandW = bits / 4
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        b => col("sig").substr((b * 4 + 1).cast("int"), lit(4)))))
+        b => col("sig").substr((b * bandW + 1).cast("int"), lit(bandW)))))
       .select(col("doc_id"), col("sig"),
               col("pos").as("band_id"), col("col").as("band"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -266,7 +293,7 @@ object Multimodal {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
-    val ham = (1 to 16).map(i =>
+    val ham = (1 to bits).map(i =>
       when(col("sa").substr(i, 1) =!= col("sb").substr(i, 1), 1L)
         .otherwise(0L)).reduce(_ + _)
     cand.select(col("doc_a"), col("doc_b"), ham.as("hamming"),

@@ -236,6 +236,31 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Similarity.adaptiveBits(1L << 40, dim = 16) === 16) // dim cap
   }
 
+  test("perceptualBits: exactly 16 at every fixture scale (the " +
+       "mm_neardup/mm_clusters oracles' constant), grows past 1k assets") {
+    // the oracles hard-code a 16-bit signature in 4-bit bands; pin the
+    // Scala side to the same width for every corpus the gate runs on
+    for (n <- Seq(100L, 500L, 1024L))
+      assert(graft.ops.Multimodal.perceptualBits(n) === 16)
+    // pin the equality on the fixtures the DuckDB gate actually verifies
+    // (sf0.001 specs, sf0.01 driver gate); sf0.1 is bench-only — its 5k
+    // documents deliberately get a wider signature (28 bits)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val p = s"/root/testdata/$sf/documents.parquet"
+      if (new java.io.File(p).exists()) {
+        val n = spark.read.parquet(p).count()
+        assert(graft.ops.Multimodal.perceptualBits(n) === 16,
+          s"documents fixture $sf has $n rows -> perceptualBits != 16, " +
+            "but the mm_neardup/mm_clusters oracles hard-code 16-bit " +
+            "signatures; regenerate the oracle SQL or re-pin")
+      }
+    }
+    // banding-power growth: expected band bucket stays ~<= 64 assets
+    assert(graft.ops.Multimodal.perceptualBits(5000L) === 28)
+    assert(graft.ops.Multimodal.perceptualBits(50000L) === 40)
+    assert(graft.ops.Multimodal.perceptualBits(1L << 30) === 96)
+  }
+
   test("probeBuckets enumerates EXACTLY the Hamming <= r ball of the " +
        "signature, duplicate-free, for every supported radius") {
     val all8 = (0 until 256).map(i =>
