@@ -788,6 +788,57 @@ object Events {
     * series aggregates map-side to |types|·|days| rows; the lag and the
     * corr aggregate run over that bounded panel (corr's moment sketches
     * are the stats_agg precedent for cross-engine parity). */
+  /** Holt linear-trend forecast per event type — the FORECASTING member
+    * that completes the series-diagnostics family (trend_fit fits a
+    * global OLS line, autocorr measures persistence, seasonalDow
+    * decomposes weekday structure; this projects the next week's
+    * volume, the capacity-planning number an event pipeline actually
+    * wants). Textbook double exponential smoothing, α = 0.3 / β = 0.1,
+    * initialized l₁ = y₁, b₁ = y₂ − y₁, folded left over the ordered
+    * daily series; forecasts ŷ(h) = l + h·b for h ∈ {1, 3, 7}.
+    *
+    * Determinism (the events_ewma doctrine): the recurrence is an
+    * array-local fold over the per-type collected daily series — both
+    * engines fold the SAME doubles in the SAME IEEE order with the
+    * SAME expression shapes (the b-update restates the l-update inline
+    * rather than referencing it, so the float op sequence is identical
+    * text in both), and outputs round at 4 dp.
+    *
+    * Scale: the state is Θ(|types|) structs; the fold cost is the daily
+    * series length — days grow with calendar time, not corpus size, so
+    * the per-type array is bounded by the data's time span (a decades-
+    * long span is ~10⁴ doubles — still array-local). One shuffle onto
+    * (type, day), one onto type. */
+  def forecastHolt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val ser = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("s"))
+      .filter(size(col("s")) >= 2)
+    def yAt(i: Int) = element_at(col("s"), i)("y")
+    val init = struct(yAt(1).as("l"), (yAt(2) - yAt(1)).as("b"))
+    val rest = slice(col("s"), lit(3), greatest(size(col("s")) - 2, lit(0)))
+    val folded = aggregate(rest, init, (acc, e) => {
+      val l = acc("l"); val b = acc("b"); val y = e("y")
+      struct(
+        (lit(0.3) * y + lit(0.7) * (l + b)).as("l"),
+        (lit(0.1) * ((lit(0.3) * y + lit(0.7) * (l + b)) - l)
+          + lit(0.9) * b).as("b"))
+    })
+    ser.withColumn("st", folded)
+      .select(col("event_type"), size(col("s")).cast("long").as("n_days"),
+        round(col("st")("l") + 1e-9, 4).as("level"),
+        round(col("st")("b") + 1e-9, 4).as("trend"),
+        round(col("st")("l") + lit(1) * col("st")("b") + 1e-9, 4)
+          .as("forecast_1"),
+        round(col("st")("l") + lit(3) * col("st")("b") + 1e-9, 4)
+          .as("forecast_3"),
+        round(col("st")("l") + lit(7) * col("st")("b") + 1e-9, 4)
+          .as("forecast_7"))
+      .orderBy(col("event_type"))
+  }
+
   def autocorr(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -895,6 +946,7 @@ object Events {
     "asof_native"       -> (asofNative _),
     "events_seasonal"   -> (seasonalDow _),
     "events_autocorr"   -> (autocorr _),
+    "events_forecast"   -> (forecastHolt _),
     "events_heatmap"    -> (heatmap _),
     "gap_detect"        -> (gapDetect _),
     "session_stats"     -> (sessionStats _),
@@ -971,6 +1023,31 @@ object Events {
         |  END AS strength
         |FROM cell c JOIN tot t USING (event_type)
         |ORDER BY 1, 2""".stripMargin,
+    "events_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, (ts::TIMESTAMP)::DATE AS day,
+        |         CAST(COUNT(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(y ORDER BY day) AS s
+        |  FROM daily GROUP BY 1 HAVING COUNT(*) >= 2),
+        |st AS (
+        |  SELECT event_type, len(s)::BIGINT AS n_days,
+        |    list_reduce(
+        |      list_concat([[s[1], s[2] - s[1]]],
+        |        list_transform(s[3:], y -> [y, CAST(0 AS DOUBLE)])),
+        |      (acc, x) -> [
+        |        0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+        |        0.1 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+        |          + 0.9 * acc[2]]) AS f
+        |  FROM ser)
+        |SELECT event_type, n_days,
+        |  ROUND(f[1] + 1e-9, 4) AS level,
+        |  ROUND(f[2] + 1e-9, 4) AS trend,
+        |  ROUND(f[1] + 1 * f[2] + 1e-9, 4) AS forecast_1,
+        |  ROUND(f[1] + 3 * f[2] + 1e-9, 4) AS forecast_3,
+        |  ROUND(f[1] + 7 * f[2] + 1e-9, 4) AS forecast_7
+        |FROM st ORDER BY event_type""".stripMargin,
     "events_autocorr" ->
       """WITH daily AS (
         |  SELECT event_type, (ts::TIMESTAMP)::DATE AS day,

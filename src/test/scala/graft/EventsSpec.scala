@@ -428,4 +428,41 @@ class EventsSpec extends AnyFunSuite {
     assert(mon.getDouble(4) === -2.0 && tue.getDouble(4) === 2.0)
     assert(mon.getDouble(5) === 0.8 && tue.getDouble(5) === 0.8)
   }
+
+  test("events_forecast: naive Holt recurrence replay matches level/" +
+       "trend and the h-step projections on the real fixture") {
+    val real = "/root/testdata/sf0.001"
+    val daily = graft.Tables.events(spark, real)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(_._3.toDouble).toList }
+    def q4(x: Double) =
+      BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val rows = graft.ops.Events.forecastHolt(spark, real).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ys = daily(r.getString(0))
+      assert(r.getLong(1) === ys.length.toLong, "n_days")
+      var l = ys.head
+      var b = ys(1) - ys.head
+      ys.drop(2).foreach { y =>
+        val lNew = 0.3 * y + 0.7 * (l + b)
+        val bNew = 0.1 * ((0.3 * y + 0.7 * (l + b)) - l) + 0.9 * b
+        l = lNew; b = bNew
+      }
+      assert(r.getDouble(2) === q4(l), s"level ${r.getString(0)}")
+      assert(r.getDouble(3) === q4(b), s"trend ${r.getString(0)}")
+      assert(r.getDouble(4) === q4(l + 1 * b))
+      assert(r.getDouble(5) === q4(l + 3 * b))
+      assert(r.getDouble(6) === q4(l + 7 * b))
+    }
+  }
 }
