@@ -316,6 +316,78 @@ object Audit {
           |""".stripMargin))
       .orderBy(col("stat"))
 
+  /** t-closeness audit — the third member of the privacy triple
+    * (k_anonymity bounds class SIZE, l_diversity bounds sensitive-value
+    * VARIETY; this bounds sensitive-value DISTRIBUTION SKEW: a class
+    * can hold all five segments and still leak if one dominates). Per
+    * QI class (nation, 2000-wide balance band), the total-variation
+    * distance between the class's market-segment distribution and the
+    * global one; classes with TVD > 0.3 are flagged.
+    *
+    * Exact-parity arithmetic: TVD = Σ|n_cs·N − n_s·n_c| / (2·n_c·N),
+    * and the numerator is a PURE-INTEGER sum (order-free under any
+    * partitioning), so each class's TVD is one exact division; absent
+    * (class, segment) cells contribute n_s·n_c each, folded in as the
+    * closed form N·n_c + Σ_present(|…| − n_s·n_c) so the segment grid
+    * never materializes. The t > 0.3 flag cross-multiplies to integers
+    * (10·num > 6·n_c·N) — membership cannot wobble on a division ulp.
+    * The mean is averaged over per-class INTEGER ppms for the same
+    * reason (a float TVD sum over classes is summation-order-dependent
+    * at the ulp).
+    *
+    * Scale: one (class, segment) map-side-combinable aggregate, a
+    * Θ(classes) rollup, segment totals a 5-row broadcast; fixed 6-row
+    * report. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.spread(Tables.t(spark, dir, "customer"))
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band"),
+        col("c_mktsegment").as("seg"))
+    val cells = c.groupBy(col("c_nationkey"), col("bal_band"), col("seg"))
+      .agg(count(lit(1)).as("n_cs"))
+    val classTot = cells
+      .groupBy(col("c_nationkey").as("ct_nation"), col("bal_band").as("ct_band"))
+      .agg(sum(col("n_cs")).as("n_c"))
+    val segTot = c.groupBy(col("seg")).agg(count(lit(1)).as("n_s"))
+    val total = segTot.agg(sum(col("n_s")).as("nn"))
+    val perClass = cells
+      .join(classTot,
+        col("c_nationkey") === col("ct_nation") &&
+          col("bal_band") === col("ct_band"))
+      .join(broadcast(segTot), Seq("seg"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(first(col("n_c")).as("n_c"), first(col("nn")).as("nn"),
+        sum(abs(col("n_cs") * col("nn") - col("n_s") * col("n_c"))
+          - col("n_s") * col("n_c")).as("present_term"))
+      .withColumn("num", col("nn") * col("n_c") + col("present_term"))
+      .withColumn("tvd", col("num") / (lit(2.0) * col("n_c") * col("nn")))
+      .withColumn("ppm",
+        round(col("num") * 1e6 / (lit(2.0) * col("n_c") * col("nn")))
+          .cast("long"))
+      .withColumn("above",
+        lit(10L) * col("num") > lit(6L) * col("n_c") * col("nn"))
+    perClass.agg(
+        count(lit(1)).as("classes_total"),
+        sum(col("n_c")).as("rows_total"),
+        max(col("tvd")).as("max_tvd"),
+        sum(col("ppm")).as("sum_ppm"),
+        sum(when(col("above"), 1L).otherwise(0L)).as("classes_above_03"),
+        sum(when(col("above"), col("n_c")).otherwise(0L))
+          .as("rows_above_03"))
+      .select(expr(
+        """stack(6,
+          |  'classes_total',   CAST(classes_total AS DOUBLE),
+          |  'rows_total',      CAST(rows_total AS DOUBLE),
+          |  'max_tvd',         round(max_tvd + 1e-9, 6),
+          |  'mean_tvd_ppm',    round(sum_ppm / CAST(classes_total
+          |                            AS DOUBLE)),
+          |  'classes_above_03', CAST(classes_above_03 AS DOUBLE),
+          |  'rows_above_03',   CAST(rows_above_03 AS DOUBLE)
+          |) AS (stat, value)""".stripMargin))
+      .orderBy(col("stat"))
+  }
+
   /** Join fan-out audit of the lineitem self-join on l_partkey — the
     * edge build behind pagerank / frequent_pairs / triangles, and the
     * first place a skewed key quietly turns Θ(N) into Θ(N²). Per key
@@ -358,6 +430,7 @@ object Audit {
     "l_diversity"     -> (lDiversity _),
     "join_fanout"     -> (joinFanout _),
     "psi_drift"       -> (psiDrift _),
+    "t_closeness"     -> (tCloseness _),
     "dq_checks"       -> (dqChecks _),
     "value_histogram" -> (valueHistogram _),
     "benford_digits"  -> (benfordDigits _),
@@ -445,6 +518,62 @@ object Audit {
         |  UNION ALL SELECT 'k5_risk_ppm',
         |    CAST(round(rows_k5_violating * 1e6 / rows_total, 0) AS BIGINT)
         |    FROM a)
+        |ORDER BY stat""".stripMargin,
+    "t_closeness" ->
+      """WITH c AS (
+        |  SELECT c_nationkey,
+        |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, bal_band, seg,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cs
+        |  FROM c GROUP BY 1, 2, 3),
+        |ct AS (
+        |  SELECT c_nationkey, bal_band, CAST(SUM(n_cs) AS BIGINT) AS n_c
+        |  FROM cells GROUP BY 1, 2),
+        |st AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_s
+        |       FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM st),
+        |pc AS (
+        |  SELECT cells.c_nationkey, cells.bal_band,
+        |    MIN(n_c) AS n_c, MIN(nn) AS nn,
+        |    CAST(SUM(abs(n_cs * nn - n_s * n_c) - n_s * n_c) AS BIGINT)
+        |      AS present_term
+        |  FROM cells
+        |  JOIN ct USING (c_nationkey, bal_band)
+        |  JOIN st USING (seg)
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT n_c, nn, nn * n_c + present_term AS num FROM pc),
+        |g AS (
+        |  SELECT n_c, nn, num,
+        |    num / (2.0 * n_c * nn) AS tvd,
+        |    CAST(round(num * 1e6 / (2.0 * n_c * nn)) AS BIGINT) AS ppm,
+        |    (10 * num > 6 * n_c * nn) AS above
+        |  FROM f),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS classes_total,
+        |         CAST(SUM(n_c) AS BIGINT) AS rows_total,
+        |         MAX(tvd) AS max_tvd,
+        |         CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+        |         CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS classes_above_03,
+        |         CAST(SUM(CASE WHEN above THEN n_c ELSE 0 END) AS BIGINT)
+        |           AS rows_above_03
+        |  FROM g)
+        |SELECT stat, value FROM (
+        |  SELECT 'classes_total' AS stat,
+        |         CAST(classes_total AS DOUBLE) AS value FROM a
+        |  UNION ALL SELECT 'rows_total', CAST(rows_total AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'max_tvd', ROUND(max_tvd + 1e-9, 6) FROM a
+        |  UNION ALL SELECT 'mean_tvd_ppm',
+        |    ROUND(sum_ppm / CAST(classes_total AS DOUBLE)) FROM a
+        |  UNION ALL SELECT 'classes_above_03',
+        |    CAST(classes_above_03 AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'rows_above_03',
+        |    CAST(rows_above_03 AS DOUBLE) FROM a)
         |ORDER BY stat""".stripMargin,
     "psi_drift" ->
       s"""WITH edges AS (

@@ -193,4 +193,38 @@ class AuditSpec extends AnyFunSuite {
         (r.getLong(0) * r.getLong(0) * r.getLong(1)).toDouble)
     }
   }
+
+  test("t_closeness: driver-side TVD recompute over the QI classes " +
+       "matches every report line") {
+    val rows = Tables.t(spark, dir, "customer").collect()
+      .map(r => ((r.getInt(2), math.floor(r.getDouble(3) / 2000).toLong),
+                 r.getString(4)))
+    val n = rows.length.toLong
+    val segTot = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val classes = rows.groupBy(_._1).map { case (_, rs) =>
+      val nC = rs.length.toLong
+      val cells = rs.groupBy(_._2).view.mapValues(_.length.toLong)
+      // num = Σ over ALL segments |n_cs·N − n_s·n_c| (absent cells give
+      // n_s·n_c) — recomputed over the explicit segment grid here,
+      // proving the operator's closed form equivalent
+      val num = segTot.map { case (seg, nS) =>
+        math.abs(cells.getOrElse(seg, 0L) * n - nS * nC) }.sum
+      (nC, num, num.toDouble / (2.0 * nC * n))
+    }.toSeq
+    val got = graft.ops.Audit.tCloseness(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def q6(x: Double) =
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(got("classes_total") === classes.size.toDouble)
+    assert(got("rows_total") === classes.map(_._1).sum.toDouble)
+    assert(got("max_tvd") === q6(classes.map(_._3).max))
+    val ppms = classes.map(c =>
+      math.round(c._2 * 1e6 / (2.0 * c._1 * n)))
+    assert(got("mean_tvd_ppm") ===
+      math.round(ppms.sum.toDouble / classes.size).toDouble)
+    val above = classes.filter(c => 10 * c._2 > 6 * c._1 * n)
+    assert(got("classes_above_03") === above.size.toDouble)
+    assert(got("rows_above_03") === above.map(_._1).sum.toDouble)
+  }
 }
