@@ -42,19 +42,36 @@ object Bench {
     // runs so no query is timed against another run's (or the warmup's)
     // cache, and cache memory stays bounded.
     spark.catalog.clearCache()
-    // Shuffle-write bytes per query, via a task-metrics listener read
-    // between runs (listener bus drained around each read so async
-    // delivery can't smear one query's bytes into the next). Wall time
-    // moves with host contention; shuffle bytes move only with the PLAN —
-    // so a timing regression whose bytes are unchanged is self-diagnosed
-    // as measurement noise, not a plan change (the round-7 false alarm).
+    // Per-query task metrics via a listener, read (and reset) around EVERY
+    // query in EVERY pass — the listener bus is drained before each read so
+    // async delivery can't smear one query's metrics into the next. Three
+    // counters, by what they diagnose:
+    //   - shuffle-write bytes: move only with the PLAN — a timing
+    //     regression whose bytes are unchanged is self-diagnosed as
+    //     measurement noise, not a plan change (the round-7 false alarm).
+    //   - executorCpuTime: moves with the WORK — host contention inflates
+    //     wall time (a busy neighbor steals the core between our slices)
+    //     but barely moves CPU time, so a regression that shows in wall
+    //     but not CPU is the host, and one that shows in CPU is the code.
+    //   - executorRunTime: task wall time — the CPU/run ratio is a direct
+    //     per-query contention gauge (≈1 quiet, drops under pressure).
+    // Reading per pass (not accumulating across passes) is also what keeps
+    // the counters meaningful after pass 1 — the round-8 form left the
+    // listener attached and inFlight accumulating through passes 2-3.
     val inFlight = new AtomicLong(0)
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val cpuNanos = new AtomicLong(0)
+    val runMillis = new AtomicLong(0)
+    val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
-        if (m != null) inFlight.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (m != null) {
+          inFlight.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          cpuNanos.addAndGet(m.executorCpuTime)
+          runMillis.addAndGet(m.executorRunTime)
+        }
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
     // A failed query records -1 — a thrown regression must never read as
     // a (faster) success in the benchmark JSON. Each query is timed THREE
     // times and the minimum reported: single-shot wall times on a shared
@@ -70,19 +87,25 @@ object Bench {
     val passes = 3
     val times = collection.mutable.Map[String, Vector[Double]]()
     val shuffleBytes = collection.mutable.Map[String, Long]()
+    val cpuSecs = collection.mutable.Map[String, Vector[Double]]()
+    val runSecs = collection.mutable.Map[String, Vector[Double]]()
     for (pass <- 1 to passes; (name, fn) <- selected) {
-      if (pass == 1) { ListenerBridge.drain(spark.sparkContext); inFlight.set(0) }
+      ListenerBridge.drain(spark.sparkContext)
+      inFlight.set(0); cpuNanos.set(0); runMillis.set(0)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       times(name) = times.getOrElse(name, Vector.empty) :+ dt
-      if (pass == 1) {
-        ListenerBridge.drain(spark.sparkContext)
-        shuffleBytes(name) = inFlight.get()
-      }
+      ListenerBridge.drain(spark.sparkContext)
+      if (pass == 1) shuffleBytes(name) = inFlight.get()
+      cpuSecs(name) = cpuSecs.getOrElse(name, Vector.empty) :+
+        (if (ok) cpuNanos.get() / 1e9 else -1.0)
+      runSecs(name) = runSecs.getOrElse(name, Vector.empty) :+
+        (if (ok) runMillis.get() / 1e3 else -1.0)
       spark.catalog.clearCache()
     }
+    spark.sparkContext.removeSparkListener(listener)
     val timed = selected.map { case (name, _) =>
       val ts = times(name)
       val failed = ts.exists(_ < 0)
@@ -92,6 +115,18 @@ object Bench {
     }
     val results = timed.map { case (n, min, _) => n -> min }
     val spreads = timed.map { case (n, _, sp) => n -> sp }
+    // min across passes, like wall time: the lowest reading is the one
+    // least disturbed by neighbors (CPU time moves far less than wall
+    // under contention, but a busy host still adds some scheduler and
+    // cache-thrash cost to the tasks themselves).
+    def minOf(m: collection.Map[String, Vector[Double]]) =
+      selected.map { case (n, _) =>
+        val vs = m(n)
+        n -> (if (vs.exists(_ < 0)) -1.0
+              else math.rint(vs.min * 1000) / 1000)
+      }
+    val cpu = minOf(cpuSecs)
+    val taskRun = minOf(runSecs)
     val total = results.map(_._2).filter(_ >= 0).sum
     def asJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -109,6 +144,7 @@ object Bench {
       (s"""{"metric":"total","value":$total,"unit":"sec",""" +
        s""""queries":${asJson(results)},"spread":${asJson(spreads)},""" +
        s""""shuffle_bytes":${asJsonL(sortedBytes)},""" +
+       s""""cpu":${asJson(cpu)},"task_run":${asJson(taskRun)},""" +
        s""""passes":$passes,"interleaved":true,""" +
        s""""sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
@@ -119,10 +155,14 @@ object Bench {
     // sf0.01 iteration run would poison the comparison series. The round
     // label comes from SPARK_GRAFT_ROUND if set, else max(BENCH_rNN.json)+1
     // (the driver writes BENCH_rNN.json AFTER the bench run, so during
-    // round N the max on disk is N−1); re-runs within a round overwrite
-    // the same key, keeping the append idempotent.
+    // round N the max on disk is N−1); re-runs within the WORK session of a
+    // round overwrite the same key. The one ambiguous window is a manual
+    // re-run right after the driver wrote BENCH_rNN.json (max+1 would then
+    // mislabel the still-current round's re-run as the next round) —
+    // updateHistory detects that window by the newest BENCH file's mtime
+    // and skips the append with a loud message instead of guessing.
     if (only.isEmpty && sfDir.endsWith("sf0.1")) {
-      try updateHistory(results, spreads, sortedBytes, total)
+      try updateHistory(results, spreads, sortedBytes, cpu, taskRun, total)
       catch { case e: Throwable =>
         System.err.println(s"BENCH_HISTORY update failed (non-fatal): $e") }
     }
@@ -135,6 +175,8 @@ object Bench {
       results: Seq[(String, Double)],
       spreads: Seq[(String, Double)],
       bytes: Seq[(String, Long)],
+      cpu: Seq[(String, Double)],
+      taskRun: Seq[(String, Double)],
       total: Double): Unit = {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.ObjectNode
@@ -145,25 +187,41 @@ object Bench {
         case o: ObjectNode => o
         case _ => mapper.createObjectNode()
       } else mapper.createObjectNode()
+    val rx = "BENCH_r([0-9]+)\\.json".r
+    val benchFiles = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty).toSeq
+      .flatMap(f => rx.findFirstMatchIn(f.getName).map(m =>
+        (m.group(1).toInt, f.lastModified())))
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", {
-      val rx = "BENCH_r([0-9]+)\\.json".r
-      val ns = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .toSeq.flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      f"r${(if (ns.isEmpty) 0 else ns.max) + 1}%02d"
+      // max+1 is only sound while the driver hasn't yet written this
+      // round's BENCH file. A newest BENCH file modified within the last
+      // 30 min means the driver just closed a round — a label inferred now
+      // would file this (still-current-round) re-run under the NEXT round.
+      // Refuse to guess: skip the append and say how to force a label.
+      val newestMtime = benchFiles.map(_._2).maxOption.getOrElse(0L)
+      require(System.currentTimeMillis() - newestMtime > 30 * 60 * 1000L,
+        "newest BENCH_rNN.json is <30min old — round inference is " +
+          "ambiguous; set SPARK_GRAFT_ROUND=rNN to record this run")
+      val maxN = benchFiles.map(_._1).maxOption.getOrElse(0)
+      f"r${maxN + 1}%02d"
     })
     def sub(name: String): ObjectNode = root.get(name) match {
       case o: ObjectNode => o
       case _ => val o = mapper.createObjectNode(); root.set(name, o); o
     }
-    val timesNode = mapper.createObjectNode()
-    results.foreach { case (k, v) => timesNode.put(k, v) }
-    val spreadNode = mapper.createObjectNode()
-    spreads.foreach { case (k, v) => spreadNode.put(k, v) }
+    def node(rs: Seq[(String, Double)]): ObjectNode = {
+      val n = mapper.createObjectNode()
+      rs.foreach { case (k, v) => n.put(k, v) }
+      n
+    }
+    val timesNode = node(results)
     val bytesNode = mapper.createObjectNode()
     bytes.foreach { case (k, v) => bytesNode.put(k, v) }
     root.set(round, timesNode)
-    sub("spread").set(round, spreadNode)
+    sub("spread").set(round, node(spreads))
     sub("shuffle_bytes").set(round, bytesNode)
+    sub("cpu").set(round, node(cpu))
+    sub("task_run").set(round, node(taskRun))
     sub("totals").put(round, total)
     root.set("detail_latest", timesNode.deepCopy[ObjectNode]())
     mapper.writerWithDefaultPrettyPrinter().writeValue(file, root)

@@ -330,7 +330,13 @@ object Audit {
     * (class, segment) cells contribute n_s·n_c each, folded in as the
     * closed form N·n_c + Σ_present(|…| − n_s·n_c) so the segment grid
     * never materializes. The t > 0.3 flag cross-multiplies to integers
-    * (10·num > 6·n_c·N) — membership cannot wobble on a division ulp.
+    * in lowest terms (5·num > 3·n_c·N) — membership cannot wobble on a
+    * division ulp. Overflow bound: num ≤ 2·n_c·N, so the flag's products
+    * stay within Long while 5·2·n_c·N < 2⁶³, i.e. n_c·N < ~9.2·10¹⁷ —
+    * safe to a ~10⁹-row corpus even when one class holds most of it
+    * (the reduced 5/3 form buys 2× the headroom of the 10/6 original;
+    * past that bound, compare via DECIMAL(38,0)/HUGEINT in both
+    * engines).
     * The mean is averaged over per-class INTEGER ppms for the same
     * reason (a float TVD sum over classes is summation-order-dependent
     * at the ulp).
@@ -366,7 +372,7 @@ object Audit {
         round(col("num") * 1e6 / (lit(2.0) * col("n_c") * col("nn")))
           .cast("long"))
       .withColumn("above",
-        lit(10L) * col("num") > lit(6L) * col("n_c") * col("nn"))
+        lit(5L) * col("num") > lit(3L) * col("n_c") * col("nn"))
     perClass.agg(
         count(lit(1)).as("classes_total"),
         sum(col("n_c")).as("rows_total"),
@@ -551,7 +557,7 @@ object Audit {
         |  SELECT n_c, nn, num,
         |    num / (2.0 * n_c * nn) AS tvd,
         |    CAST(round(num * 1e6 / (2.0 * n_c * nn)) AS BIGINT) AS ppm,
-        |    (10 * num > 6 * n_c * nn) AS above
+        |    (5 * num > 3 * n_c * nn) AS above
         |  FROM f),
         |a AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS classes_total,

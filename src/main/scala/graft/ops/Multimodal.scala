@@ -236,7 +236,20 @@ object Multimodal {
     * asset, zero exchanges); only (id, 16-char signature, 4-char band)
     * tuples ever shuffle — payloads never leave their scan partition
     * (the mm_dedup digest-only doctrine); the band join is bounded
-    * blocking, never all-pairs. */
+    * blocking, never all-pairs.
+    *
+    * Payload-encoding assumption (ASCII/BMP): the cell sums iterate the
+    * payload with Spark's split(text,'') — UTF-16 CODE UNITS, with
+    * ascii() returning surrogate halves for non-BMP characters — while
+    * the DuckDB oracle's split('')/unicode() and length()//17 iterate
+    * CODEPOINTS. On a payload containing astral-plane characters the
+    * two engines would compute different strides and cell sums; the
+    * stand-in payloads here (and realistic base64/hex-ish transport
+    * encodings of true binary) are ASCII, where unit == codepoint and
+    * the recipes agree exactly. A production binary payload would
+    * compute cell sums over BYTES (encode(text,'utf-8') in both
+    * engines, or the binary column directly), making the iteration
+    * unit identical by construction. */
   /** Perceptual-signature width that SCALES WITH THE CORPUS — the
     * banding-power defense (Similarity.adaptiveBits' doctrine applied
     * to the dHash): bands stay FOUR (pigeonhole: a Hamming ≤ 2 pair
@@ -330,7 +343,10 @@ object Multimodal {
     "mm_resize" -> (resize _))
 
   /** Oracle fragments of the perceptual signature — same fixed-grid /
-    * codepoint-sum / adjacent-comparison recipe stated in DuckDB. */
+    * codepoint-sum / adjacent-comparison recipe stated in DuckDB.
+    * Parity holds on ASCII/BMP payloads only (unicode() here iterates
+    * codepoints, the Spark side's ascii() iterates UTF-16 units — see
+    * the encoding-assumption note on perceptualDedup). */
   private def pCell(i: Int): String =
     s"substr(text, CAST($i*stride+1 AS INT), CAST(stride AS INT))"
   private def pSum(i: Int): String =

@@ -223,6 +223,8 @@ class AuditSpec extends AnyFunSuite {
       math.round(c._2 * 1e6 / (2.0 * c._1 * n)))
     assert(got("mean_tvd_ppm") ===
       math.round(ppms.sum.toDouble / classes.size).toDouble)
+    // deliberately the UNREDUCED fraction (10/6) vs the operator's
+    // overflow-hardened lowest-terms 5/3 — same rule, independent form
     val above = classes.filter(c => 10 * c._2 > 6 * c._1 * n)
     assert(got("classes_above_03") === above.size.toDouble)
     assert(got("rows_above_03") === above.map(_._1).sum.toDouble)
