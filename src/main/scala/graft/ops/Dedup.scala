@@ -250,7 +250,7 @@ object Dedup {
       Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
-              Similarity.signBucket(col("embedding"), bits).as("bucket"))
+              Similarity.signBits(col("embedding"), bits).as("bucket"))
     val a = e.select(col("vec_id").as("id_a"),
         col("embedding").as("emb_a"),
         explode(Similarity.probeBuckets(col("bucket"), bits,

@@ -62,13 +62,22 @@ object Similarity {
     when(denom =!= 0.0, dot / denom)
   }
 
-  /** Sign-bit LSH bucket over the first `bits` vector components. With
-    * zero-centered components each bit splits ~50/50, giving 2^bits
-    * buckets. (A production variant would use `bits` random hyperplanes;
-    * fixed axes keep the oracle SQL-expressible and the semantics equal.) */
-  def signBucket(c: Column, bits: Int): Column =
-    concat((1 to bits).map(i =>
-      when(element_at(c, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  /** Sign-bit LSH signature over the first `bits` vector components, as a
+    * BIGINT (bit i−1 set ⇔ component i ≥ 0). With zero-centered
+    * components each bit splits ~50/50, giving 2^bits buckets. (A
+    * production variant would use `bits` random hyperplanes; fixed axes
+    * keep the oracle SQL-expressible and the semantics equal.) Integer
+    * signatures replaced the round-8 string form: probe enumeration
+    * becomes XOR against constant flip masks instead of per-probe
+    * substr/concat string surgery (~2.3k string builds per query row at
+    * 24 bits), and the bucket join key is 8 bytes instead of a
+    * `bits`-char string. The terms being disjoint powers of two, the sum
+    * is carry-free — equal to bitwise OR — so bits = 64 (the dim cap,
+    * where 1L<<63 is the sign bit) still round-trips exactly. */
+  def signBits(c: Column, bits: Int): Column =
+    (1 to bits).map(i =>
+      when(element_at(c, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   /** LSH width that SCALES WITH THE CORPUS — the bucket-density defense
     * of every in-bucket self-join (annLsh, embedNearDup, semanticDedup).
@@ -88,14 +97,21 @@ object Similarity {
     math.min(dim, math.max(8, needed))
   }
 
-  /** Multi-probe radius of the sign-LSH search tier: a query probes every
-    * bucket within Hamming distance ≤ this of its own signature, not just
-    * its own bucket. Measured on the fixture (sf0.01, the gate scale):
-    * of the 50 true top-5 neighbors, the Hamming distance between query
-    * and neighbor signatures distributes 1/9/12/13/10/2/2/1 over
-    * 0..7 — single-probe recall@5 is 0.02 (the round-4 `ann_recall` red
-    * flag), radius 2 reaches 0.44, radius 3 reaches 0.70. Three is the
-    * smallest radius clearing the 0.5 line, so it is the shipped dial.
+  /** Multi-probe radius of the sign-LSH ADMISSION/DEDUP gates (the
+    * symmetric pair-forming sites: embedPairs' near-dup gate,
+    * ann_incremental's index-maintenance gate): a probe reaches every
+    * bucket within Hamming distance ≤ this of its own signature, not
+    * just its own bucket. Measured on the fixture (sf0.01, the gate
+    * scale): of the 50 true top-5 neighbors, the Hamming distance
+    * between query and neighbor signatures distributes 1/9/12/13/10/2/2/1
+    * over 0..7 — single-probe recall@5 is 0.02 (the round-4 `ann_recall`
+    * red flag), radius 2 reaches 0.44, radius 3 reaches 0.70. Three is
+    * the smallest radius clearing the 0.5 line, so it is the gates'
+    * dial. The SEARCH tier (lshCandidates) moved past the ball in round
+    * 9 to margin-directed budgeted probing — see directedProbes; the
+    * gates keep the ball because their rule is symmetric (pair (a,b)
+    * found ⇔ Hamming(a,b) ≤ r regardless of which side probes), which a
+    * per-query directed probe set is not.
     *
     * Scale shape: the probe set is C(bits,0)+…+C(bits,3) buckets — 93 at
     * 8 bits, ~2.3k at the 24 bits a 10⁹-vector corpus gets — growing
@@ -105,55 +121,132 @@ object Similarity {
     * equi-join fan-out, never all-pairs. */
   val ProbeRadius = 3
 
-  /** All bucket signatures within Hamming distance ≤ `radius` of
-    * `bucket`, enumerated ARRAY-LOCALLY (nested higher-order transforms
-    * over flip positions — no join, no UDF; each probe flips a distinct
-    * position set, so the list is duplicate-free by construction and a
-    * candidate meets each query exactly once through its own bucket).
-    * Exact-bucket search is the degenerate radius 0. */
-  def probeBuckets(bucket: Column, bits: Int, radius: Int): Column = {
+  /** The Hamming ≤ `radius` ball's probe count: C(bits,0)+…+C(bits,3). */
+  private[graft] def ballCount(bits: Int): Int =
+    1 + bits + bits * (bits - 1) / 2 + bits * (bits - 1) * (bits - 2) / 6
+
+  /** All XOR flip masks of popcount ≤ `radius` over `bits` positions — a
+    * CONSTANT per (bits, radius), enumerated once on the driver and
+    * shipped into the plan as an array literal (a model parameter, like
+    * the IVF codebook: 6.6k longs at 34 bits). Probing is then one XOR
+    * per (row, mask) — the round-8 string form rebuilt each probe with
+    * nested substr/concat surgery, Θ(bits) string allocations per probe
+    * per row. Masks are distinct, so probe signatures are duplicate-free
+    * and a candidate meets each query exactly once. */
+  private[graft] def ballMasks(bits: Int, radius: Int): Seq[Long] = {
     require(radius >= 0 && radius <= 3, s"unsupported probe radius $radius")
-    def flip(s: Column, i: Column): Column = concat(
-      substr(s, lit(1), i - 1),
-      when(substr(s, i, lit(1)) === "1", lit("0")).otherwise(lit("1")),
-      substr(s, i + 1, lit(bits)))
-    val r0 = array(bucket)
-    lazy val r1 = transform(sequence(lit(1), lit(bits)), i => flip(bucket, i))
-    lazy val r2 = flatten(transform(sequence(lit(1), lit(bits - 1)), i =>
-      transform(sequence(i + 1, lit(bits)), j => flip(flip(bucket, i), j))))
-    lazy val r3 = flatten(flatten(transform(sequence(lit(1), lit(bits - 2)),
-      i => transform(sequence(i + 1, lit(bits - 1)), j =>
-        transform(sequence(j + 1, lit(bits)), k =>
-          flip(flip(flip(bucket, i), j), k))))))
-    radius match {
-      case 0 => r0
-      case 1 => concat(r0, r1)
-      case 2 => concat(r0, r1, r2)
-      case _ => concat(r0, r1, r2, r3)
-    }
+    val b = scala.collection.mutable.ArrayBuffer(0L)
+    if (radius >= 1) for (i <- 0 until bits) b += (1L << i)
+    if (radius >= 2)
+      for (i <- 0 until bits; j <- i + 1 until bits)
+        b += (1L << i) | (1L << j)
+    if (radius >= 3)
+      for (i <- 0 until bits; j <- i + 1 until bits; k <- j + 1 until bits)
+        b += (1L << i) | (1L << j) | (1L << k)
+    b.toSeq
   }
 
-  /** Shared candidate stage of the multi-probe sign-LSH tier (annLsh,
-    * annRecall's LSH arm, annNdcg, hardNegatives): the corpus side keys
-    * on its OWN bucket; the query side explodes its ≤ C(bits,≤radius)
-    * probe signatures; candidates meet through the bucket equi-join —
-    * the same bounded hash-join dataflow as single-probe, fan-out
-    * multiplied by the probe count, never a similarity theta-join. The
-    * semantics (pinned by the oracles' quadratic form): candidate ⇔
-    * Hamming(query sig, candidate sig) ≤ radius. */
+  /** All bucket signatures within Hamming distance ≤ `radius` of the
+    * BIGINT signature `sig`: XOR against the constant ball-mask array.
+    * Exact-bucket search is the degenerate radius 0. */
+  def probeBuckets(sig: Column, bits: Int, radius: Int): Column =
+    transform(typedLit(ballMasks(bits, radius)), m => sig.bitwiseXOR(m))
+
+  /** Probe budget of the margin-directed search tier: anchored at the
+    * radius-3 ball's probe count (equal spend, better aim), trimmed to
+    * the measured knee of the fixture recall curve — at 8 bits recall@5
+    * plateaus at 0.80 for budgets 85..92 and only moves again past the
+    * full 93 (0.88 at 128, bought with 38% more candidates), so the
+    * knee ⌈0.91·C(bits,≤3)⌉ = 85 is the dial. Grows polynomially with
+    * bits exactly like the ball it replaces. */
+  private[graft] def probeBudget(bits: Int): Int =
+    (ballCount(bits) * 91 + 99) / 100
+
+  /** Candidate-mask pool width of the directed tier: subsets of the
+    * query's `poolBits` lowest-margin positions are scored and ranked;
+    * 2^pool must comfortably exceed the budget so the ranking has slack
+    * to choose from. ⌈log2(ball)⌉+1 → 8 at 8 bits (the ENTIRE mask
+    * space, so the fixture semantics involve no pool cut at all — the
+    * oracles enumerate all 256 masks), 13 at 24 bits (8k-mask pool for
+    * a 2.1k budget). */
+  private[graft] def poolBits(bits: Int): Int = {
+    val lg = 32 - Integer.numberOfLeadingZeros(ballCount(bits) - 1) // ⌈log2⌉
+    math.min(bits, lg + 1)
+  }
+
+  /** Margin-directed multi-probe — the round-9 recall fix for the search
+    * tier (ann_recall's 0.70 under the blind radius-3 ball): the bits
+    * most likely to differ between a query and its true neighbor are the
+    * ones whose projection sits nearest the hyperplane, i.e. smallest
+    * |component|. Rank candidate flip sets by the TOTAL MARGIN they
+    * flip and spend a fixed probe budget on the lowest-margin bucket
+    * variants, instead of probing every Hamming ≤ 3 variant including
+    * ones that flip three high-confidence bits. Measured at the gate
+    * fixture (sf0.01): recall@5 0.70 → 0.80 with 0.92× the ball tier's
+    * candidate count (83,676 vs 90,964) at 0.91× its probe count — the
+    * directed set reaches true neighbors at Hamming 4–6 (≈28% of them,
+    * per the distance histogram) that no affordable ball radius covers.
+    *
+    * Determinism doctrine: margins are INTEGER micro-units
+    * (round(|x|·1e6) as BIGINT — float→double is exact, ·1e6 and the
+    * half-away round are IEEE-identical in both engines), so mask
+    * scores are order-free integer sums and the (score, mask) ranking
+    * can't wobble on a summation ulp. Everything is array-local
+    * (Θ(2^pool · pool) integer ops per row, no join, no UDF); masks are
+    * distinct so probe signatures are duplicate-free. */
+  def directedProbes(sig: Column, emb: Column, bits: Int): Column = {
+    val p = poolBits(bits)
+    val budget = probeBudget(bits)
+    // p lowest-margin positions, (margin, position)-sorted — ties break
+    // on the position, mirrored by the oracle's ORDER BY margin, i
+    val pool = slice(array_sort(transform(sequence(lit(1), lit(bits)), i =>
+      struct(
+        round(abs(element_at(emb, i).cast("double")) * 1e6).cast("long")
+          .as("m"),
+        (i - 1).cast("long").as("pos")))), 1, p)
+    val tPow = typedLit((0 until p).map(t => 1L << t)) // pool-index bit
+    val posPow = typedLit((0 until bits).map(x => 1L << x)) // 1L<<pos
+    def scoreOf(j: Column): Column =
+      aggregate(sequence(lit(0), lit(p - 1)), lit(0L), (acc, t) =>
+        acc + when((j.cast("long").bitwiseAND(element_at(tPow, t + 1))) > 0,
+          element_at(pool, t + 1)("m")).otherwise(0L))
+    def maskOf(j: Column): Column =
+      aggregate(sequence(lit(0), lit(p - 1)), lit(0L), (acc, t) =>
+        acc + when((j.cast("long").bitwiseAND(element_at(tPow, t + 1))) > 0,
+          element_at(posPow,
+            (element_at(pool, t + 1)("pos") + 1).cast("int")))
+          .otherwise(0L))
+    val scored = transform(sequence(lit(0), lit((1 << p) - 1)), j =>
+      struct(scoreOf(j).as("score"), maskOf(j).as("mask")))
+    transform(slice(array_sort(scored), 1, budget),
+      s => sig.bitwiseXOR(s("mask")))
+  }
+
+  /** Shared candidate stage of the margin-directed sign-LSH search tier
+    * (annLsh, annRecall's LSH arm, annNdcg, hardNegatives, annQuant's
+    * candidate stage): the corpus side keys on its OWN signature; the
+    * query side explodes its `probeBudget` directed probe signatures
+    * (see directedProbes); candidates meet through the signature
+    * equi-join — the same bounded hash-join dataflow as single-probe,
+    * fan-out multiplied by the budget, never a similarity theta-join.
+    * The semantics (pinned by the oracles, which re-derive the probe
+    * ranking and state candidacy as membership of the query's top-budget
+    * mask set): candidate ⇔ sig(q) XOR sig(c) ranks within the query's
+    * probe budget by (flipped-margin total, mask). */
   private def lshCandidates(spark: SparkSession, dir: String,
       probeOnly: Option[Column] = None): DataFrame = {
     // count() is answered from parquet footer metadata, no data scan
     val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
-              signBucket(col("embedding"), bits).as("bucket"))
+              signBits(col("embedding"), bits).as("sig"))
     val q = probeOnly.fold(e)(e.filter)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(probeBuckets(col("bucket"), bits, ProbeRadius)).as("bucket"))
-    val c = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+        explode(directedProbes(col("sig"), col("embedding"), bits))
+          .as("sig"))
+    val c = e.select(col("sig"), col("vec_id").as("neighbor_id"),
                      col("embedding").as("n_emb"))
-    q.join(c, Seq("bucket"))
+    q.join(c, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("q_emb"), col("n_emb")), 6).as("sim"))
@@ -214,7 +307,7 @@ object Similarity {
     val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
-              signBucket(col("embedding"), bits).as("bucket"))
+              signBits(col("embedding"), bits).as("bucket"))
     val corpus = e.filter(col("vec_id") % 2 === 0)
       .select(col("bucket"), col("vec_id").as("c_id"),
               col("embedding").as("c_emb"))
@@ -278,9 +371,9 @@ object Similarity {
     *
     * Scale shape: codes are a map-side projection (the same per-vector
     * symmetric scale embedding_quantize ships); candidates meet through
-    * the multi-probe sign-LSH tier (Hamming ≤ ProbeRadius via the
-    * probe-bucket explode — never all pairs, and the same candidate
-    * universe every other tier member sees); the rescore join touches
+    * the margin-directed sign-LSH tier (the budgeted probe explode of
+    * directedProbes — never all pairs, and the same candidate universe
+    * every other search-tier member sees); the rescore join touches
     * Θ(candidates) fp32 rows — at 100 TB the fp32 table stays in cold
     * storage and only candidate ids hit it. */
   def annQuant(spark: SparkSession, dir: String): DataFrame = {
@@ -290,18 +383,18 @@ object Similarity {
       .withColumn("scale", greatest(aggregate(col("embedding"), lit(0.0),
         (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0,
         lit(1e-12)))
-      .select(col("vec_id"),
-        signBucket(col("embedding"), bits).as("bucket"),
+      .select(col("vec_id"), col("embedding"),
+        signBits(col("embedding"), bits).as("sig"),
         transform(col("embedding"),
           x => round(x.cast("double") / col("scale")).cast("long"))
           .as("code"))
     val q = codes.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("code").as("q_code"),
-        explode(probeBuckets(col("bucket"), bits, ProbeRadius))
-          .as("bucket"))
-    val c = codes.select(col("bucket"), col("vec_id").as("neighbor_id"),
+        explode(directedProbes(col("sig"), col("embedding"), bits))
+          .as("sig"))
+    val c = codes.select(col("sig"), col("vec_id").as("neighbor_id"),
                          col("code").as("n_code"))
-    val cand = q.join(c, Seq("bucket"))
+    val cand = q.join(c, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         aggregate(zip_with(col("q_code"), col("n_code"), (a, b) => a * b),
@@ -366,9 +459,11 @@ object Similarity {
     * measured recall@5 = 0.02 (a true top-5 neighbor rarely agrees on
     * all 8 sign bits of unstructured vectors) — exactly the measurement
     * that tells an operator to add probes before shipping an index. The
-    * tier now multi-probes Hamming ≤ ProbeRadius, which this operator
-    * measures at 0.70 on the same fixture (vs IVF's 0.88); the radius
-    * constant's scaladoc carries the full distance histogram. */
+    * round-8 blind Hamming ≤ 3 ball raised it to 0.70; the round-9
+    * margin-directed budget tier (directedProbes) measures 0.80 here
+    * with FEWER candidates than the ball spent (0.92×), closing most of
+    * the gap to IVF's 0.88 — the ProbeRadius scaladoc carries the
+    * distance histogram the ball couldn't afford to cover. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
     val truth = topKBrute(spark, dir) // probes vec_id < 10, top-5
@@ -778,15 +873,17 @@ object Similarity {
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
 
-  /** 8-bit sign bucket (the adaptiveBits value at every fixture scale —
-    * pinned by PropertySpec). */
+  /** 8-bit sign bucket as a string (the adaptiveBits value at every
+    * fixture scale — pinned by PropertySpec). Used by the BALL-rule
+    * oracles (ann_incremental here, embed_neardup / semantic_dedup in
+    * Dedup), whose candidate rule is the symmetric Hamming theta-join. */
   private[ops] val duckBucket =
     (1 to 8).map(i =>
       s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
 
   /** Hamming distance between two 8-bit signature strings — the oracle
-    * form of the multi-probe candidate rule. The oracle states the
+    * form of the ball-probe candidate rule. The oracle states the
     * SEMANTICS as a quadratic theta-join (candidate ⇔ Hamming ≤
     * ProbeRadius); the Spark side proves the bounded probe-bucket
     * equi-join computes the same relation (the skyline-oracle doctrine:
@@ -795,6 +892,49 @@ object Similarity {
     (1 to 8).map(i =>
       s"CASE WHEN substr($a,$i,1) <> substr($b,$i,1) THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
+
+  /** 8-bit sign signature as a BIGINT — the oracle form of signBits. */
+  private[ops] val duckSigInt =
+    (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** CTE chain of the margin-directed probe ranking (the search tier's
+    * candidate rule, restated as its definition): per query, every flip
+    * mask scored by the integer micro-margin total of its flipped bits
+    * (order-free SUM — exact in both engines) and ranked by
+    * (score, mask); the top `probeBudget` masks are the probe set, and
+    * a corpus vector is a candidate iff xor(sig_q, sig_c) is in it. At
+    * the fixture's 8 bits the mask pool is the whole 256-mask space, so
+    * the engine's lowest-margin-pool cut is vacuous and the oracle
+    * enumerates range(0,256) outright. */
+  private[ops] val duckDirectedCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, $duckSigInt AS sig FROM embeddings),
+       |mg AS (
+       |  SELECT vec_id, i,
+       |         CAST(round(abs(embedding[i]::DOUBLE) * 1e6) AS BIGINT)
+       |           AS m
+       |  FROM embeddings, range(1, 9) r(i)),
+       |pm AS (
+       |  SELECT g.vec_id, t.mask,
+       |         COALESCE(SUM(CASE WHEN (t.mask >> (g.i - 1)) & 1 = 1
+       |                           THEN g.m END), 0) AS score
+       |  FROM mg g CROSS JOIN range(0, 256) t(mask)
+       |  GROUP BY g.vec_id, t.mask),
+       |pr AS (
+       |  SELECT vec_id, mask FROM (
+       |    SELECT vec_id, mask, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score, mask) AS prn
+       |    FROM pm)
+       |  WHERE prn <= ${probeBudget(8)})""".stripMargin
+
+  /** Directed-tier candidate pair join: a = query leg, b = corpus leg. */
+  private[ops] val duckDirectedJoin: String =
+    """FROM e a
+      |  JOIN pr ON pr.vec_id = a.vec_id
+      |  JOIN e b ON xor(a.sig, b.sig) = pr.mask
+      |             AND a.vec_id <> b.vec_id""".stripMargin
 
   /** k-means CTE chain up to the final assignment (a2) — duckCosine
     * rounds to 6 dp, so the ROW_NUMBER ranking IS the quantized-argmax
@@ -956,15 +1096,12 @@ object Similarity {
          |    SELECT *, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |    FROM bp) WHERE rnk <= 5),
-         |e AS (
-         |  SELECT vec_id, embedding, $duckBucket AS bucket
-         |  FROM embeddings),
+         |$duckDirectedCtes,
          |lp AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
-         |  FROM e a JOIN e b
-         |    ON ${duckHamming("a.bucket", "b.bucket")} <= $ProbeRadius
-         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |  $duckDirectedJoin
+         |  WHERE a.vec_id < 10),
          |lsh AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (
@@ -1054,23 +1191,25 @@ object Similarity {
          |SELECT query_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "sim_ann_quant" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, $duckBucket AS bucket,
+      s"""WITH $duckDirectedCtes,
+         |sc AS (
+         |  SELECT vec_id,
          |    GREATEST(list_max(list_transform(embedding,
          |      x -> abs(x::DOUBLE))) / 127.0, 1e-12) AS scale
          |  FROM embeddings),
          |q8 AS (
-         |  SELECT vec_id, bucket,
-         |    list_transform(embedding,
-         |      x -> CAST(ROUND(x::DOUBLE / scale) AS BIGINT)) AS code
-         |  FROM e),
+         |  SELECT e2.vec_id,
+         |    list_transform(e2.embedding,
+         |      x -> CAST(ROUND(x::DOUBLE / sc.scale) AS BIGINT)) AS code
+         |  FROM embeddings e2 JOIN sc ON sc.vec_id = e2.vec_id),
          |cd AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    CAST(list_dot_product(a.code::DOUBLE[], b.code::DOUBLE[])
+         |    CAST(list_dot_product(qa.code::DOUBLE[], qb.code::DOUBLE[])
          |      AS BIGINT) AS int_dot
-         |  FROM q8 a JOIN q8 b
-         |    ON ${duckHamming("a.bucket", "b.bucket")} <= $ProbeRadius
-         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |  $duckDirectedJoin
+         |    JOIN q8 qa ON qa.vec_id = a.vec_id
+         |    JOIN q8 qb ON qb.vec_id = b.vec_id
+         |  WHERE a.vec_id < 10),
          |cand AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1101,15 +1240,12 @@ object Similarity {
          |  SELECT query_id, neighbor_id, t_rnk,
          |         CAST(6 - t_rnk AS DOUBLE) AS rel
          |  FROM tr WHERE t_rnk <= 5),
-         |e AS (
-         |  SELECT vec_id, embedding, $duckBucket AS bucket
-         |  FROM embeddings),
+         |$duckDirectedCtes,
          |p AS (
-         |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         ${duckCosine("a.embedding", "c.embedding")} AS sim
-         |  FROM e a JOIN e c
-         |    ON ${duckHamming("a.bucket", "c.bucket")} <= $ProbeRadius
-         |  WHERE a.vec_id <> c.vec_id AND a.vec_id < 10),
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  $duckDirectedJoin
+         |  WHERE a.vec_id < 10),
          |ar AS (
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
@@ -1183,15 +1319,11 @@ object Similarity {
          |       COALESCE(sim < 0.9, TRUE) AS admit
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "hard_negatives" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, $duckBucket AS bucket
-         |  FROM embeddings),
+      s"""WITH $duckDirectedCtes,
          |p AS (
          |  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
-         |  FROM e a JOIN e b
-         |    ON ${duckHamming("a.bucket", "b.bucket")} <= $ProbeRadius
-         |  WHERE a.vec_id <> b.vec_id),
+         |  $duckDirectedJoin),
          |r AS (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY anchor_id ORDER BY sim DESC, negative_id) AS rn
@@ -1199,15 +1331,11 @@ object Similarity {
          |SELECT anchor_id, negative_id, sim FROM r
          |WHERE rn = 1 ORDER BY anchor_id""".stripMargin,
     "sim_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, $duckBucket AS bucket
-         |  FROM embeddings),
+      s"""WITH $duckDirectedCtes,
          |p AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
-         |  FROM e a JOIN e b
-         |    ON ${duckHamming("a.bucket", "b.bucket")} <= $ProbeRadius
-         |  WHERE a.vec_id <> b.vec_id),
+         |  $duckDirectedJoin),
          |r AS (
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)

@@ -262,26 +262,58 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("probeBuckets enumerates EXACTLY the Hamming <= r ball of the " +
-       "signature, duplicate-free, for every supported radius") {
-    val all8 = (0 until 256).map(i =>
-      String.format("%8s", Integer.toBinaryString(i)).replace(' ', '0'))
-    def ham(a: String, b: String): Int =
-      a.zip(b).count { case (x, y) => x != y }
-    val sigs = Seq("10110010", "00000000", "11111111", "01010101")
+       "integer signature, duplicate-free, for every supported radius") {
+    val sigs = Seq(0xB2L, 0x00L, 0xFFL, 0x55L)
     for (r <- 0 to 3) {
       val rows = sigs.toDF("sig")
         .select(col("sig"),
           graft.ops.Similarity.probeBuckets(col("sig"), 8, r).as("probes"))
         .collect()
       rows.foreach { row =>
-        val sig = row.getString(0)
-        val probes = row.getSeq[String](1)
+        val sig = row.getLong(0)
+        val probes = row.getSeq[Long](1)
         assert(probes.distinct.size === probes.size,
           s"radius $r: duplicate probes would double-count candidates")
-        assert(probes.toSet === all8.filter(ham(sig, _) <= r).toSet,
+        assert(probes.toSet ===
+          (0L until 256L).filter(s =>
+            java.lang.Long.bitCount(s ^ sig) <= r).toSet,
           s"radius $r probe set of $sig is not the Hamming ball")
       }
     }
+  }
+
+  test("directed-tier dials at the oracle's 8 bits: budget 85 (the " +
+       "hard-coded oracle constant), pool = the whole mask space") {
+    // the oracle SQL enumerates range(0,256) and ranks to 85 — pin the
+    // Scala dials so a formula change fails loudly instead of silently
+    // diverging from the static oracle text
+    assert(graft.ops.Similarity.ballCount(8) === 93)
+    assert(graft.ops.Similarity.probeBudget(8) === 85)
+    assert(graft.ops.Similarity.poolBits(8) === 8)
+    // scale growth: polynomial budget, pool stays a few bits above it
+    assert(graft.ops.Similarity.ballCount(24) === 2325)
+    assert(graft.ops.Similarity.probeBudget(24) === 2116)
+    assert(graft.ops.Similarity.poolBits(24) === 13)
+    assert((1 << graft.ops.Similarity.poolBits(24)) >
+      graft.ops.Similarity.probeBudget(24))
+  }
+
+  test("directedProbes selects the budget-many lowest-(margin-sum, mask) " +
+       "flip variants — driver recompute on a hand vector") {
+    val emb = Array(0.5f, -0.01f, 0.02f, -0.3f, 0.001f, 0.6f, -0.05f, 0.004f)
+    val sig = (0 until 8).map(i => if (emb(i) >= 0) 1L << i else 0L).sum
+    val margins = emb.map(x => math.round(math.abs(x.toDouble) * 1e6))
+    val expected = (0 until 256).map { mask =>
+      val score = (0 until 8).filter(b => (mask >> b & 1) == 1)
+        .map(margins(_)).sum
+      (score, mask.toLong)
+    }.sorted.take(85).map { case (_, m) => sig ^ m }
+    val got = Seq(Tuple1(emb.toSeq)).toDF("embedding")
+      .select(graft.ops.Similarity.directedProbes(
+        graft.ops.Similarity.signBits(col("embedding"), 8),
+        col("embedding"), 8).as("probes"))
+      .head().getSeq[Long](0)
+    assert(got === expected)
   }
 
   test("upsert is idempotent and keeps exactly one row per key") {

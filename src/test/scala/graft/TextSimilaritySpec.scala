@@ -497,8 +497,19 @@ class TextSimilaritySpec extends AnyFunSuite {
         .map(n => (r6(cos(emb(q), emb(n))), n))
         .sortBy { case (s, n) => (-s, n) }.take(5).map(_._2)
     val bits = Similarity.adaptiveBits(emb.size.toLong)
-    def bucket(v: Array[Float]): String =
-      (0 until bits).map(i => if (v(i) >= 0) '1' else '0').mkString
+    def sigOf(v: Array[Float]): Long =
+      (0 until bits).map(i => if (v(i) >= 0) 1L << i else 0L).sum
+    // the directed tier's probe set: top-budget flip masks by
+    // (flipped-margin total, mask) — independently recomputed
+    def probeSet(v: Array[Float]): Set[Long] = {
+      val margins = (0 until bits)
+        .map(i => math.round(math.abs(v(i).toDouble) * 1e6))
+      (0L until (1L << bits)).map { mask =>
+        val score = (0 until bits)
+          .filter(b => (mask >> b & 1) == 1).map(margins(_)).sum
+        (score, mask)
+      }.sorted.take(Similarity.probeBudget(bits)).map(_._2).toSet
+    }
     val log2 = math.log(2)
 
     val rows = Similarity.annNdcg(spark, dir).collect()
@@ -508,12 +519,12 @@ class TextSimilaritySpec extends AnyFunSuite {
       val truth = top5(emb.keys, q)
       val rel = truth.zipWithIndex
         .map { case (n, i) => n -> (5 - i).toDouble }.toMap
-      // multi-probe candidate rule: signatures within Hamming ≤ radius
+      // directed-probe candidate rule: the signature diff must rank
+      // within the query's probe budget by (flipped-margin total, mask)
+      val qProbes = probeSet(emb(q))
       val ann = top5(
-        emb.keys.filter { n =>
-          bucket(emb(n)).zip(bucket(emb(q))).count { case (a, b) => a != b } <=
-            Similarity.ProbeRadius
-        }, q)
+        emb.keys.filter(n => qProbes.contains(sigOf(emb(n)) ^ sigOf(emb(q)))),
+        q)
       val dcg = ann.zipWithIndex.map { case (n, i) =>
         rel.getOrElse(n, 0.0) / (math.log(i + 2) / log2) }.sum
       val idcg = truth.zipWithIndex.map { case (n, i) =>
