@@ -287,7 +287,125 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Number of BPE merge rounds learned by bpeMerges — fixed and unrolled
+    * (the pagerank/kcore fixed-iteration stance), so the oracle can state
+    * each round as its own CTE block and the learned table is a bounded,
+    * reproducible artifact. */
+  private[graft] val BpeRounds = 6
+
+  /** BPE's working vocabulary: word types as character arrays with
+    * corpus frequencies — the ONE corpus-sized pass (map-side-combinable
+    * word count); every merge round after it is Θ(types). */
+  private[graft] def bpeVocab(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("syms"), col("freq"))
+
+  /** One round's pair-count relation: adjacent symbol pairs of every
+    * vocab word, weighted by word frequency (overlapping occurrences
+    * counted, the textbook Counter semantics — "aaa" holds (a,a) twice).
+    * Pairs form ARRAY-LOCALLY per word (no explode-join), and the count
+    * is a map-side-combinable aggregate — Θ(word types) rows shuffle,
+    * never the corpus. */
+  private[graft] def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) > 1)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("l"),
+                 element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p")("l").as("lhs"), col("p")("r").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Greedy left-to-right application of one merge (l, r) to a symbol
+    * array — the sequential dependency (a merged pair consumes its right
+    * symbol, so overlapping matches resolve left-first: "aaa" under
+    * (a,a) → [aa, a]) is a fold with O(1) carried state (did the
+    * previous position merge?), run entirely array-locally. */
+  private def bpeApply(syms: Column, l: String, r: String): Column =
+    aggregate(
+      sequence(lit(1), size(syms)),
+      struct(array().cast("array<string>").as("out"),
+             lit(false).as("skip")),
+      (acc, i) => {
+        val cur = element_at(syms, i)
+        val nxt = try_element_at(syms, i + 1)
+        when(acc("skip"),
+          struct(acc("out").as("out"), lit(false).as("skip")))
+        .when(cur === lit(l) && nxt.isNotNull && nxt === lit(r),
+          struct(concat(acc("out"), array(lit(l + r))).as("out"),
+                 lit(true).as("skip")))
+        .otherwise(
+          struct(concat(acc("out"), array(cur)).as("out"),
+                 lit(false).as("skip")))
+      },
+      acc => acc("out"))
+
+  /** BPE-style merge learning — the step that completes the tokenizer
+    * family's tokenize → count → LEARN → encode arc (token_encode ranks
+    * a frequency vocabulary; real pipelines learn MERGES): BpeRounds
+    * iterations of take-the-most-frequent-adjacent-symbol-pair and merge
+    * it corpus-wide, over words initialised as character sequences.
+    * Output is the learned merge table — round, pair, its count at
+    * selection time, and the surviving symbol mass (Σ freq·|syms|), the
+    * monotone audit trail showing each merge's compression bite.
+    *
+    * Scale: BPE's working set is the VOCABULARY (word types × freq),
+    * never the corpus — the corpus is touched once by the
+    * map-side-combinable word count; each round then runs Θ(types)
+    * array-local work (pair projection + fold apply), one bounded pair
+    * aggregate, and a 1-row argmax collect (count desc, pair asc
+    * deterministic tie-break) — the merge pair is a MODEL PARAMETER,
+    * the codebook-collect doctrine. Vocab persists per round so round r
+    * doesn't replay rounds 1..r−1.
+    *
+    * Determinism: counts are integers, the argmax tie-break total, the
+    * fold order fixed — both engines learn the identical merge sequence
+    * (the oracle unrolls each round as CTEs, greedy application stated
+    * as the odd-offsets-within-match-runs closed form). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(spark, Tables.spread(Tables.t(spark, dir, "documents")))
+
+  /** Corpus-parameterized body of bpeMerges — the planted-corpus entry
+    * the spec drives directly. */
+  private[graft] def bpeMergesOf(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    var vocab = bpeVocab(docs).persist()
+    val learned =
+      collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= BpeRounds && !exhausted) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (l, rr, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val next = vocab
+          .select(bpeApply(col("syms"), l, rr).as("syms"), col("freq"))
+          .persist()
+        val symsAfter = next
+          .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
+        learned += ((r.toLong, l, rr, cnt, symsAfter))
+        vocab.unpersist()
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    learned.toSeq
+      .toDF("merge_round", "lhs", "rhs", "pair_count", "symbols_after")
+      .orderBy(col("merge_round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges"   -> (bpeMerges _),
     "readability"  -> (readability _),
     "text_chunks"  -> (textChunks _),
     "sent_stats"   -> (sentStats _),
@@ -301,7 +419,79 @@ object Text {
     "token_regex"  -> (tokenRegex _),
     "fingerprint"  -> (fingerprint _))
 
+  /** bpe_merges oracle: each learned round unrolled as its own CTE block
+    * (the kcore doctrine) — pair counts from the round's vocab, the
+    * argmax pair by (cnt DESC, lhs, rhs), and greedy application stated
+    * as the gaps-and-islands closed form: a match position merges iff
+    * its rank within its run of consecutive matches is odd (for lhs ≠
+    * rhs runs have length 1, so every match merges; for lhs = rhs this
+    * is exactly left-to-right greedy), and a position is consumed iff
+    * its predecessor merged. */
+  private lazy val bpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT e.syms[e.i] AS lhs, e.syms[e.i+1] AS rhs,
+         |         CAST(SUM(e.freq) AS BIGINT) AS cnt
+         |  FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+         |        FROM v$r) e
+         |  GROUP BY 1, 2),
+         |t$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |x$r AS MATERIALIZED (
+         |  SELECT e.wid, e.freq, e.i AS pos, e.syms[e.i] AS sym
+         |  FROM (SELECT wid, freq, syms,
+         |          unnest(range(1, len(syms) + 1)) AS i
+         |        FROM v$r) e),
+         |m$r AS MATERIALIZED (
+         |  SELECT wid, pos,
+         |    (ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY pos)
+         |       % 2 = 1) AS g
+         |  FROM (
+         |    SELECT wid, pos,
+         |      pos - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
+         |        AS grp
+         |    FROM (
+         |      SELECT wid, pos, sym,
+         |        LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+         |      FROM x$r)
+         |    WHERE sym = (SELECT lhs FROM t$r)
+         |      AND nxt = (SELECT rhs FROM t$r))),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT x.wid,
+         |    LIST(CASE WHEN COALESCE(mg.g, FALSE)
+         |              THEN (SELECT lhs FROM t$r) || (SELECT rhs FROM t$r)
+         |              ELSE x.sym END ORDER BY x.pos) AS syms,
+         |    MIN(x.freq) AS freq
+         |  FROM x$r x
+         |  LEFT JOIN m$r mg ON mg.wid = x.wid AND mg.pos = x.pos
+         |  LEFT JOIN m$r mp ON mp.wid = x.wid AND mp.pos = x.pos - 1
+         |  WHERE NOT COALESCE(mp.g, FALSE)
+         |  GROUP BY x.wid)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to BpeRounds).map { r =>
+      s"""  SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs,
+         |    cnt AS pair_count,
+         |    (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM v${r + 1})
+         |      AS symbols_after
+         |  FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v1 AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY word) AS wid,
+       |         string_split(word, '') AS syms, freq
+       |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |            AS word
+       |          FROM documents WHERE text IS NOT NULL)
+       |        GROUP BY word)),
+       |$rounds
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY merge_round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "bpe_merges" -> bpeOracle,
     "readability" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -706,6 +706,22 @@ class PlanSpec extends AnyFunSuite {
            !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bpe_merges: the per-round pair count partial-aggregates map-side " +
+       "and pairs form array-locally — no explode-join, no window") {
+    val vocab = graft.ops.Text.bpeVocab(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val p = plan(graft.ops.Text.bpePairCounts(vocab))
+    assert("partial_sum".r.findAllIn(p).nonEmpty,
+      "pair counts must combine map-side before the shuffle")
+    assert(!p.contains("Window"),
+      "no corpus-sized window belongs in the merge-learning loop")
+    // one Generate (the array-local pair explode), exactly one exchange
+    // pair (pair-count shuffle); the vocab aggregate upstream is its own
+    // partial+final — so exchanges stay bounded at 2
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"unexpected extra shuffles in the pair-count stage:\n$p")
+  }
+
   test("sim_ann_lsh: the multi-probe fan-out is the bounded bucket " +
        "equi-join — probe signatures explode map-side, candidates meet " +
        "through a hash join on the bucket, never a similarity theta-join") {

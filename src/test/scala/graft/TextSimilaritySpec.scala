@@ -588,4 +588,33 @@ class TextSimilaritySpec extends AnyFunSuite {
       assert(r.getBoolean(3) === (s >= 0.9), s"decision at $s")
     }
   }
+
+  test("bpe_merges: hand-computed merge sequence on a planted corpus — " +
+       "greedy overlap on aaa, composite merges, lexicographic " +
+       "tie-break, count-weighted selection") {
+    // vocab: aaab(2) caaa(1) xy(1) xz(1).
+    // r1 (a,a) 6 [2·2 within aaab + 2 within caaa] → aa; greedy keeps
+    //    the third a unmerged: [aa,a,b] / [c,aa,a]
+    // r2 (aa,a) 3 → aaa     r3 (aaa,b) 2 → aaab
+    // r4..r6 are all count-1 — selection falls to the (lhs, rhs)
+    //    lexicographic tie-break: (c,aaa), then (x,y), then (x,z)
+    val docs = Seq((1L, "aaab aaab caaa xy xz")).toDF("doc_id", "text")
+    val got = Text.bpeMergesOf(spark, docs).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+       r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "a", "a", 6L, 13L),
+      (2L, "aa", "a", 3L, 10L),
+      (3L, "aaa", "b", 2L, 8L),
+      (4L, "c", "aaa", 1L, 7L),
+      (5L, "x", "y", 1L, 6L),
+      (6L, "x", "z", 1L, 5L)))
+  }
+
+  test("bpe_merges: a pair-starved corpus stops early instead of " +
+       "emitting degenerate rounds") {
+    // single-letter words only — no adjacent pairs exist at all
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(Text.bpeMergesOf(spark, docs).collect().isEmpty)
+  }
 }
