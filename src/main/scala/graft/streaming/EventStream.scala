@@ -305,13 +305,14 @@ object EventStream {
     * Frame arithmetic matches the batch RANGE frame exactly: integer
     * microsecond bounds, peers included, sum accumulated in (ts,
     * event_id) order, batch-identical rounding. */
-  def rangeFrameStream(spark: SparkSession, dir: String): DataFrame = {
+  def rangeFrameStream(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val hourUs = 3600L * 1000000L
     // the watermarked ts attribute must survive the projection for the
     // event-time timeout to bind; the state function reads only `us`
-    val typed = readEvents(spark, dir)
+    val typed = readEvents(spark, dir, filesPerTrigger)
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), col("event_id"), col("ts"),
               unix_micros(col("ts")).as("us"), col("value"))

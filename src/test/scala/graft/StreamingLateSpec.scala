@@ -159,6 +159,90 @@ class StreamingLateSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState restart recovery: the range-frame twin " +
+       "killed while events exist only in user-managed state converges " +
+       "bit-equal to the uninterrupted run on both state store providers") {
+    // The funnel test above covers the stream-stream JOIN state path;
+    // this covers the riskier recovery surface — a user-defined state
+    // function with its own encoded state (buffered event rows) and
+    // event-time TIMERS (setTimeoutTimestamp), both of which must round-
+    // trip the checkpoint for the restarted query to finish the frames.
+    val fixture = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$fixture/events.parquet")
+    val rawTs = col("ts").cast("timestamp")
+    // cut at the median instant: part 1 leaves its trailing 2h of events
+    // buffered UNEMITTED in state (they sit above part 1's watermark);
+    // part 2 advances the watermark past them, so their emission happens
+    // AFTER the restart and their 1h frames reach back into rows only a
+    // correct state restore still holds
+    val cut = raw.select(rawTs.as("t")).orderBy(col("t"))
+      .collect().map(_.getTimestamp(0))
+    val cutTs = cut(cut.length / 2)
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    for (provider <- Seq(None, Some(rocks))) {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      provider.foreach(spark.conf.set(provKey, _))
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        // one run = (streamDir, out, ckpt); `phases` lists the file sets
+        // delivered between (re)starts — Seq(all) is the uninterrupted
+        // control, Seq(part1, part2) the kill/restart run. Both see the
+        // SAME file-per-trigger boundaries, so watermark trajectories
+        // (and hence emission sets) are identical by construction.
+        def run(phases: Seq[Seq[DataFrame]]): (Seq[(Long, Long, Long, Double)], Boolean) = {
+          val streamDir = Files.createTempDirectory("graft_rf").toString
+          val out = Files.createTempDirectory("graft_rf_out").toString
+          val ckpt = Files.createTempDirectory("graft_rf_ck").toString
+          var n = 0
+          var stateAtKill = false
+          phases.zipWithIndex.foreach { case (files, phase) =>
+            files.foreach { f => n += 1; addFile(f, streamDir, n) }
+            val q = EventStream
+              .rangeFrameStream(spark, streamDir, filesPerTrigger = Some(1))
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt)
+              .foreachBatch { (b: DataFrame, id: Long) =>
+                b.write.mode("overwrite").parquet(s"$out/b$id")
+              }
+              .start()
+            try {
+              q.processAllAvailable()
+              if (phase == 0 && phases.length > 1)
+                stateAtKill = q.recentProgress.exists(
+                  _.stateOperators.exists(_.numRowsTotal > 0))
+            } finally q.stop()
+          }
+          val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+            .sorted
+          val rows = spark.read.parquet(dirs: _*).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                       r.getDouble(3))).toSeq
+          (rows, stateAtKill)
+        }
+        val part1 = raw.filter(rawTs <= cutTs)
+        val part2 = raw.filter(rawTs > cutTs)
+        val (control, _) = run(Seq(Seq(part1, part2)))
+        assert(control.nonEmpty, "control run must emit frames")
+        val (recovered, stateAtKill) = run(Seq(Seq(part1), Seq(part2)))
+        assert(stateAtKill,
+          s"provider=$provider: the kill must land while state is live " +
+            "or the test proves nothing")
+        assert(recovered.sorted === control.sorted,
+          s"provider=$provider: restarted run must equal the " +
+            "uninterrupted run bit-for-bit")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None    => spark.conf.unset(provKey)
+        }
+      }
+    }
+  }
+
   test("foreachBatch sink: streamed keyed upsert converges to the batch " +
        "last-writer-wins result") {
     val streamDir = Files.createTempDirectory("graft_fb").toString
