@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -273,9 +273,14 @@ object Multimodal {
     4 * w
   }
 
-  def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
-    // count() is answered from parquet footer metadata, no data scan
-    val bits = perceptualBits(Tables.t(spark, dir, "documents").count())
+  /** The perceptual signature relation (doc_id, sig) over any documents
+    * frame — the shared stage-1-to-3 of the dHash recipe (fixed cell
+    * grid, codepoint sums, adjacent-comparison bits), factored so the
+    * batch pair-finder (perceptualDedup), the admission gate
+    * (perceptualAdmission) and the streaming admission twin all compute
+    * signatures from ONE definition and cannot drift. Entirely
+    * array-local map-side work. */
+  private[graft] def perceptualSigs(docs: DataFrame, bits: Int): DataFrame = {
     val cells = bits + 1
     val sums = transform(sequence(lit(0), lit(cells - 1)), i =>
       coalesce(aggregate(
@@ -284,7 +289,7 @@ object Multimodal {
                                    col("stride").cast("int")), ""),
           ch => ascii(ch).cast("long")),
         lit(0L), (acc, x) => acc + x), lit(0L)))
-    val sig = Tables.spread(Tables.t(spark, dir, "documents"))
+    docs
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .withColumn("stride",
         greatest(lit(1L), expr(s"CAST(length(text) AS BIGINT) div $cells")))
@@ -293,6 +298,13 @@ object Multimodal {
         concat((0 until bits).map(i =>
           when(element_at(col("cs"), i + 1) > element_at(col("cs"), i + 2),
                lit("1")).otherwise(lit("0"))): _*).as("sig"))
+  }
+
+  def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    // count() is answered from parquet footer metadata, no data scan
+    val bits = perceptualBits(Tables.t(spark, dir, "documents").count())
+    val sig = perceptualSigs(
+      Tables.spread(Tables.t(spark, dir, "documents")), bits)
     val bandW = bits / 4
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -315,6 +327,92 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Hamming distance between two width-`bits` signature strings,
+    * usable inside array lambdas (position fold, not a column reduce). */
+  private def hammingStr(a: Column, b: Column, bits: Int): Column =
+    aggregate(sequence(lit(1), lit(bits)), lit(0L), (acc, i) =>
+      acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1L)
+        .otherwise(0L))
+
+  /** The corpus band INDEX of the perceptual admission gate: one row per
+    * occupied (band_id, band value) bucket carrying its member list
+    * (c_id, c_sig). Member lists are bounded by construction — the
+    * adaptive signature width (perceptualBits) sizes each band's key
+    * space so the EXPECTED bucket holds ≤ ~64 assets at any corpus size,
+    * which is precisely what makes them safe to pre-aggregate as arrays
+    * (the published-artifact shape: this relation IS the deployed
+    * index, rebuilt by the offline batch run whenever the corpus
+    * grows). */
+  private[graft] def perceptualBandIndex(sigs: DataFrame,
+      bits: Int): DataFrame = {
+    val bandW = bits / 4
+    sigs
+      .select(col("doc_id").as("c_id"), col("sig").as("c_sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => col("sig").substr((b * bandW + 1).cast("int"), lit(bandW)))))
+      .groupBy(col("pos").as("band_id"), col("col").as("band"))
+      .agg(collect_list(struct(col("c_id"), col("c_sig"))).as("members"))
+  }
+
+  /** The shared admission verdict: each probe row (doc_id, sig) joins
+    * the band index once per band position (4 joins — STATELESS, so the
+    * identical plan runs batch or per-micro-batch on a stream), then
+    * reduces its ≤ 4 bounded member lists ARRAY-LOCALLY: distinct
+    * candidates, exact full-width Hamming each, best = integer
+    * min(struct(hamming, c_id)), admitted ⇔ no candidate within
+    * Hamming ≤ 2 (the pigeonhole guarantee makes band blocking lossless
+    * for the ≤ 2 verdict, exactly as in perceptualDedup). */
+  private[graft] def admissionVerdicts(probes: DataFrame, index: DataFrame,
+      bits: Int): DataFrame = {
+    val bandW = bits / 4
+    val emptyMembers =
+      array().cast("array<struct<c_id:bigint,c_sig:string>>")
+    val joined = (0 until 4).foldLeft(
+      probes.select(col("doc_id"), col("sig"))) { (d, k) =>
+      d.join(
+        index.filter(col("band_id") === k)
+          .select(col("band").as(s"band_$k"),
+                  col("members").as(s"members_$k")),
+        col("sig").substr(k * bandW + 1, bandW) === col(s"band_$k"),
+        "left")
+    }
+    val cands = array_distinct(concat(
+      (0 until 4).map(k => coalesce(col(s"members_$k"), emptyMembers)): _*))
+    joined
+      .withColumn("scored", transform(cands, c =>
+        struct(hammingStr(col("sig"), c("c_sig"), bits).as("ham"),
+               c("c_id").as("c_id"))))
+      // self-match guard: a probe whose own id is in the index (not the
+      // case for the even/odd split, but the shared logic stays total)
+      .withColumn("scored",
+        filter(col("scored"), s => s("c_id") =!= col("doc_id")))
+      .select(col("doc_id"),
+        size(col("scored")).cast("long").as("n_candidates"),
+        array_min(col("scored"))("c_id").as("best_match"),
+        array_min(col("scored"))("ham").as("best_hamming"),
+        coalesce(array_min(col("scored"))("ham") > 2, lit(true))
+          .as("admit"))
+  }
+
+  /** Perceptual media ADMISSION gate — neardup_incremental /
+    * ann_incremental's shape for assets, proving the adaptive-width
+    * perceptual index works INCREMENTALLY: the corpus (even doc_ids)
+    * stands as the band index; each new asset (odd doc_ids) probes only
+    * its own 4 band buckets and is admitted iff no corpus asset sits
+    * within Hamming ≤ 2 of its signature. Per-asset cost is Θ(4 ·
+    * bucket density) — bounded by the adaptive width — and the corpus
+    * side is index maintenance, never rescanned per probe. */
+  def perceptualAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val bits = perceptualBits(Tables.t(spark, dir, "documents").count())
+    val sigs = perceptualSigs(
+      Tables.spread(Tables.t(spark, dir, "documents")), bits)
+    admissionVerdicts(
+      sigs.filter(col("doc_id") % 2 === 1),
+      perceptualBandIndex(sigs.filter(col("doc_id") % 2 === 0), bits),
+      bits)
+      .orderBy(col("doc_id"))
+  }
+
   /** Perceptual near-dup CLUSTER assignment — the media twin of
     * dedup_clusters / semantic_dedup, completing the family's
     * exact → near → clusters progression: connected components over the
@@ -332,6 +430,7 @@ object Multimodal {
         .select(col("doc_id")), "doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_admission" -> (perceptualAdmission _),
     "mm_clusters" -> (payloadClusters _),
     "mm_neardup" -> (perceptualDedup _),
     "mm_dedup"  -> (payloadDedup _),
@@ -360,6 +459,42 @@ object Multimodal {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "mm_admission" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, GREATEST(1, length(text) // 17) AS stride, text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |sig AS (SELECT doc_id, $pBits AS sig FROM s),
+         |c AS (SELECT doc_id AS c_id, sig AS c_sig FROM sig
+         |      WHERE doc_id % 2 = 0),
+         |b AS (SELECT doc_id, sig FROM sig WHERE doc_id % 2 = 1),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id, c.c_id, b.sig AS sa, c.c_sig AS sb
+         |  FROM b JOIN c ON (
+         |       substr(b.sig, 1, 4)  = substr(c.c_sig, 1, 4)
+         |    OR substr(b.sig, 5, 4)  = substr(c.c_sig, 5, 4)
+         |    OR substr(b.sig, 9, 4)  = substr(c.c_sig, 9, 4)
+         |    OR substr(b.sig, 13, 4) = substr(c.c_sig, 13, 4))
+         |  WHERE c.c_id <> b.doc_id),
+         |h AS (
+         |  SELECT doc_id, c_id, CAST($pHam AS BIGINT) AS ham FROM cand),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |  FROM h GROUP BY doc_id),
+         |best AS (
+         |  SELECT doc_id, c_id AS best_match, ham AS best_hamming FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id ORDER BY ham, c_id) AS rn
+         |    FROM h)
+         |  WHERE rn = 1)
+         |SELECT b.doc_id,
+         |  COALESCE(agg.n_candidates, 0) AS n_candidates,
+         |  best.best_match, best.best_hamming,
+         |  COALESCE(best.best_hamming > 2, TRUE) AS admit
+         |FROM b
+         |  LEFT JOIN agg ON agg.doc_id = b.doc_id
+         |  LEFT JOIN best ON best.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "mm_clusters" ->
       s"""WITH RECURSIVE s AS (
          |  SELECT doc_id, GREATEST(1, length(text) // 17) AS stride, text

@@ -454,6 +454,36 @@ object EventStream {
       .agg(count(lit(1)).as("n_hit"))
   }
 
+  /** Streaming perceptual media admission (14th twin) — mm_admission on
+    * an unbounded asset stream, proving the adaptive-width perceptual
+    * index works as an ONLINE ingest gate: the corpus band index (even
+    * doc_ids) is the published artifact of the offline batch run (the
+    * benchBloom deployment doctrine — one Θ(corpus) relation whose
+    * band buckets the adaptive signature width keeps at ≤ ~64 expected
+    * members); each arriving asset (odd doc_ids) computes its signature
+    * ARRAY-LOCALLY, meets the index through 4 stateless stream-static
+    * band joins, and reduces its bounded member lists array-locally to
+    * the admit verdict. No watermark, no state, no stream-side
+    * aggregation — per-asset cost Θ(4 · bucket density) at ingest
+    * speed, and the final table equals the batch gate bit-for-bit
+    * regardless of batching (every verdict is a pure function of the
+    * asset and the static index, via the SHARED
+    * Multimodal.admissionVerdicts chain). */
+  def mmAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    val mm = graft.ops.Multimodal
+    // count() is answered from parquet footer metadata, no data scan
+    val bits = mm.perceptualBits(
+      graft.Tables.t(spark, dir, "documents").count())
+    val index = mm.perceptualBandIndex(
+      mm.perceptualSigs(
+        graft.Tables.spread(graft.Tables.t(spark, dir, "documents"))
+          .filter(col("doc_id") % 2 === 0), bits), bits)
+    mm.admissionVerdicts(
+      mm.perceptualSigs(
+        readDocuments(spark, dir).filter(col("doc_id") % 2 === 1), bits),
+      index, bits)
+  }
+
   /** Streaming quality-filter admission tallies (12th twin): the rule
     * ensemble runs map-side on each arriving document — the five signals
     * are array-local, so the filter itself is STATELESS and runs at

@@ -183,7 +183,12 @@ object StreamingBatch {
       "complete", "sq_quality")
       .orderBy("n_passed")
 
+  def streamingMmAdmission(spark: SparkSession, dir: String): DataFrame =
+    runToParquet(EventStream.mmAdmissionStream(spark, dir), "mm_admission")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_mm_admission"  -> (streamingMmAdmission _),
     "streaming_quality"       -> (streamingQuality _),
     "streaming_seasonal"      -> (streamingSeasonal _),
     "streaming_heavy_hitters" -> (streamingHeavyHitters _),
@@ -199,6 +204,10 @@ object StreamingBatch {
     "streaming_decontaminate" -> (streamingDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    // every verdict is a pure function of the asset and the static band
+    // index (no state, no watermark), so the appended final table equals
+    // the batch admission gate bit-for-bit under any batching
+    "streaming_mm_admission" -> graft.ops.Multimodal.oracle("mm_admission"),
     // complete-mode final cells == the batch moment cells (counts are
     // arrival-order-independent; moment sums reach the compared output
     // only through the shared derivation tail's rounded presentation)

@@ -190,6 +190,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming mm admission: final table equals the batch perceptual " +
+       "gate bit-for-bit (stateless verdicts against the static band " +
+       "index) and both verdict branches occur") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+       if (r.isNullAt(2)) -1L else r.getLong(2),
+       if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))
+    val streamed = graft.streaming.StreamingBatch
+      .streamingMmAdmission(spark, "/root/testdata/sf0.001").collect()
+      .map(key).toSeq.sorted
+    val batch = graft.ops.Multimodal
+      .perceptualAdmission(spark, "/root/testdata/sf0.001").collect()
+      .map(key).toSeq.sorted
+    assert(streamed === batch,
+      "the streaming twin must reproduce the batch admission verdicts")
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_._5) && streamed.exists(!_._5),
+      "fixture should exercise both admit and reject branches")
+  }
+
   test("streaming quality: final tallies equal the batch ensemble " +
        "rollup (shared verdict chain, stateless map + Θ(6)-row state)") {
     val streamed = graft.streaming.StreamingBatch
