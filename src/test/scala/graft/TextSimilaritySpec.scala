@@ -611,6 +611,25 @@ class TextSimilaritySpec extends AnyFunSuite {
       (6L, "x", "z", 1L, 5L)))
   }
 
+  test("bpe_encode: documents encode through the final vocab — " +
+       "hand-computed symbol counts on a planted corpus") {
+    // vocab: aaab(3) caaa(1) xy(1) xz(1) qq(1). The six merges:
+    // (a,a)8 → (aa,a)4 → (aaa,b)3 → then the count-1 tie-break ladder
+    // (c,aaa), (q,q), (x,y) — xz never merges, so it alone encodes to
+    // 2 symbols; every other word type collapses to 1
+    val dir = TestFixtures.writeDir(Map(
+      "documents" -> Seq(
+        (1L, "aaab aaab caaa xy xz", "en", "s0"),
+        (2L, "aaab qq", "en", "s0"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val rows = graft.ops.Text.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (1L, 5L, 6L, 1.2),
+      (2L, 2L, 2L, 1.0)))
+  }
+
   test("bpe_merges: a pair-starved corpus stops early instead of " +
        "emitting degenerate rounds") {
     // single-letter words only — no adjacent pairs exist at all
