@@ -191,10 +191,28 @@ object Similarity {
     * (round(|x|·1e6) as BIGINT — float→double is exact, ·1e6 and the
     * half-away round are IEEE-identical in both engines), so mask
     * scores are order-free integer sums and the (score, mask) ranking
-    * can't wobble on a summation ulp. Everything is array-local
-    * (Θ(2^pool · pool) integer ops per row, no join, no UDF); masks are
-    * distinct so probe signatures are duplicate-free. */
-  def directedProbes(sig: Column, emb: Column, bits: Int): Column = {
+    * can't wobble on a summation ulp. Masks are distinct so probe
+    * signatures are duplicate-free.
+    *
+    * Execution is the native best-first walk
+    * (graft.functions.DirectedProbes): Θ((budget + boundary ties)·log
+    * budget) per row, generating exactly the top-budget masks — the
+    * round-9 declarative form below (directedProbesHof) scored and
+    * array_sorted all 2^pool subsets per row through interpreted
+    * higher-order functions (the bench's two highest CPU totals:
+    * sim_ann_lsh 125.9 s, hard_negatives 115.4 s CPU at sf0.1). The
+    * HOF form stays as the executable spec — PropertySpec asserts
+    * bit-equality on fixture vectors. */
+  def directedProbes(sig: Column, emb: Column, bits: Int): Column =
+    graft.functions.DirectedProbes.probes(sig, emb, bits,
+      poolBits(bits), probeBudget(bits))
+
+  /** Declarative formulation of directedProbes — kept as its executable
+    * spec (equality asserted in PropertySpec), exactly like cosineHof
+    * specs the native CosineSimilarity. Θ(2^pool·pool) per row: do not
+    * use on the hot path. */
+  private[graft] def directedProbesHof(sig: Column, emb: Column,
+                                       bits: Int): Column = {
     val p = poolBits(bits)
     val budget = probeBudget(bits)
     // p lowest-margin positions, (margin, position)-sorted — ties break

@@ -316,6 +316,30 @@ class PropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("native best-first directedProbes ≡ the declarative HOF spec on " +
+       "random vectors, including boundary-tie and zero-vector degeneracy") {
+    val rnd = new scala.util.Random(42)
+    val vecs: Seq[Seq[Float]] =
+      // random smooth vectors, a tie-heavy vector (repeated magnitudes
+      // force boundary ties), and the all-zero degenerate (every mask
+      // ties at score 0 → the walk must enumerate the full tie class)
+      (0 until 24).map(_ => Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2f)) ++
+      Seq(Seq(0.1f, -0.1f, 0.1f, -0.1f, 0.1f, 0.1f, -0.1f, 0.1f),
+          Seq.fill(8)(0.0f),
+          Seq(0.0f, 0.0f, -0.5f, 0.0f, 0.25f, 0.0f, 0.0f, -0.125f))
+    val df = vecs.map(Tuple1(_)).toDF("embedding")
+      .select(
+        graft.ops.Similarity.directedProbes(
+          graft.ops.Similarity.signBits(col("embedding"), 8),
+          col("embedding"), 8).as("native"),
+        graft.ops.Similarity.directedProbesHof(
+          graft.ops.Similarity.signBits(col("embedding"), 8),
+          col("embedding"), 8).as("hof"))
+    df.collect().zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"vector $i diverged")
+    }
+  }
+
   test("upsert is idempotent and keeps exactly one row per key") {
     check(Prop.forAll(batchGen, batchGen) { (t, b) =>
       Prop.propBoolean(t.nonEmpty && b.nonEmpty) ==> {
