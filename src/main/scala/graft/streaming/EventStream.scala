@@ -42,6 +42,24 @@ object EventStream {
     }
   }
 
+  /** PUBLISH a static relation a stream will join against: write it to
+    * parquet once and hand the stream the read-back. A stream-static
+    * join re-evaluates the static side's full lineage EVERY MICRO-BATCH
+    * (and once per join when the plan joins it repeatedly) — fine for a
+    * raw table scan, wrong for derived lineage like a corpus-wide
+    * aggregate or signature index: at 100 TB that is a full offline job
+    * re-run per trigger. The round-trip pins the artifact the way a
+    * production deploy would (the offline job WRITES the index; the
+    * online gate READS it) — micro-batches then scan Θ(artifact) bytes.
+    * Same doctrine as collecting benchBloom/corpusCms driver-side, for
+    * relations too big or too structured to ride as a constant. */
+  private def publish(df: DataFrame, name: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_pub_$name").toString
+    df.write.mode("overwrite").parquet(out)
+    df.sparkSession.read.parquet(out)
+  }
+
   /** Unbounded read of the events fixture (file-stream source). The file
     * source only accepts directories (a real deployment streams a
     * directory of arriving files); a single-file fixture is staged into a
@@ -372,6 +390,19 @@ object EventStream {
       .select(col("session_window")("start").as("session_start"),
               col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-side analog of Tables.spread for CPU-DENSE per-row stages
+    * (perceptual signatures, shingling): a micro-batch from a file
+    * source carries the file's own split width — a small single-file
+    * trigger is ONE task, serializing work that is embarrassingly
+    * parallel (measured: the admission stream's probe-side signature
+    * scan ran 1-wide while the batch twin ran 32-wide). The stateless
+    * exchange costs Θ(micro-batch) rows — the right trade exactly when
+    * the per-row work dominates the row move, which is why only the
+    * heavy text/signature streams use it; cheap row-shaped streams
+    * (quota, enrich, resample) keep the source's width. */
+  private def spreadStream(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Unbounded read of the documents fixture (file-stream source, same
     * symlink staging as readEvents). */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
@@ -413,7 +444,7 @@ object EventStream {
     val bloom = graft.ops.Curation.benchBloom(spark, dir)
     def mightContain(g: org.apache.spark.sql.Column) =
       graft.functions.BloomMightContain.contains(g, bloom)
-    readDocuments(spark, dir)
+    spreadStream(readDocuments(spark, dir))
       .filter(col("doc_id") % 50 =!= 0 && col("text").isNotNull &&
         size(split(col("text"), "\\s+")) >= 3)
       .select(col("doc_id"),
@@ -439,10 +470,15 @@ object EventStream {
   def decontaminateVerifiedStream(spark: SparkSession,
       dir: String): DataFrame = {
     val bloom = graft.ops.Curation.benchBloom(spark, dir)
-    val bench = graft.ops.Curation.docGrams(spark, dir)
-      .filter(col("doc_id") % 50 === 0)
-      .select(col("gram")).distinct()
-    readDocuments(spark, dir)
+    // the exact benchmark gram set is derived lineage (shingle + distinct
+    // over the benchmark split) — publish it so the per-micro-batch join
+    // broadcasts the artifact, not a re-run of the derivation
+    val bench = publish(
+      graft.ops.Curation.docGrams(spark, dir)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("gram")).distinct(),
+      "bench_grams")
+    spreadStream(readDocuments(spark, dir))
       .filter(col("doc_id") % 50 =!= 0 && col("text").isNotNull &&
         size(graft.ops.Text.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
@@ -474,13 +510,22 @@ object EventStream {
     // count() is answered from parquet footer metadata, no data scan
     val bits = mm.perceptualBits(
       graft.Tables.t(spark, dir, "documents").count())
-    val index = mm.perceptualBandIndex(
-      mm.perceptualSigs(
-        graft.Tables.spread(graft.Tables.t(spark, dir, "documents"))
-          .filter(col("doc_id") % 2 === 0), bits), bits)
+    // publish (write → read back) instead of handing the stream raw
+    // lineage: the four stream-static band joins each re-derived the
+    // whole corpus signature scan (a per-character cell sum over every
+    // even-id payload) EVERY micro-batch — measured 8.0 s vs 1.75 s for
+    // the batch gate at sf0.1, the most expensive query of the round-9
+    // bench, and Θ(corpus · payload) per trigger at scale.
+    val index = publish(
+      mm.perceptualBandIndex(
+        mm.perceptualSigs(
+          graft.Tables.spread(graft.Tables.t(spark, dir, "documents"))
+            .filter(col("doc_id") % 2 === 0), bits), bits),
+      "mm_index")
     mm.admissionVerdicts(
       mm.perceptualSigs(
-        readDocuments(spark, dir).filter(col("doc_id") % 2 === 1), bits),
+        spreadStream(readDocuments(spark, dir)
+          .filter(col("doc_id") % 2 === 1)), bits),
       index, bits)
   }
 
@@ -494,7 +539,7 @@ object EventStream {
     * chain — twins that recompute rules independently drift) and counts
     * are arrival-order-independent. */
   def qualityStream(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Curation.qualityVerdicts(readDocuments(spark, dir))
+    graft.ops.Curation.qualityVerdicts(spreadStream(readDocuments(spark, dir)))
       .groupBy(col("n_passed"))
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
@@ -515,7 +560,7 @@ object EventStream {
     * operator bit-for-bit regardless of batching. */
   def heavyHittersStream(spark: SparkSession, dir: String): DataFrame = {
     val cms = graft.ops.Corpus.corpusCms(spark, dir)
-    graft.ops.Corpus.bigramsOf(readDocuments(spark, dir))
+    graft.ops.Corpus.bigramsOf(spreadStream(readDocuments(spark, dir)))
       .filter(graft.functions.CmsEstimate.estimate(col("gram"), cms)
         >= graft.ops.Corpus.HhMinSupport)
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
@@ -586,10 +631,15 @@ object EventStream {
     * stream enrichment). Left join: an unseen user still flows through,
     * profile columns null. */
   def enrichStream(spark: SparkSession, dir: String): DataFrame = {
-    val dim = graft.Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(min(col("ts")).as("first_seen"),
-           count(lit(1)).as("lifetime_events"))
+    // the profile dim is a corpus-wide aggregate — publish it so each
+    // micro-batch broadcasts the artifact instead of re-aggregating the
+    // whole events table per trigger
+    val dim = publish(
+      graft.Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_seen"),
+             count(lit(1)).as("lifetime_events")),
+      "enrich_dim")
     readEvents(spark, dir)
       .join(broadcast(dim), Seq("user_id"), "left")
       .select(col("event_id"), col("user_id"), col("event_type"),
