@@ -333,10 +333,22 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         explode(probeBuckets(col("bucket"), bits, ProbeRadius))
           .as("bucket"))
-    batch.join(corpus, Seq("bucket"), "left")
-      .select(col("vec_id"), col("c_id"),
-        when(col("c_id").isNotNull,
-          round(cosine(col("embedding"), col("c_emb")), 6)).as("sim"))
+    admissionFromCandidates(
+      batch.join(corpus, Seq("bucket"), "left")
+        .select(col("vec_id"), col("c_id"),
+          when(col("c_id").isNotNull,
+            round(cosine(col("embedding"), col("c_emb")), 6)).as("sim")))
+  }
+
+  /** Shared verdict tail of the incremental ANN admission gate — used by
+    * both the batch operator above and its streaming twin
+    * (EventStream.annAdmissionStream), so the two can't drift: reduce a
+    * (vec_id, c_id, sim) candidate relation (c_id/sim null ⇔ an empty
+    * probed bucket) to one verdict row per vector. The argmax is a
+    * max(struct(sim, −id)) — one aggregate, no window over the corpus,
+    * deterministic in both engines; null sims sort below any real one. */
+  private[graft] def admissionFromCandidates(cands: DataFrame): DataFrame =
+    cands
       .groupBy(col("vec_id"))
       .agg(count(col("c_id")).as("n_candidates"),
            max(struct(col("sim"), (-col("c_id")).as("nid"))).as("m"))
@@ -345,7 +357,6 @@ object Similarity {
         col("m")("sim").as("best_sim"),
         coalesce(col("m")("sim") < 0.9, lit(true)).as("admit"))
       .orderBy(col("vec_id"))
-  }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid cell (inverted lists); search only probes the query's own

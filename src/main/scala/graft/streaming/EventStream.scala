@@ -425,6 +425,70 @@ object EventStream {
       .parquet(streamDir)
   }
 
+  /** Unbounded read of the embeddings fixture (file-stream source, same
+    * symlink staging as readEvents/readDocuments). */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        stagedDirs.computeIfAbsent(p.toString, { _ =>
+          val d = java.nio.file.Files.createTempDirectory("graft_stream")
+          java.nio.file.Files.createSymbolicLink(
+            d.resolve("embeddings.parquet"), p)
+          d.toString
+        })
+      } else p.toString
+    spark.readStream.schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .parquet(streamDir)
+  }
+
+  /** Streaming ANN admission (15th twin) — ann_incremental on an
+    * unbounded VECTOR stream, closing the online arc of the vector-index
+    * family exactly as mmAdmissionStream closed it for assets: the
+    * corpus (even vec_ids) stands as a published sign-bucket index
+    * (write → read back from day one — the mmAdmissionStream lesson;
+    * micro-batches scan Θ(index) bytes, never re-derive corpus
+    * signatures); each arriving vector (odd vec_ids) computes its
+    * signature ARRAY-LOCALLY, explodes its Hamming ≤ ProbeRadius probe
+    * ball (the symmetric admission-gate tier — see the ProbeRadius
+    * scaladoc for why gates keep the ball while the search tier is
+    * margin-directed), and meets the index through ONE stateless
+    * stream-static equi-join on the bucket key. The returned relation is
+    * the per-candidate (vec_id, c_id, sim) stream; the per-vector
+    * verdict reduce rides INSIDE the sink's per-micro-batch transform
+    * (StreamingBatch.streamingAnnAdmission) — every candidate row of a
+    * vector is derived from its single input row by stateless operators,
+    * so all of them live in the same micro-batch and a within-batch
+    * groupBy(vec_id) equals the global one (vec_ids are unique). Zero
+    * streaming state, no watermark; the final table equals batch
+    * ann_incremental bit-for-bit under any batching via the SHARED
+    * Similarity.admissionFromCandidates tail. */
+  def annAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    val sim = graft.ops.Similarity
+    // count() is answered from parquet footer metadata, no data scan
+    val bits = sim.adaptiveBits(
+      graft.Tables.t(spark, dir, "embeddings").count())
+    val index = publish(
+      graft.Tables.spread(graft.Tables.t(spark, dir, "embeddings"))
+        .filter(col("vec_id") % 2 === 0)
+        .select(sim.signBits(col("embedding"), bits).as("bucket"),
+                col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+      "ann_index")
+    spreadStream(readEmbeddings(spark, dir))
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"),
+        explode(sim.probeBuckets(
+          sim.signBits(col("embedding"), bits), bits, sim.ProbeRadius))
+          .as("bucket"))
+      .join(index, Seq("bucket"), "left")
+      .select(col("vec_id"), col("c_id"),
+        when(col("c_id").isNotNull,
+          round(sim.cosine(col("embedding"), col("c_emb")), 6)).as("sim"))
+  }
+
   /** Online ingest decontamination: tag each arriving TRAINING document
     * whose 3-gram set MIGHT overlap the benchmark. The Bloom sketch over
     * benchmark grams is the published artifact of the offline

@@ -97,7 +97,8 @@ object StreamingBatch {
     * so a replayed batch is idempotent — the same exactly-once recipe a
     * production foreachBatch sink uses), and the driver only ever sees
     * the file listing. */
-  private def runToParquet(df: DataFrame, name: String): DataFrame = {
+  private def runToParquet(df: DataFrame, name: String,
+      finish: DataFrame => DataFrame = identity): DataFrame = {
     val spark = df.sparkSession
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_$name").toString
@@ -106,7 +107,15 @@ object StreamingBatch {
     try {
       val q = df.writeStream.outputMode("append")
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          batch.write.mode("overwrite").parquet(s"$out/b$batchId")
+          // `finish` is the sink-side PER-MICRO-BATCH transform (the
+          // standard foreachBatch recipe for a within-batch reduce):
+          // callers use it only where every contributing row of an
+          // output key is derived from one input row by stateless
+          // operators — then all of them share a micro-batch and the
+          // within-batch reduce equals the global one, with ZERO
+          // streaming state held across triggers.
+          finish(batch.toDF()).write.mode("overwrite")
+            .parquet(s"$out/b$batchId")
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -187,7 +196,14 @@ object StreamingBatch {
     runToParquet(EventStream.mmAdmissionStream(spark, dir), "mm_admission")
       .orderBy("doc_id")
 
+  def streamingAnnAdmission(spark: SparkSession, dir: String): DataFrame =
+    runToParquet(EventStream.annAdmissionStream(spark, dir),
+      "ann_admission",
+      finish = graft.ops.Similarity.admissionFromCandidates)
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_ann_admission" -> (streamingAnnAdmission _),
     "streaming_mm_admission"  -> (streamingMmAdmission _),
     "streaming_quality"       -> (streamingQuality _),
     "streaming_seasonal"      -> (streamingSeasonal _),
@@ -208,6 +224,13 @@ object StreamingBatch {
     // index (no state, no watermark), so the appended final table equals
     // the batch admission gate bit-for-bit under any batching
     "streaming_mm_admission" -> graft.ops.Multimodal.oracle("mm_admission"),
+    // same argument for vectors: signature + probe ball are array-local,
+    // the bucket join is stateless stream-static against the published
+    // index, and the verdict reduce runs within the micro-batch that
+    // holds ALL of a vector's candidate rows (stateless derivation of a
+    // unique key), so the final table equals batch ann_incremental
+    "streaming_ann_admission" ->
+      graft.ops.Similarity.oracle("ann_incremental"),
     // complete-mode final cells == the batch moment cells (counts are
     // arrival-order-independent; moment sums reach the compared output
     // only through the shared derivation tail's rounded presentation)
