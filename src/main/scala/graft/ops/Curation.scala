@@ -659,6 +659,49 @@ object Curation {
     } finally pcs.unpersist(blocking = false)
   }
 
+  /** Holdout-shard LEAKAGE audit — the measurement that closes the split
+    * family: [[groupSplit]] proves cluster-hash assignment never
+    * straddles a cluster and [[decontamClosure]] computes which clusters
+    * are benchmark-tainted, but nothing yet verified the two TOGETHER on
+    * the same staged lineage — a taint-positive cluster straddling
+    * train/test is the eval-leakage event (a contaminated train doc's
+    * twin sits in the test shard), and it is exactly what the doc_hash
+    * strategy permits. Reports, per strategy: total clusters, straddling
+    * clusters (members in >1 split), tainted clusters, and the audit
+    * headline — tainted AND straddling. cluster_hash must report 0
+    * there by construction; doc_hash demonstrably doesn't
+    * (CurationSpec's planted fixture).
+    *
+    * Scale shape: assignments explode map-side from the staged label
+    * table (2 rows/doc, pure projection — no join on the doc tier); the
+    * per-cluster distinct-split count is a two-phase aggregate onto the
+    * (strategy, cluster) key; the taint bit joins CLUSTER-keyed
+    * (Θ(clusters), the same key the aggregate just shuffled on); the
+    * report is 2 rows. All-integer counts → exact cross-engine parity. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val assign = Dedup.stagedLabels(spark, dir)
+      .select(col("cluster_id"),
+        explode(array(
+          struct(lit("doc_hash").as("strategy"),
+            gsplitOf(col("doc_id")).as("split")),
+          struct(lit("cluster_hash").as("strategy"),
+            gsplitOf(col("cluster_id")).as("split")))).as("s"))
+      .select(col("cluster_id"),
+        col("s.strategy").as("strategy"), col("s.split").as("split"))
+    assign
+      .groupBy(col("strategy"), col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .join(clusterTaint(spark, dir), Seq("cluster_id"))
+      .groupBy(col("strategy"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+          .as("n_straddling"),
+        sum(col("tainted")).as("n_tainted"),
+        sum(when(col("n_splits") > 1 && col("tainted") === 1, 1L)
+          .otherwise(0L)).as("n_tainted_straddling"))
+      .orderBy(col("strategy"))
+  }
+
   /** Decontamination over the near-dup closure — the removal policy a
     * production eval-hygiene pass actually ships. [[contamination]] and
     * [[bloomPrefilter]] flag training docs that SHARE GRAMS with the
@@ -1177,6 +1220,7 @@ object Curation {
     "quantile_norm"    -> (quantileNorm _),
     "dataset_split"    -> (datasetSplit _),
     "group_split"      -> (groupSplit _),
+    "split_leakage"    -> (splitLeakage _),
     "decontam_closure" -> (decontamClosure _),
     "novelty_curve"    -> (noveltyCurve _),
     "shard_manifest"   -> (shardManifest _),
@@ -1502,6 +1546,33 @@ object Curation {
           |  ANY_VALUE(lk.leaked_clusters) AS leaked_clusters
           |FROM sp s JOIN lk ON s.strategy = lk.strategy
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "split_leakage" ->
+      (Dedup.duckReachCtes + duckTaintCtes +
+        """,
+          |a AS (
+          |  SELECT doc_id, cluster_id, 'doc_hash' AS strategy,
+          |    substring(md5('gsplit42|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+          |  FROM labels
+          |  UNION ALL
+          |  SELECT doc_id, cluster_id, 'cluster_hash' AS strategy,
+          |    substring(md5('gsplit42|' || CAST(cluster_id AS VARCHAR)), 1, 2)
+          |  FROM labels),
+          |sp AS (
+          |  SELECT cluster_id, strategy,
+          |    CASE WHEN h < 'cc' THEN 'train'
+          |         WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split
+          |  FROM a),
+          |pc AS (
+          |  SELECT strategy, cluster_id, COUNT(DISTINCT split) AS n_splits
+          |  FROM sp GROUP BY 1, 2)
+          |SELECT pc.strategy, COUNT(*) AS n_clusters,
+          |  CAST(SUM(CASE WHEN pc.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_straddling,
+          |  CAST(SUM(c.tainted) AS BIGINT) AS n_tainted,
+          |  CAST(SUM(CASE WHEN pc.n_splits > 1 AND c.tainted = 1
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_tainted_straddling
+          |FROM pc JOIN cl c ON pc.cluster_id = c.cluster_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     "dataset_split" ->
       """WITH s AS (
         |  SELECT lang, n_chars, doc_id,

@@ -572,6 +572,72 @@ class CurationSpec extends AnyFunSuite {
     assert(leakOf("cluster_hash") === 0L)
   }
 
+  test("split_leakage: the planted TAINTED straddler is caught under " +
+       "doc_hash and provably absent under cluster_hash") {
+    // group_split's planting doctrine with the taint turned on: doc 0
+    // (id%50==0) is the BENCHMARK, so the near-dup family {0,1,5,6} is
+    // taint-positive, and its member ids hash to different splits
+    // (0→test, 1→val, 5/6→train) — the exact eval-leakage event the
+    // audit exists to count. Docs 2/3/4 are clean singleton controls.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docsDir(Seq(
+      (0L, base, "en", "s"),
+      (1L, base, "en", "s"),
+      (2L, "one two three four five six seven eight nine ten", "en", "s"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve", "es", "s"),
+      (4L, "un deux trois quatre cinq six sept huit neuf", "fr", "s"),
+      (5L, base + " omega", "en", "s"),
+      (6L, base.replace("delta", "DELTA") + " omega", "en", "s")))
+    // pin the construction: the exact dups 0/1 must co-cluster, and
+    // their splits differ under doc_hash (0→test, 1→val) — a tainted
+    // straddler exists whatever the banding does with 5/6
+    val labels = graft.ops.Dedup.stagedLabels(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) === labels(1L),
+      "fixture drift: exact dups 0/1 no longer co-cluster")
+    // naive recompute from the same staged labels + a hand taint rule
+    val texts = Map(0L -> base, 1L -> base,
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "uno dos tres cuatro cinco seis siete ocho nueve",
+      4L -> "un deux trois quatre cinq six sept huit neuf",
+      5L -> (base + " omega"),
+      6L -> (base.replace("delta", "DELTA") + " omega"))
+    def grams(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val benchGrams = grams(texts(0L))
+    val tainted: Set[Long] = labels.groupBy(_._2).collect {
+      case (cid, ms) if ms.keys.exists(id =>
+        id % 50 == 0 || grams(texts(id)).intersect(benchGrams).nonEmpty)
+        => cid
+    }.toSet
+    def sp(k: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"gsplit42|$k".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val strat = Map[String, ((Long, Long)) => String](
+      "doc_hash" -> (dc => sp(dc._1)),
+      "cluster_hash" -> (dc => sp(dc._2)))
+    val expect = strat.toSeq.map { case (sName, f) =>
+      val byCluster = labels.toSeq.groupBy(_._2)
+      val straddling = byCluster.filter(_._2.map(f).distinct.size > 1).keySet
+      (sName, byCluster.size.toLong, straddling.size.toLong,
+       tainted.size.toLong, straddling.intersect(tainted).size.toLong)
+    }.sortBy(_._1)
+    val out = Curation.splitLeakage(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(out === expect)
+    // the audit headline: the planted tainted straddler is counted under
+    // doc_hash and structurally impossible under cluster_hash
+    val headline = out.map(t => t._1 -> t._5).toMap
+    assert(headline("doc_hash") >= 1L)
+    assert(headline("cluster_hash") === 0L)
+  }
+
   test("decontam_closure: removes the whole tainted cluster — including " +
        "a near-dup that shares no gram with the benchmark") {
     // doc 0 (id%50==0) is the benchmark. doc 1 = bench head + unique
