@@ -238,18 +238,16 @@ object Multimodal {
     * (the mm_dedup digest-only doctrine); the band join is bounded
     * blocking, never all-pairs.
     *
-    * Payload-encoding assumption (ASCII/BMP): the cell sums iterate the
-    * payload with Spark's split(text,'') — UTF-16 CODE UNITS, with
-    * ascii() returning surrogate halves for non-BMP characters — while
-    * the DuckDB oracle's split('')/unicode() and length()//17 iterate
-    * CODEPOINTS. On a payload containing astral-plane characters the
-    * two engines would compute different strides and cell sums; the
-    * stand-in payloads here (and realistic base64/hex-ish transport
-    * encodings of true binary) are ASCII, where unit == codepoint and
-    * the recipes agree exactly. A production binary payload would
-    * compute cell sums over BYTES (encode(text,'utf-8') in both
-    * engines, or the binary column directly), making the iteration
-    * unit identical by construction. */
+    * Payload encoding: the cell sums iterate CODEPOINTS via the native
+    * PerceptualCellSums expression (a direct UTF-8 decode of the
+    * payload's bytes) — the same unit the DuckDB oracle's
+    * substr/len/unicode() recipe iterates, so signatures are
+    * well-defined and engine-identical on ARBITRARY payloads including
+    * astral-plane characters (the round-8 split('')+ascii() form
+    * iterated UTF-16 code units and held parity on ASCII/BMP only; a
+    * non-BMP payload is planted in ExtendedOpsSpec). A true binary
+    * payload column would use the same expression over its transport
+    * encoding, or a byte-level twin — the dataflow is unchanged. */
   /** Perceptual-signature width that SCALES WITH THE CORPUS — the
     * banding-power defense (Similarity.adaptiveBits' doctrine applied
     * to the dHash): bands stay FOUR (pigeonhole: a Hamming ≤ 2 pair
@@ -282,18 +280,10 @@ object Multimodal {
     * array-local map-side work. */
   private[graft] def perceptualSigs(docs: DataFrame, bits: Int): DataFrame = {
     val cells = bits + 1
-    val sums = transform(sequence(lit(0), lit(cells - 1)), i =>
-      coalesce(aggregate(
-        transform(
-          split(col("text").substr((i * col("stride") + 1).cast("int"),
-                                   col("stride").cast("int")), ""),
-          ch => ascii(ch).cast("long")),
-        lit(0L), (acc, x) => acc + x), lit(0L)))
     docs
       .filter(col("text").isNotNull && length(col("text")) > 0)
-      .withColumn("stride",
-        greatest(lit(1L), expr(s"CAST(length(text) AS BIGINT) div $cells")))
-      .withColumn("cs", sums)
+      .withColumn("cs",
+        graft.functions.PerceptualCellSums.sums(col("text"), cells))
       .select(col("doc_id"),
         concat((0 until bits).map(i =>
           when(element_at(col("cs"), i + 1) > element_at(col("cs"), i + 2),
@@ -443,9 +433,10 @@ object Multimodal {
 
   /** Oracle fragments of the perceptual signature — same fixed-grid /
     * codepoint-sum / adjacent-comparison recipe stated in DuckDB.
-    * Parity holds on ASCII/BMP payloads only (unicode() here iterates
-    * codepoints, the Spark side's ascii() iterates UTF-16 units — see
-    * the encoding-assumption note on perceptualDedup). */
+    * Parity holds on ARBITRARY payloads: both engines iterate
+    * codepoints (unicode() here, the native PerceptualCellSums UTF-8
+    * decode on the Spark side — see the encoding note on
+    * perceptualDedup). */
   private def pCell(i: Int): String =
     s"substr(text, CAST($i*stride+1 AS INT), CAST(stride AS INT))"
   private def pSum(i: Int): String =

@@ -741,6 +741,58 @@ class ExtendedOpsSpec extends AnyFunSuite {
       "fixture sanity: no md5-exact copies exist")
   }
 
+  test("perceptual signature is codepoint-defined on non-BMP payloads: " +
+       "native cell sums equal a hand codepoint recompute, and a " +
+       "jittered astral-plane copy still collapses") {
+    import spark.implicits._
+    // 340 CODEPOINTS, many astral-plane (🜁 = U+1F701 etc.) — in UTF-16
+    // units this is ~500 long, so the round-8 split('')+ascii() recipe
+    // would compute a different stride and surrogate-half sums
+    val rnd = new scala.util.Random(11)
+    val astral = "🜁🜂🜃🜄𝄞𝄢😀🧿".toCharArray // surrogate pairs
+    val cps = astral.grouped(2).map(p => new String(p)).toSeq
+    val base = (0 until 17).map { c =>
+      (0 until 20).map { _ =>
+        if (rnd.nextInt(3) == 0) cps((c * 3) % cps.size)
+        else ('a' + (c * 7) % 26).toChar.toString
+      }.mkString
+    }.mkString
+    def cpAt(s: String, idx: Int): Int =
+      s.codePointAt(s.offsetByCodePoints(0, idx))
+    def replaceCp(s: String, idx: Int, rep: String): String = {
+      val o = s.offsetByCodePoints(0, idx)
+      s.substring(0, o) + rep +
+        s.substring(o + Character.charCount(s.codePointAt(o)))
+    }
+    val jittered = replaceCp(replaceCp(base, 2 * 20 + 3, "Z"),
+                             9 * 20 + 5, "🜍")
+    val ddir = TestFixtures.writeDir(Map(
+      "documents" -> Seq((0L, base, "en", "s"), (1L, jittered, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")))
+    // hand codepoint recompute of the 17-cell sums and 16-bit signature
+    def handSig(s: String): String = {
+      val n = s.codePointCount(0, s.length)
+      val stride = math.max(1, n / 17)
+      val sums = (0 until 17).map(c =>
+        (c * stride until math.min(n, (c + 1) * stride))
+          .map(cpAt(s, _).toLong).sum)
+      (0 until 16).map(i =>
+        if (sums(i) > sums(i + 1)) '1' else '0').mkString
+    }
+    val sigs = graft.ops.Multimodal.perceptualSigs(
+        Tables.t(spark, ddir, "documents"), 16).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(0L) === handSig(base), "base signature != codepoint spec")
+    assert(sigs(1L) === handSig(jittered),
+      "jittered signature != codepoint spec")
+    // and the gate still works on astral payloads: two local edits keep
+    // Hamming ≤ 2, so the pair collapses
+    val pairs = graft.ops.Multimodal.perceptualDedup(spark, ddir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)),
+      "astral-plane jittered copy must still collapse")
+  }
+
   test("q21_waiting: the decorrelated EXISTS/NOT-EXISTS form equals the " +
        "one-aggregate rewrite (late ∧ n_supp ≥ 2 ∧ n_late_supp = 1)") {
     val sql = Relational.q21Waiting(spark, dir).collect()
