@@ -122,8 +122,12 @@ object Bench {
     def minOf(m: collection.Map[String, Vector[Double]]) =
       selected.map { case (n, _) =>
         val vs = m(n)
+        // half-away-from-zero to 3 dp — the codebase's rounding doctrine
+        // (math.rint's half-even would present 0.0125 as 0.012 where
+        // every operator/oracle rounds it 0.013; presentational only,
+        // these fields are never oracle-compared)
         n -> (if (vs.exists(_ < 0)) -1.0
-              else math.rint(vs.min * 1000) / 1000)
+              else math.round(vs.min * 1000).toDouble / 1000)
       }
     val cpu = minOf(cpuSecs)
     val taskRun = minOf(runSecs)
@@ -171,6 +175,43 @@ object Bench {
     spark.stop()
   }
 
+  /** Round label for the history append. SPARK_GRAFT_ROUND wins when
+    * set. Otherwise max(BENCH_rNN.json)+1 — sound because the driver
+    * writes BENCH_rNN.json only AFTER round N's bench, so during round
+    * N's work the max on disk is N−1. The one ambiguous window is a run
+    * right after the driver closed a round (newest BENCH file <30 min
+    * old): max+1 would file a still-current-round re-run under the NEXT
+    * round. Disambiguate by WORK, not just time (the round-9 ADVICE —
+    * a pure mtime guard also silently skipped the legitimate first run
+    * of a round started within the window): a git commit NEWER than the
+    * newest BENCH file means new round work exists and max+1 is the
+    * right label; no newer commit means nothing changed since the close
+    * — refuse to guess and say how to force a label. Throws (caught
+    * non-fatally by the caller) on refusal. */
+  private[graft] def inferRound(envRound: Option[String],
+      benchFiles: Seq[(Int, Long)], lastCommitMillis: Option[Long],
+      nowMillis: Long): String =
+    envRound.getOrElse {
+      val newestMtime = benchFiles.map(_._2).maxOption.getOrElse(0L)
+      val inWindow = nowMillis - newestMtime <= 30 * 60 * 1000L
+      val newWork = lastCommitMillis.exists(_ > newestMtime)
+      require(!inWindow || newWork,
+        "newest BENCH_rNN.json is <30min old with no git commit since — " +
+          "round inference is ambiguous; set SPARK_GRAFT_ROUND=rNN to " +
+          "record this run")
+      val maxN = benchFiles.map(_._1).maxOption.getOrElse(0)
+      f"r${maxN + 1}%02d"
+    }
+
+  /** Newest commit's time in millis (None outside a git checkout or if
+    * git is unavailable) — the "has round work started" signal. */
+  private def lastCommitMillis: Option[Long] =
+    try {
+      val p = new ProcessBuilder("git", "log", "-1", "--format=%ct").start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0) out.toLongOption.map(_ * 1000L) else None
+    } catch { case _: Exception => None }
+
   private def updateHistory(
       results: Seq[(String, Double)],
       spreads: Seq[(String, Double)],
@@ -192,19 +233,8 @@ object Bench {
       .getOrElse(Array.empty).toSeq
       .flatMap(f => rx.findFirstMatchIn(f.getName).map(m =>
         (m.group(1).toInt, f.lastModified())))
-    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", {
-      // max+1 is only sound while the driver hasn't yet written this
-      // round's BENCH file. A newest BENCH file modified within the last
-      // 30 min means the driver just closed a round — a label inferred now
-      // would file this (still-current-round) re-run under the NEXT round.
-      // Refuse to guess: skip the append and say how to force a label.
-      val newestMtime = benchFiles.map(_._2).maxOption.getOrElse(0L)
-      require(System.currentTimeMillis() - newestMtime > 30 * 60 * 1000L,
-        "newest BENCH_rNN.json is <30min old — round inference is " +
-          "ambiguous; set SPARK_GRAFT_ROUND=rNN to record this run")
-      val maxN = benchFiles.map(_._1).maxOption.getOrElse(0)
-      f"r${maxN + 1}%02d"
-    })
+    val round = inferRound(sys.env.get("SPARK_GRAFT_ROUND"), benchFiles,
+      lastCommitMillis, System.currentTimeMillis())
     def sub(name: String): ObjectNode = root.get(name) match {
       case o: ObjectNode => o
       case _ => val o = mapper.createObjectNode(); root.set(name, o); o

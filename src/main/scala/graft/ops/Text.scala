@@ -425,13 +425,26 @@ object Text {
     * explode + one key join on `word` against the Θ(types) vocab +
     * one doc_id re-aggregation — the token_encode dataflow with the
     * merge table standing in for the id vocabulary. */
+  /** The previous bpeEncode call's persisted vocab — unpersisted lazily
+    * on the NEXT call, because the returned plan still references it
+    * lazily at return time (the caller may not have executed yet). This
+    * bounds a long-lived session that never calls clearCache (ad-hoc /
+    * notebook use) to ONE cached vocab copy instead of one per call —
+    * the round-9 ADVICE leak. */
+  private var lastBpeVocab: Option[DataFrame] = None
+
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.t(spark, dir, "documents"))
     val (_, vocab) = bpeLearn(spark, docs)
+    this.synchronized {
+      lastBpeVocab.foreach(_.unpersist(blocking = false))
+      lastBpeVocab = Some(vocab)
+    }
     val enc = vocab.select(col("word"), size(col("syms")).as("n_syms"))
     // vocab stays persisted under the returned plan (the harnesses
     // clearCache between queries — Bench's documented contract for
-    // operators that persist shared sub-results internally)
+    // operators that persist shared sub-results internally; the holder
+    // above releases it on the next call for harness-free sessions)
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(

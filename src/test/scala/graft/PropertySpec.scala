@@ -340,6 +340,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bench round-label inference: env wins; max+1 outside the close " +
+       "window; inside it, a newer commit disambiguates and no-new-work " +
+       "refuses (the r9 mislabel repro)") {
+    val hour = 3600 * 1000L
+    val now = 100 * hour
+    // driver wrote BENCH_r09.json one minute ago (round 9 just closed)
+    val files = Seq((8, now - 50 * hour), (9, now - 60 * 1000L))
+    // explicit label always wins
+    assert(Bench.inferRound(Some("r42"), files, None, now) === "r42")
+    // outside the 30-min window: max+1 is sound
+    assert(Bench.inferRound(None, Seq((8, now - 50 * hour)), None, now)
+      === "r09")
+    // REPRO of the round-9 defect: a re-run right after the close, with
+    // no commit since, must refuse instead of mislabeling as r10
+    assertThrows[IllegalArgumentException] {
+      Bench.inferRound(None, files, Some(now - 2 * hour), now)
+    }
+    assertThrows[IllegalArgumentException] {
+      Bench.inferRound(None, files, None, now)
+    }
+    // REPRO of the r9 ADVICE miss: round 10's legitimate first bench,
+    // started within 30 min of the close but AFTER new round work was
+    // committed, must label r10 instead of silently skipping history
+    assert(Bench.inferRound(None, files, Some(now - 30 * 1000L), now)
+      === "r10")
+    // empty dir (first ever run): r01
+    assert(Bench.inferRound(None, Seq.empty, None, now) === "r01")
+  }
+
   test("upsert is idempotent and keeps exactly one row per key") {
     check(Prop.forAll(batchGen, batchGen) { (t, b) =>
       Prop.propBoolean(t.nonEmpty && b.nonEmpty) ==> {
