@@ -168,10 +168,27 @@ object Similarity {
     * to choose from. ⌈log2(ball)⌉+1 → 8 at 8 bits (the ENTIRE mask
     * space, so the fixture semantics involve no pool cut at all — the
     * oracles enumerate all 256 masks), 13 at 24 bits (8k-mask pool for
-    * a 2.1k budget). */
+    * a 2.1k budget).
+    *
+    * CAPPED at 16 (PropertySpec-pinned): uncapped, the widest
+    * signatures (bits ≥ ~54, where ballCount ≥ 2^16) would take pool
+    * 17; the cap bounds the best-first walk's degenerate worst case
+    * (all-equal margins — e.g. a zero vector — enumerates the full
+    * 2^pool tie class) at 65,536 generated states per row while
+    * 2^16 still exceeds the budget at EVERY width ≤ 64
+    * (probeBudget(64) = 39,808 — also PropertySpec-pinned), so the
+    * ranking never loses slack. What the cap trims is only the
+    * option of flipping the 17th-lowest-margin position — masks the
+    * budget's (score, mask) cut almost never reaches (they must beat
+    * combinations of strictly lower-margin flips). The measured
+    * recall-vs-cost curve at wide widths (SCALE.md round-10: 0.78 /
+    * 0.53 / 0.35 at 8/12/16 bits at operating density on a
+    * structure-free worst-case corpus) shows the BUDGET is the binding
+    * dial long before the pool is — past ~16-20 bits the directed
+    * tier's recall economics hand off to the IVF/quantized tiers. */
   private[graft] def poolBits(bits: Int): Int = {
     val lg = 32 - Integer.numberOfLeadingZeros(ballCount(bits) - 1) // ⌈log2⌉
-    math.min(bits, lg + 1)
+    math.min(16, math.min(bits, lg + 1))
   }
 
   /** Margin-directed multi-probe — the round-9 recall fix for the search

@@ -296,6 +296,17 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Similarity.poolBits(24) === 13)
     assert((1 << graft.ops.Similarity.poolBits(24)) >
       graft.ops.Similarity.probeBudget(24))
+    // the round-10 cap: pool ≤ 16 at EVERY signature width (bounds the
+    // best-first walk's degenerate tie-class worst case at 65,536
+    // states/row) while 2^pool keeps exceeding the budget, so the
+    // (score, mask) ranking never loses slack — measured evidence in
+    // SCALE.md's round-10 recall-vs-cost section
+    for (b <- 8 to 64) {
+      assert(graft.ops.Similarity.poolBits(b) <= 16, s"pool cap at $b")
+      assert((1 << graft.ops.Similarity.poolBits(b)) >
+        graft.ops.Similarity.probeBudget(b), s"budget slack at $b")
+    }
+    assert(graft.ops.Similarity.probeBudget(64) === 39808)
   }
 
   test("directedProbes selects the budget-many lowest-(margin-sum, mask) " +
