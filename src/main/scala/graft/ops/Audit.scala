@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -198,21 +198,39 @@ object Audit {
     * text evaluated by both engines. */
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.t(spark, dir, "orders")
-    val cut = lit("1998-01-01").cast("timestamp")
-    val edges = o.filter(col("o_orderdate") < cut)
+    // one pass over orders: both slices bin and tally in the same
+    // map-side aggregate (the conditional-sum pivot, not two scans)
+    psiTail(
+      o.crossJoin(broadcast(psiEdges(spark, dir)))
+        .withColumn("bin", expr(psiBinExpr).cast("long"))
+        .withColumn("is_base", col("o_orderdate") < psiCut)
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+             sum(when(col("is_base"), 0L).otherwise(1L)).as("n_cur")))
+  }
+
+  /** The base/current boundary of the PSI audit — the SINGLE definition
+    * the batch operator, the streaming twin, and the oracle text share. */
+  private[graft] def psiCut: Column = lit("1998-01-01").cast("timestamp")
+
+  /** Base-slice decile edges — the 1-row model parameter the drift audit
+    * publishes offline and every scoring pass broadcasts. */
+  private[graft] def psiEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .filter(col("o_orderdate") < psiCut)
       .agg(expr(s"percentile(o_totalprice, 0.1)").as("e1"),
         (2 to 9).map(k =>
           expr(s"percentile(o_totalprice, 0.$k)").as(s"e$k")): _*)
-    // one pass over orders: both slices bin and tally in the same
-    // map-side aggregate (the conditional-sum pivot, not two scans)
+
+  /** Shared tail of the PSI audit: (bin, n_base, n_cur) cells → the
+    * fraction/clamp/term report. Extracted so the streaming twin derives
+    * its final table through the SAME expressions as the batch operator
+    * (the qualityVerdicts doctrine — twins that recompute the tail
+    * independently drift). */
+  private[graft] def psiTail(cells: DataFrame): DataFrame = {
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    o.crossJoin(broadcast(edges))
-      .withColumn("bin", expr(psiBinExpr).cast("long"))
-      .withColumn("is_base", col("o_orderdate") < cut)
-      .groupBy(col("bin"))
-      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
-           sum(when(col("is_base"), 0L).otherwise(1L)).as("n_cur"))
+    cells
       .withColumn("p", col("n_base") / sum(col("n_base")).over(wAll))
       .withColumn("q", col("n_cur") / sum(col("n_cur")).over(wAll))
       .withColumn("pc", greatest(col("p"), lit(1e-4)))
@@ -225,10 +243,29 @@ object Audit {
       .orderBy(col("bin"))
   }
 
+  /** Streaming-twin assembly: the live current-slice counts (from the
+    * complete-mode stream aggregate) meet the batch base-slice counts in
+    * a full outer join on bin — the union of bins either slice touched,
+    * exactly the bin set the batch operator's single groupBy produces —
+    * then the shared psiTail derives the report. */
+  private[graft] def psiStreamReport(spark: SparkSession, dir: String,
+                                     cur: DataFrame): DataFrame = {
+    val base = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderdate") < psiCut)
+      .crossJoin(broadcast(psiEdges(spark, dir)))
+      .withColumn("bin", expr(psiBinExpr).cast("long"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
+    psiTail(
+      base.join(cur, Seq("bin"), "full")
+        .select(col("bin"),
+                coalesce(col("n_base"), lit(0L)).as("n_base"),
+                coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+  }
+
   /** Decile-bin id as one shared CASE-sum text (valid Spark SQL AND
     * DuckDB SQL — the zExpr doctrine): count of base-decile edges
     * strictly below the value, 0..9. */
-  private[ops] val psiBinExpr: String = (1 to 9)
+  private[graft] val psiBinExpr: String = (1 to 9)
     .map(k => s"(CASE WHEN o_totalprice > e$k THEN 1 ELSE 0 END)")
     .mkString(" + ")
 

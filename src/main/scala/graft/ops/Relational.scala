@@ -813,6 +813,84 @@ object Relational {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q14-shape promo revenue share per 1997 ship month — the
+    * conditional-ratio-over-broadcast-join planner shape: one fact scan,
+    * one broadcast dimension leg carrying only (key, predicate-bit), and
+    * a single month-keyed aggregate computing BOTH the conditional and
+    * unconditional revenue sums in one pass (no second scan, no self
+    * join). Both sums are integer-exact (revUnits), so the share divides
+    * two longs — same determinism argument as q8Share (ref
+    * transformer.py:1 — the reference's derived-ratio metrics family). */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.t(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(sum(when(col("is_promo"), revUnits).otherwise(lit(0L)))
+             .as("promo_units"),
+           sum(revUnits).as("total_units"))
+      .select(col("ship_month"),
+        round(col("promo_units") / 10000.0, 4).as("promo_revenue"),
+        // +1e-9: deterministic decimal-tie break, see q1Agg
+        round(lit(100.0) * col("promo_units") / col("total_units") + 1e-9, 4)
+          .as("promo_share_pct"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H Q18-shape large-volume orders: a HAVING-filtered fact
+    * aggregate (per-order quantity sum > 350) joined back to orders and
+    * customer for the top-100 report. The scale shape is
+    * aggregate-then-join: the quantity sum reduces lineitem to one row
+    * per order BEFORE any dimension join, and the >350 filter cuts that
+    * to a needle set, so the orders/customer joins see a tiny probe side
+    * (AQE converts them to broadcasts at runtime — the filtered size is
+    * data-dependent, which is exactly the case runtime re-planning
+    * exists for). Quantities are integral in the fixture, so the sum is
+    * exact as a long in both engines and the >350 boundary cannot
+    * float-flip. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > 350)
+    Tables.t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.t(spark, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11-shape important parts: per-part revenue vs a GLOBAL
+    * scalar threshold (share > 0.06% of total) — the group-vs-grand-
+    * total comparison shape. The grand total is a 1-row aggregate
+    * broadcast back over the per-part relation (a broadcast nested-loop
+    * join of one row — the one BNLJ that is always right), so the fact
+    * table is scanned ONCE and aggregated ONCE; the naive form rescans
+    * the fact for the scalar subquery. The comparison is integer cross-
+    * multiplication (units·10⁴ > 6·total), never a float share, so the
+    * threshold boundary is exact; at a 100 TB grand total the longs swap
+    * to decimal(38,0) per the revUnits headroom note. */
+  def q11Important(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(revUnits).as("units"))
+    val total = v.agg(sum(col("units")).as("total_units"))
+    v.join(broadcast(total))
+      .filter(col("units") * 10000L > lit(6L) * col("total_units"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("units") / 10000.0, 4).as("value"),
+        // +1e-9: deterministic decimal-tie break, see q1Agg
+        round(lit(100.0) * col("units") / col("total_units") + 1e-9, 6)
+          .as("share_pct"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Distributed global ranking — the replacement for an UNPARTITIONED
     * `Window.orderBy(...)` whenever the ranked relation grows with the
     * corpus (per-customer / per-supplier aggregates do: a dimension is
@@ -1484,6 +1562,9 @@ object Relational {
     "q17_smallqty"   -> (q17SmallQty _),
     "q21_waiting"    -> (q21Waiting _),
     "q2_mincost"     -> (q2MinCost _),
+    "q14_promo"      -> (q14Promo _),
+    "q18_bigorders"  -> (q18BigOrders _),
+    "q11_important"  -> (q11Important _),
     "sql_recursive"  -> (sqlRecursive _),
     "cohort_ltv"     -> (cohortLtv _),
     "q13_custdist"   -> (q13Custdist _),
@@ -1782,6 +1863,44 @@ object Relational {
         |            / CAST(SUM(units) AS DOUBLE) + 1e-9, 6)
         |  END AS mkt_share
         |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo" ->
+      s"""WITH j AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |    CASE WHEN p_type = 'PROMO' THEN $revUnitsSql ELSE 0 END
+        |      AS promo_u,
+        |    $revUnitsSql AS u
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01')
+        |SELECT ship_month,
+        |  ROUND(CAST(SUM(promo_u) AS BIGINT) / 10000.0, 4)
+        |    AS promo_revenue,
+        |  ROUND(100.0 * CAST(SUM(promo_u) AS BIGINT)
+        |        / CAST(SUM(u) AS BIGINT) + 1e-9, 4) AS promo_share_pct
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(ROUND(SUM(l_quantity)) AS BIGINT) > 350)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       sum_qty
+        |FROM big
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q11_important" ->
+      s"""WITH v AS (
+        |  SELECT l_partkey, CAST(SUM($revUnitsSql) AS BIGINT) AS units
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(units) AS BIGINT) AS total_units FROM v)
+        |SELECT l_partkey AS p_partkey,
+        |  ROUND(units / 10000.0, 4) AS value,
+        |  ROUND(100.0 * units / total_units + 1e-9, 6) AS share_pct
+        |FROM v CROSS JOIN t
+        |WHERE units * 10000 > 6 * total_units
+        |ORDER BY p_partkey""".stripMargin,
     "q9_profit" ->
       s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  ROUND(CAST(SUM($revUnitsSql

@@ -462,6 +462,134 @@ object Similarity {
       k = 3)
   }
 
+  // ---- Product quantization (IVF-PQ) ---------------------------------
+  // m subspaces × k codes over the 64-dim fixture vectors: the memory
+  // tier BELOW scalar int8 (annQuant): 4 code bytes/vector instead of 64,
+  // the layout an in-RAM search tier actually holds at 10⁹+ vectors.
+  private val pqM = 4 // subspaces
+  private val pqSub = 16 // dims per subspace
+  private val pqK = 16 // codes per subspace
+
+  /** Spherical product-quantization assignment: per subspace, ONE Lloyd
+    * refinement from the `pqK` lowest-id seed slices (the kmeansAssign
+    * doctrine — fixed seed + fixed iteration count is what makes a
+    * clustering oracle-checkable), cosine-argmax code assignment through
+    * the codegen'd CentroidArgmax on `slice(embedding, …)` (map-side, no
+    * codebook crossJoin), and the standard empty-code fallback: a code
+    * no vector chose keeps its SEED centroid (the refinement mean is
+    * undefined there; at sf0.001's 50 vectors some of the 4×16 codes ARE
+    * empty, so the rule is load-bearing, not theoretical).
+    *
+    * Scale shape: learn = one N·dim posexplode aggregate (m·k·subdim =
+    * 1024 groups cross the wire regardless of N); encode = pure map-side
+    * projection with the 4×16×16-double codebook shipped inside the
+    * expression — the same model-parameter deployment as the IVF
+    * codebook. Returns (assigned frame with c0..c3, refined codebook,
+    * code ids). */
+  private def pqAssignedFull(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Array[Double]]], Array[Long]) = {
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+    val seed = Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") < pqK)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+    val ids = seed.map(_.getLong(0))
+    // Dense seed ids are what lets the oracle use vec_id AS code and the
+    // recon stage use element_at(codebook, code+1) — the same density
+    // assumption kmeansAssign's vec_id<k seeding already relies on.
+    require(ids.sameElements(0L until pqK.toLong),
+      s"pq seeds must be the dense ids 0..${pqK - 1}")
+    val cb1: Array[Array[Array[Float]]] = Array.tabulate(pqM) { s =>
+      seed.map(_.getSeq[Float](1).slice(s * pqSub, (s + 1) * pqSub).toArray)
+    }
+
+    val withA1 = (0 until pqM).foldLeft(e) { (d, s) =>
+      d.withColumn(s"a1_$s", graft.functions.CentroidArgmax.assign(
+        slice(col("embedding"), s * pqSub + 1, pqSub), cb1(s), ids))
+    }
+    // refinement means: m·k·subdim tiny aggregate (6-dp rounded — the
+    // kmeansAssign partial-agg-vs-sequential-AVG absorption)
+    val meanRows = withA1
+      .select(array((0 until pqM).map(s => col(s"a1_$s")): _*).as("codes"),
+              posexplode(col("embedding")))
+      .select(floor(col("pos") / pqSub).cast("int").as("s"),
+        element_at(col("codes"),
+          floor(col("pos") / pqSub).cast("int") + 1).as("code"),
+        pmod(col("pos"), lit(pqSub)).as("d"),
+        col("col").cast("double").as("v"))
+      .groupBy(col("s"), col("code"), col("d"))
+      .agg(round(avg(col("v")), 6).as("m"))
+      .collect()
+    val cb2: Array[Array[Array[Double]]] =
+      cb1.map(_.map(_.map(_.toDouble)))
+    meanRows.foreach { r =>
+      cb2(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+    }
+
+    val asg = (0 until pqM).foldLeft(e) { (d, s) =>
+      d.withColumn(s"c$s", graft.functions.CentroidArgmax.assignD(
+        slice(col("embedding"), s * pqSub + 1, pqSub), cb2(s), ids))
+    }
+    (asg, cb2, ids)
+  }
+
+  /** PQ code table: each vector's 4 subspace code ids — the artifact a
+    * PQ index SHIPS (4 bytes/vector at k=16; the fp32 table stays in
+    * cold storage for the rescore tier only). */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqAssignedFull(spark, dir)._1
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+      .orderBy(col("vec_id"))
+
+  /** IVF-PQ retrieval — the production composition of the two index
+    * tiers this family already ships separately: IVF cells bound the
+    * candidate set (annIvf), PQ codes price its scoring (annQuant priced
+    * it with scalar int8; PQ is 16× smaller again), and the fp32 rescore
+    * decides the final k. Candidate score = asymmetric distance
+    * computation (ADC): dot(query_fp32, PQ-reconstruction(neighbor)) —
+    * the reconstruction is a map-side element_at into the broadcast
+    * codebook literal on the CANDIDATE side before the cell join, so the
+    * join dots two ready arrays and codes never shuffle with payloads.
+    * ADC is rounded to 6 dp with neighbor-id tie-break (ranking
+    * doctrine) before the top-15 cut; survivors join BACK to fp32 by id
+    * for the exact cosine that decides k=3. */
+  def simAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, cb2, _) = pqAssignedFull(spark, dir)
+    val cells = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+    val cbLits = (0 until pqM).map(s =>
+      typedLit(cb2(s).map(_.toSeq).toSeq))
+    val recon = concat((0 until pqM).map(s =>
+      element_at(cbLits(s), col(s"c$s").cast("int") + 1)): _*)
+    val joined = asg.join(cells, "vec_id")
+    val q = joined.filter(col("vec_id") < 10)
+      .select(col("cell"), col("vec_id").as("query_id"),
+              col("embedding").as("q_emb"))
+    val c = joined.select(col("cell"), col("vec_id").as("neighbor_id"),
+                          recon.as("recon"))
+    val adc = aggregate(zip_with(col("q_emb"), col("recon"),
+        (a, b) => a.cast("double") * b), lit(0.0), (s, x) => s + x)
+    val cand = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(adc, 6).as("adc"))
+      .withColumn("crank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("crank") <= 15)
+      .select(col("query_id"), col("neighbor_id"))
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    rankTopK(
+      cand
+        .join(emb.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("embedding", "q_emb"), Seq("query_id"))
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("embedding", "n_emb"), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
+      k = 3)
+  }
+
   /** IVF cell assignment, shared by annIvf and annRecall: every vector
     * labeled with its nearest-centroid cell. */
   private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
@@ -572,7 +700,18 @@ object Similarity {
     * partial-agg summation-order ulps vs the oracle's sequential AVG) and
     * CentroidArgmax ranks on 6-dp-quantized cosine with lowest-id
     * tie-break — matching the oracle's ROW_NUMBER exactly. */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansFull(spark, dir)._1
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+
+  /** kmeansAssign plus its model parameters — (assignment frame carrying
+    * embeddings, refined centroid matrix, centroid ids) — for the
+    * cluster-aware consumers that need the CENTROIDS too (mmrSelect's
+    * relevance leg). Same dataflow as kmeansAssign (which is now a
+    * projection of this). */
+  private[ops] def kmeansFull(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Double]], Array[Long]) = {
     val k = 8
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
@@ -600,10 +739,10 @@ object Similarity {
     val cents2 = meanRows.map(_.getSeq[Double](1).toArray)
     val ids2 = meanRows.map(_.getLong(0))
 
-    e.withColumn("cluster",
-        graft.functions.CentroidArgmax.assignD(col("embedding"), cents2, ids2))
-      .select(col("vec_id"), col("cluster"))
-      .orderBy(col("vec_id"))
+    val asg2 = e.withColumn("cluster",
+      graft.functions.CentroidArgmax.assignD(col("embedding"), cents2, ids2))
+    (asg2.select(col("vec_id"), col("embedding"), col("cluster")),
+     cents2, ids2)
   }
 
   /** Cluster-quality evaluation: purity of the k-means clusters against
@@ -699,6 +838,74 @@ object Similarity {
           .otherwise(round((col("n_pairs") + lit(2L) * col("sum_ij")
               - col("sum_a") - col("sum_b")).cast("double")
             / col("n_pairs") + 1e-9, 6)).as("rand_index"))
+  }
+
+  /** Diversity-aware representative selection per cluster — maximal
+    * marginal relevance (MMR, Carbonell & Goldstein 1998) with λ = 0.5:
+    * greedily pick 3 representatives per k-means cluster where pick 1 is
+    * the most central member (relevance = cosine to the cluster
+    * centroid) and picks 2–3 maximize `rel − λ·max_sim_to_selected` —
+    * the data-curation move that turns "cluster then sample" into
+    * "cluster then sample WITHOUT redundancy" (a centroid-nearest top-3
+    * returns three near-duplicates of the same mode; MMR's penalty term
+    * forces coverage of the cluster's spread). Clusters with < 3 members
+    * yield fewer picks — selection never recycles a member.
+    *
+    * Greedy selection is inherently sequential IN ROUNDS, but each round
+    * is fully distributed and the round count is the constant k_sel = 3:
+    *   - relevance: map-side cosine against the broadcast 8-row centroid
+    *     table (the kmeansFull model parameter);
+    *   - penalty: candidates join the ≤ 8·t-row broadcast selected set
+    *     on cluster, then a per-candidate max — Θ(N·t) work, one shuffle;
+    *   - pick: per-cluster ROW_NUMBER on the 6-dp-rounded score with
+    *     vec_id tie-break (ranking doctrine).
+    * At 100 TB nothing accumulates on the driver: the selected set is
+    * k·k_sel rows and the corpus is scanned once per round. */
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val kSel = 3
+    val lambda = 0.5
+    val (asg, cents2, ids2) = kmeansFull(spark, dir)
+    val centDf = {
+      val rows = ids2.zip(cents2).map { case (id, c) => (id, c.toSeq) }.toSeq
+      import spark.implicits._
+      rows.toDF("m_cluster", "cent")
+    }
+    val cands = asg
+      .join(broadcast(centDf), col("cluster") === col("m_cluster"))
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        round(cosineHof(col("embedding"), col("cent")), 6).as("rel"))
+
+    def pick(scored: DataFrame, score: Column, t: Int): DataFrame =
+      scored
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("cluster"))
+          .orderBy(score.desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("vec_id"), col("embedding"),
+                col("rel"), lit(t.toLong).as("pick"))
+
+    var selected = pick(cands, col("rel"), 1)
+    for (t <- 2 to kSel) {
+      val selSet = broadcast(selected.select(
+        col("cluster").as("s_cluster"), col("vec_id").as("s_id"),
+        col("embedding").as("s_emb")))
+      val remaining = cands.join(
+        selected.select(col("vec_id").as("x")),
+        col("vec_id") === col("x"), "left_anti")
+      val maxSim = remaining
+        .join(selSet, col("cluster") === col("s_cluster"))
+        .select(col("vec_id").as("m_id"),
+                round(cosine(col("embedding"), col("s_emb")), 6).as("s"))
+        .groupBy(col("m_id")).agg(max(col("s")).as("max_sim"))
+      val scored = remaining.join(maxSim, col("vec_id") === col("m_id"))
+        // +1e-9: deterministic decimal-tie break, see rankTopK callers
+        .withColumn("score",
+          round(col("rel") - lit(lambda) * col("max_sim") + 1e-9, 6))
+      selected = selected.unionByName(
+        pick(scored, col("score"), t).select(selected.columns.map(col): _*))
+    }
+    selected.select(col("cluster"), col("pick"), col("vec_id"), col("rel"))
+      .orderBy(col("cluster"), col("pick"))
   }
 
   /** Sparse text cosine similarity join over the RARE-term space — the
@@ -907,7 +1114,10 @@ object Similarity {
     "sim_topk_brute" -> (topKBrute _),
     "sim_ann_lsh"    -> (annLsh _),
     "sim_ann_ivf"    -> (annIvf _),
-    "sim_ann_quant"  -> (annQuant _))
+    "sim_ann_quant"  -> (annQuant _),
+    "pq_codes"       -> (pqCodes _),
+    "sim_ann_pq"     -> (simAnnPq _),
+    "mmr_select"     -> (mmrSelect _))
 
   /** DuckDB cosine written out explicitly (dot/(|a||b|) in double) so the
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
@@ -1015,7 +1225,112 @@ object Similarity {
        |    FROM embeddings e CROSS JOIN c2 c)
        |  WHERE rn = 1)""".stripMargin
 
+  /** Per-subspace PQ learn/encode CTEs (the kmeans CTE pattern, once per
+    * subspace over the embedding slice): c1 = seed slices, a1 = first
+    * assignment, m = refined 6-dp means, c2 = refined codebook with the
+    * empty-code seed fallback (LEFT JOIN + COALESCE — the Spark side
+    * keeps cb1's entry when no vector chose the code), a2 = final
+    * assignment. Shared by the pq_codes and sim_ann_pq oracles. */
+  private val duckPqCtes: String =
+    (0 until pqM).map { s =>
+      def sl(e: String) = s"$e[${s * pqSub + 1}:${(s + 1) * pqSub}]"
+      s"""c1_$s AS (
+         |  SELECT vec_id AS code, ${sl("embedding")} AS cent
+         |  FROM embeddings WHERE vec_id < $pqK),
+         |a1_$s AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT e.vec_id, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCosine(sl("e.embedding"), "c.cent")} DESC, c.code)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN c1_$s c)
+         |  WHERE rn = 1),
+         |m_$s AS (
+         |  SELECT code, LIST(v ORDER BY dim) AS cent FROM (
+         |    SELECT a.code, x.dim, ROUND(AVG(x.val::DOUBLE), 6) AS v
+         |    FROM a1_$s a JOIN (
+         |      SELECT vec_id,
+         |             generate_subscripts(${sl("embedding")}, 1) AS dim,
+         |             unnest(${sl("embedding")}) AS val
+         |      FROM embeddings) x USING (vec_id)
+         |    GROUP BY a.code, x.dim)
+         |  GROUP BY code),
+         |c2_$s AS (
+         |  SELECT c1.code, COALESCE(m.cent, c1.cent::DOUBLE[]) AS cent
+         |  FROM c1_$s c1 LEFT JOIN m_$s m USING (code)),
+         |a2_$s AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT e.vec_id, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCosine(sl("e.embedding"), "c.cent")} DESC, c.code)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN c2_$s c)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString("WITH ", ",\n", "")
+
   val oracle: Map[String, String] = Map(
+    "pq_codes" ->
+      (duckPqCtes +
+        """
+          |SELECT e.vec_id,
+          |       p0.code AS c0, p1.code AS c1, p2.code AS c2, p3.code AS c3
+          |FROM embeddings e
+          |  JOIN a2_0 p0 ON p0.vec_id = e.vec_id
+          |  JOIN a2_1 p1 ON p1.vec_id = e.vec_id
+          |  JOIN a2_2 p2 ON p2.vec_id = e.vec_id
+          |  JOIN a2_3 p3 ON p3.vec_id = e.vec_id
+          |ORDER BY e.vec_id""".stripMargin),
+    "sim_ann_pq" ->
+      (duckPqCtes +
+        s""",
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS cent
+           |  FROM embeddings
+           |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+           |                  FROM embeddings)),
+           |asg AS (
+           |  SELECT cell, vec_id, embedding FROM (
+           |    SELECT c.cent_id AS cell, e.vec_id, e.embedding,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
+           |        AS crn
+           |    FROM embeddings e CROSS JOIN cents c)
+           |  WHERE crn = 1),
+           |recon AS (
+           |  SELECT e.vec_id,
+           |         k0.cent || k1.cent || k2.cent || k3.cent AS r
+           |  FROM embeddings e
+           |    JOIN a2_0 p0 ON p0.vec_id = e.vec_id
+           |    JOIN c2_0 k0 ON k0.code = p0.code
+           |    JOIN a2_1 p1 ON p1.vec_id = e.vec_id
+           |    JOIN c2_1 k1 ON k1.code = p1.code
+           |    JOIN a2_2 p2 ON p2.vec_id = e.vec_id
+           |    JOIN c2_2 k2 ON k2.code = p2.code
+           |    JOIN a2_3 p3 ON p3.vec_id = e.vec_id
+           |    JOIN c2_3 k3 ON k3.code = p3.code),
+           |cd AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    ROUND(list_dot_product(a.embedding::DOUBLE[], r.r), 6)
+           |      AS adc
+           |  FROM asg a JOIN asg b
+           |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+           |    JOIN recon r ON r.vec_id = b.vec_id
+           |  WHERE a.vec_id < 10),
+           |cand AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adc DESC, neighbor_id) AS crank FROM cd)
+           |  WHERE crank <= 15),
+           |rs AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim
+           |  FROM cand c
+           |    JOIN embeddings qa ON qa.vec_id = c.query_id
+           |    JOIN embeddings qb ON qb.vec_id = c.neighbor_id)
+           |SELECT query_id, neighbor_id, sim, rnk FROM (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM rs) WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
     "embedding_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1075,6 +1390,60 @@ object Similarity {
     "kmeans_assign" ->
       (duckKmeansCtes +
         "\nSELECT vec_id, cell AS cluster FROM a2 ORDER BY vec_id"),
+    "mmr_select" ->
+      (duckKmeansCtes +
+        s""",
+           |relx AS (
+           |  SELECT a2.vec_id, a2.cell AS cluster,
+           |         ${duckCosine("e.embedding", "c.cent")} AS rel,
+           |         e.embedding
+           |  FROM a2 JOIN embeddings e USING (vec_id)
+           |    JOIN c2 c ON c.cell = a2.cell),
+           |p1 AS (
+           |  SELECT cluster, vec_id, rel, 1 AS pick FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+           |      ORDER BY rel DESC, vec_id) AS rn
+           |    FROM relx) WHERE rn = 1),
+           |ms2 AS (
+           |  SELECT r.vec_id,
+           |         MAX(${duckCosine("r.embedding", "se.embedding")})
+           |           AS max_sim
+           |  FROM relx r
+           |    JOIN p1 ON p1.cluster = r.cluster
+           |    JOIN embeddings se ON se.vec_id = p1.vec_id
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM p1)
+           |  GROUP BY r.vec_id),
+           |p2 AS (
+           |  SELECT cluster, vec_id, rel, 2 AS pick FROM (
+           |    SELECT r.cluster, r.vec_id, r.rel,
+           |      ROW_NUMBER() OVER (PARTITION BY r.cluster
+           |        ORDER BY ROUND(r.rel - 0.5 * m.max_sim + 1e-9, 6) DESC,
+           |                 r.vec_id) AS rn
+           |    FROM relx r JOIN ms2 m ON m.vec_id = r.vec_id)
+           |  WHERE rn = 1),
+           |sel2 AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+           |ms3 AS (
+           |  SELECT r.vec_id,
+           |         MAX(${duckCosine("r.embedding", "se.embedding")})
+           |           AS max_sim
+           |  FROM relx r
+           |    JOIN sel2 s ON s.cluster = r.cluster
+           |    JOIN embeddings se ON se.vec_id = s.vec_id
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel2)
+           |  GROUP BY r.vec_id),
+           |p3 AS (
+           |  SELECT cluster, vec_id, rel, 3 AS pick FROM (
+           |    SELECT r.cluster, r.vec_id, r.rel,
+           |      ROW_NUMBER() OVER (PARTITION BY r.cluster
+           |        ORDER BY ROUND(r.rel - 0.5 * m.max_sim + 1e-9, 6) DESC,
+           |                 r.vec_id) AS rn
+           |    FROM relx r JOIN ms3 m ON m.vec_id = r.vec_id)
+           |  WHERE rn = 1)
+           |SELECT CAST(cluster AS BIGINT) AS cluster,
+           |       CAST(pick AS BIGINT) AS pick, vec_id, rel
+           |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+           |      UNION ALL SELECT * FROM p3)
+           |ORDER BY cluster, pick""".stripMargin),
     "cluster_purity" ->
       (duckKmeansCtes +
         """, bl AS (

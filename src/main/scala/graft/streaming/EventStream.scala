@@ -441,6 +441,55 @@ object EventStream {
       .parquet(streamDir)
   }
 
+  /** Unbounded read of the orders fixture (file-stream source, same
+    * symlink staging as readEvents/readDocuments). The fixture stores
+    * o_orderdate as timestamp[us] — already an instant under the UTC
+    * session, no normalization needed. */
+  def readOrders(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, "orders.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        stagedDirs.computeIfAbsent(p.toString, { _ =>
+          val d = java.nio.file.Files.createTempDirectory("graft_stream")
+          java.nio.file.Files.createSymbolicLink(
+            d.resolve("orders.parquet"), p)
+          d.toString
+        })
+      } else p.toString
+    spark.readStream.schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType))))
+      .parquet(streamDir)
+  }
+
+  /** Streaming drift cells (16th twin) — psi_drift's CURRENT slice as a
+    * live monitor: the base-slice decile edges are the published 1-row
+    * artifact of the offline audit (the benchBloom deployment doctrine —
+    * scoring traffic never recomputes the baseline), each arriving
+    * current-slice order bins MAP-SIDE against that broadcast relation
+    * through the SAME shared CASE text the batch operator evaluates
+    * (Audit.psiBinExpr), and the complete-mode count per bin is the
+    * bounded state: ≤ 10 rows regardless of stream length. The final
+    * report (fractions, clamps, PSI terms, and the batch base counts)
+    * derives sink-side through the shared Audit.psiTail — see
+    * StreamingBatch.streamingPsiDrift. */
+  def driftCellsStream(spark: SparkSession, dir: String): DataFrame = {
+    val audit = graft.ops.Audit
+    val edges = publish(
+      audit.psiEdges(spark, dir).withColumn("jk", lit(1)),
+      s"psi_edges@$dir")
+    spreadStream(readOrders(spark, dir))
+      .filter(col("o_orderdate") >= audit.psiCut)
+      .withColumn("jk", lit(1))
+      .join(broadcast(edges), Seq("jk"))
+      .withColumn("bin", expr(audit.psiBinExpr).cast("long"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+  }
+
   /** Unbounded read of the embeddings fixture (file-stream source, same
     * symlink staging as readEvents/readDocuments). */
   def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {

@@ -202,7 +202,14 @@ object StreamingBatch {
       finish = graft.ops.Similarity.admissionFromCandidates)
       .orderBy("vec_id")
 
+  def streamingPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.psiStreamReport(spark, dir,
+      runToTable(EventStream.driftCellsStream(spark, dir),
+        "complete", "sq_psidrift"))
+      .orderBy("bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_psi_drift"     -> (streamingPsiDrift _),
     "streaming_ann_admission" -> (streamingAnnAdmission _),
     "streaming_mm_admission"  -> (streamingMmAdmission _),
     "streaming_quality"       -> (streamingQuality _),
@@ -220,6 +227,13 @@ object StreamingBatch {
     "streaming_decontaminate" -> (streamingDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    // the current-slice bin counts are arrival-order-independent (a
+    // complete-mode count against a PUBLISHED static edge relation), the
+    // base counts and the fraction/clamp/term tail are the batch
+    // operator's own shared code (Audit.psiTail), and the full outer
+    // join reproduces the batch groupBy's bin union — so the final
+    // report equals batch psi_drift bit-for-bit under any batching
+    "streaming_psi_drift" -> graft.ops.Audit.oracle("psi_drift"),
     // every verdict is a pure function of the asset and the static band
     // index (no state, no watermark), so the appended final table equals
     // the batch admission gate bit-for-bit under any batching

@@ -255,6 +255,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming psi drift: final report equals the batch audit " +
+       "bit-for-bit (published baseline edges, complete-mode bin counts, " +
+       "shared psiTail) and every decile bin is populated") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+       r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val streamed = graft.streaming.StreamingBatch
+      .streamingPsiDrift(spark, dir).collect().map(key).toSeq.sorted
+    val batch = graft.ops.Audit.psiDrift(spark, dir).collect()
+      .map(key).toSeq.sorted
+    assert(streamed === batch,
+      "the streaming twin must reproduce the batch PSI report exactly")
+    assert(streamed.nonEmpty)
+    // base deciles: every bin holds base rows by construction
+    assert(streamed.forall(_._2 > 0))
+  }
+
   test("complete-mode running totals equal the batch aggregate after " +
        "the last batch") {
     val dir = "/root/testdata/sf0.001"

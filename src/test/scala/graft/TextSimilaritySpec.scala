@@ -636,4 +636,173 @@ class TextSimilaritySpec extends AnyFunSuite {
     val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     assert(Text.bpeMergesOf(spark, docs).collect().isEmpty)
   }
+
+  // ---- shared plain-Scala recompute helpers (PQ / MMR) ---------------
+  private def q6d(x: Double) =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+  private def cosd(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+  }
+  private def argmaxCos(v: Array[Double],
+                        cents: Seq[(Long, Array[Double])]): Long =
+    cents.map { case (id, c) => (q6d(cosd(v, c)), id) }
+      .reduceLeft((a, b) =>
+        if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)._2
+  private def fixtureVecs(sf: String): Array[(Long, Array[Double])] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+
+  /** Plain-Scala PQ learn/encode (one refinement, seed fallback for
+    * empty codes) — the independent recompute both pq_codes tests
+    * compare against. Returns per-subspace final assignments. */
+  private def pqRecompute(vecs: Array[(Long, Array[Double])])
+      : IndexedSeq[Map[Long, Long]] = {
+    val (m, sub, k) = (4, 16, 16)
+    (0 until m).map { s =>
+      def sl(v: Array[Double]) = v.slice(s * sub, (s + 1) * sub)
+      val seeds = vecs.filter(_._1 < k).map { case (id, v) => id -> sl(v) }
+      val a1 = vecs.map { case (id, v) =>
+        id -> argmaxCos(sl(v), seeds.toSeq) }.toMap
+      // refined means (6-dp) where a code has members; seed otherwise
+      val cents2 = seeds.map { case (code, seedSl) =>
+        val members = vecs.filter(x => a1(x._1) == code).map(x => sl(x._2))
+        code -> (if (members.isEmpty) seedSl
+                 else Array.tabulate(sub) { d =>
+                   q6d(members.map(_(d)).sum / members.length) })
+      }
+      vecs.map { case (id, v) => id -> argmaxCos(sl(v), cents2.toSeq) }.toMap
+    }
+  }
+
+  private def pqGot(dir: String): Map[Long, Seq[Long]] =
+    Similarity.pqCodes(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  test("pq_codes == an independent plain-Scala per-subspace refinement " +
+       "on the real sf0.001 corpus") {
+    val vecs = fixtureVecs("/root/testdata/sf0.001")
+    val want = pqRecompute(vecs)
+    val got = pqGot("/root/testdata/sf0.001")
+    assert(got.keySet === vecs.map(_._1).toSet)
+    got.foreach { case (id, codes) =>
+      assert(codes === (0 until 4).map(s => want(s)(id)), s"vec $id")
+    }
+  }
+
+  test("pq_codes empty-code seed fallback: a seed collinear with a " +
+       "lower-id seed loses every tie, its code goes empty, and the " +
+       "refinement keeps the SEED centroid for it") {
+    // vec 5 = 2 × vec 3 in every subspace: cosine ties at 1.0 against
+    // both seeds, the lower id wins, so code 5 gets zero members
+    def mk(id: Int): Seq[Float] =
+      Seq.tabulate(64)(d => (math.sin(id * 7.3 + d * 1.1) +
+        0.01f * (id + d % 5)).toFloat)
+    val rows = (0 until 20).map { i =>
+      val v = if (i == 5) mk(3).map(_ * 2.0f) else mk(i)
+      (i.toLong, v, 0)
+    }
+    val dir = TestFixtures.writeDir(Map(
+      "embeddings" -> rows.toDF("vec_id", "embedding", "label")))
+    val vecs = fixtureVecs(dir)
+    val want = pqRecompute(vecs)
+    // the planted fixture actually exercises the branch
+    (0 until 4).foreach { s =>
+      assert(!want(s).values.exists(_ == 5L),
+        s"code 5 must be empty in subspace $s") }
+    val got = pqGot(dir)
+    got.foreach { case (id, codes) =>
+      assert(codes === (0 until 4).map(s => want(s)(id)), s"vec $id")
+    }
+  }
+
+  test("sim_ann_pq: rescored sims are the exact fp32 cosines, ranks are " +
+       "dense and deterministically tie-broken, runs are bit-identical") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = fixtureVecs(sf).toMap
+    val got = Similarity.simAnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.forall(x => x._1 != x._2))
+    assert(got.forall(_._1 < 10))
+    // the ADC candidate stage only prunes; the reported sim is always the
+    // true fp32 pair cosine (6 dp)
+    got.foreach { case (q, n, s, _) =>
+      assert(s === q6d(cosd(vecs(q), vecs(n))), s"($q,$n)") }
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.size).toSeq)
+      sorted.sliding(2).foreach {
+        case Array((_, n1, s1, _), (_, n2, s2, _)) =>
+          assert(s1 > s2 || (s1 == s2 && n1 < n2))
+        case _ => ()
+      }
+    }
+    val again = Similarity.simAnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("mmr_select == an independent plain-Scala greedy MMR recompute " +
+       "on the operator's own clusters (λ=0.5, k_sel=3)") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = fixtureVecs(sf)
+    // reproduce kmeansFull: one refinement from the 8 lowest-id seeds
+    val seeds = vecs.filter(_._1 < 8).toSeq
+    val a1 = vecs.map { case (id, v) => id -> argmaxCos(v, seeds) }.toMap
+    val dim = vecs.head._2.length
+    val cents2 = a1.values.toSeq.distinct.sorted.map { cell =>
+      val members = vecs.filter(x => a1(x._1) == cell).map(_._2)
+      cell -> Array.tabulate(dim) { d =>
+        q6d(members.map(_(d)).sum / members.length) }
+    }
+    val cluster = vecs.map { case (id, v) => id -> argmaxCos(v, cents2) }
+      .toMap
+    val centOf = cents2.toMap
+    val rel = vecs.map { case (id, v) =>
+      id -> q6d(cosd(v, centOf(cluster(id)))) }.toMap
+    val vmap = vecs.toMap
+    // greedy MMR per cluster
+    val want = cluster.values.toSeq.distinct.sorted.flatMap { c =>
+      val members = vecs.map(_._1).filter(cluster(_) == c)
+      var selected = Seq.empty[Long]
+      (1 to 3).flatMap { t =>
+        val remaining = members.filterNot(selected.contains)
+        if (remaining.isEmpty) None
+        else {
+          val scored = remaining.map { id =>
+            val score =
+              if (t == 1) rel(id)
+              else {
+                val maxSim = selected
+                  .map(s => q6d(cosd(vmap(id), vmap(s)))).max
+                q6d(rel(id) - 0.5 * maxSim + 1e-9)
+              }
+            (score, id)
+          }
+          val pick = scored.reduceLeft((a, b) =>
+            if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)._2
+          selected = selected :+ pick
+          Some((c, t.toLong, pick, rel(pick)))
+        }
+      }
+    }
+    val got = Similarity.mmrSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got === want.sorted)
+    // diversity is doing work: at least one cluster's picks 2-3 differ
+    // from its pure-relevance top-3
+    val byRel = cluster.values.toSeq.distinct.sorted.flatMap { c =>
+      cluster.keys.toSeq.filter(cluster(_) == c)
+        .sortBy(id => (-rel(id), id)).take(3).map(id => (c, id))
+    }.toSet
+    assert(got.exists { case (c, _, id, _) => !byRel((c, id)) },
+      "fixture should show MMR diverging from pure relevance somewhere")
+  }
 }
