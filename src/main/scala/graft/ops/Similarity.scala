@@ -554,7 +554,14 @@ object Similarity {
     * ADC is rounded to 6 dp with neighbor-id tie-break (ranking
     * doctrine) before the top-15 cut; survivors join BACK to fp32 by id
     * for the exact cosine that decides k=3. */
-  def simAnnPq(spark: SparkSession, dir: String): DataFrame = {
+  def simAnnPq(spark: SparkSession, dir: String): DataFrame =
+    rankTopK(pqRescoredPairs(spark, dir), k = 3)
+
+  /** The IVF-PQ candidate tier (top-15 ADC per query) with the exact
+    * fp32 rescore — shared by simAnnPq (final k=3) and annRecall's 'pq'
+    * method (recall@5 of this tier). */
+  private def pqRescoredPairs(spark: SparkSession, dir: String)
+      : DataFrame = {
     val (asg, cb2, _) = pqAssignedFull(spark, dir)
     val cells = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
     val cbLits = (0 until pqM).map(s =>
@@ -579,15 +586,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val emb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    rankTopK(
-      cand
-        .join(emb.withColumnRenamed("vec_id", "query_id")
-          .withColumnRenamed("embedding", "q_emb"), Seq("query_id"))
-        .join(emb.withColumnRenamed("vec_id", "neighbor_id")
-          .withColumnRenamed("embedding", "n_emb"), Seq("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-                round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
-      k = 3)
+    cand
+      .join(emb.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "q_emb"), Seq("query_id"))
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("embedding", "n_emb"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("q_emb"), col("n_emb")), 6).as("sim"))
   }
 
   /** IVF cell assignment, shared by annIvf and annRecall: every vector
@@ -670,7 +675,12 @@ object Similarity {
                 round(cosine(col("q_emb"), col("n_emb")), 6).as("sim")),
       k)
 
+    // the compression tier: recall@5 of the IVF-PQ candidate stage —
+    // one method per index family (hash / partition / compression)
+    val pq = rankTopK(pqRescoredPairs(spark, dir), k)
+
     recallOf(lsh, "lsh").unionAll(recallOf(ivf, "ivf"))
+      .unionAll(recallOf(pq, "pq"))
       .orderBy(col("method"), col("query_id"))
   }
 
@@ -1498,7 +1508,8 @@ object Similarity {
           |            / ((n * (n - 1)) // 2) + 1e-9, 6) END AS rand_index
           |FROM t CROSS JOIN ra CROSS JOIN rb""".stripMargin),
     "ann_recall" ->
-      s"""WITH q AS (
+      (duckPqCtes + s""",
+         |q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb
          |  FROM embeddings WHERE vec_id < 10),
          |bp AS (
@@ -1560,9 +1571,54 @@ object Similarity {
          |           AS recall
          |  FROM truth t LEFT JOIN ivf a
          |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY t.query_id),
+         |recon AS (
+         |  SELECT e3.vec_id,
+         |         k0.cent || k1.cent || k2.cent || k3.cent AS r
+         |  FROM embeddings e3
+         |    JOIN a2_0 p0 ON p0.vec_id = e3.vec_id
+         |    JOIN c2_0 k0 ON k0.code = p0.code
+         |    JOIN a2_1 p1 ON p1.vec_id = e3.vec_id
+         |    JOIN c2_1 k1 ON k1.code = p1.code
+         |    JOIN a2_2 p2 ON p2.vec_id = e3.vec_id
+         |    JOIN c2_2 k2 ON k2.code = p2.code
+         |    JOIN a2_3 p3 ON p3.vec_id = e3.vec_id
+         |    JOIN c2_3 k3 ON k3.code = p3.code),
+         |pcd AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(a.embedding::DOUBLE[], r.r), 6)
+         |      AS adc
+         |  FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |    JOIN recon r ON r.vec_id = b.vec_id
+         |  WHERE a.vec_id < 10),
+         |pcand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc DESC, neighbor_id) AS crank FROM pcd)
+         |  WHERE crank <= 15),
+         |pp AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim
+         |  FROM pcand c
+         |    JOIN embeddings qa ON qa.vec_id = c.query_id
+         |    JOIN embeddings qb ON qb.vec_id = c.neighbor_id),
+         |pqa AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM pp) WHERE rnk <= 5),
+         |pqr AS (
+         |  SELECT 'pq' AS method, t.query_id, count(*)::BIGINT AS n_truth,
+         |         count(a.neighbor_id)::BIGINT AS n_hit,
+         |         ROUND(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4)
+         |           AS recall
+         |  FROM truth t LEFT JOIN pqa a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
          |  GROUP BY t.query_id)
          |SELECT * FROM lr UNION ALL SELECT * FROM ir
-         |ORDER BY method, query_id""".stripMargin,
+         |UNION ALL SELECT * FROM pqr
+         |ORDER BY method, query_id""".stripMargin),
     "sim_topk_brute" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb

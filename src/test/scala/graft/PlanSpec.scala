@@ -735,4 +735,35 @@ class PlanSpec extends AnyFunSuite {
            p.contains("BroadcastHashJoin"),
       "candidates must meet through a hash-joinable bucket key")
   }
+
+  test("sim_ann_pq: encode and ADC reconstruction are map-side (codebook " +
+       "as expression constants, never a joined relation); candidates " +
+       "meet only through the IVF cell equi-join") {
+    val p = plan(Similarity.simAnnPq(spark, sf))
+    assert(p.contains("centroid_argmax"),
+      "per-subspace encode must be the codegen'd argmax expression")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "neither the PQ codebook nor the candidate stage may go all-pairs")
+  }
+
+  test("mmr_select: centroid relevance and the selected set join as " +
+       "broadcasts — the corpus is never on the build side of anything") {
+    val p = plan(Similarity.mmrSelect(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 8-row centroid table and selected sets must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q11_important: the grand total broadcasts back over the per-part " +
+       "aggregate — the fact table is scanned once, not once per scalar") {
+    val p = plan(graft.ops.Relational.q11Important(spark, sf))
+    // one scan of lineitem feeding the per-part aggregate; the 1-row
+    // total joins as a broadcast (BNLJ of one row is the intended shape)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"))
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "the naive correlated form rescans the fact per comparison")
+  }
 }
