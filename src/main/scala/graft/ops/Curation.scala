@@ -826,6 +826,51 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Token-budget epoch planning — the step between sourceTemperature's
+    * mixing weights and an actual training run: given a token budget
+    * (2× the corpus here — multi-epoch training budgets exceed unique
+    * data), each source's temperature share becomes a target token
+    * count, and epochs = target / available, CAPPED at 4 (past ~4
+    * repetitions additional epochs of the same data stop paying — the
+    * data-constrained-scaling rule of thumb), with the capped flag
+    * telling the operator which sources are data-bound rather than
+    * budget-bound. Weights follow α = 0.3 over TOKEN counts (tokens
+    * are the budget's unit; sourceTemperature weights doc counts).
+    *
+    * Scale: one map-side-combinable per-source aggregate (token counts
+    * sum partially; |sources| rows shuffle), a 1-row broadcast
+    * normalizer, then pure row-local arithmetic. Determinism: p_temp is
+    * 6-dp-rounded BEFORE the target derives from it (absorbing the
+    * pow() libm ulp — the sourceTemperature doctrine), target is a
+    * half-up-floored integer, and the cap compares the 4-dp-rounded
+    * epochs_raw, so no column can disagree on a float boundary. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.spread(Tables.t(spark, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.ops.Text.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+      .withColumn("w", pow(col("n_tokens").cast("double"), 0.3))
+    val tot = perSource
+      .agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("w")).as("tw"))
+    perSource.crossJoin(broadcast(tot))
+      // +1e-9: deterministic decimal-tie break, see q1Agg
+      .withColumn("p_temp", round(col("w") / col("tw") + 1e-9, 6))
+      .withColumn("target_tokens",
+        floor(col("p_temp") * lit(2.0) * col("tot_tokens") + 0.5)
+          .cast("long"))
+      .withColumn("epochs_raw",
+        round(col("target_tokens").cast("double") / col("n_tokens")
+          + 1e-9, 4))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("p_temp"),
+        col("target_tokens"),
+        least(col("epochs_raw"), lit(4.0)).as("epochs"),
+        least(col("target_tokens"), col("n_tokens") * 4L)
+          .as("planned_tokens"),
+        (col("epochs_raw") > 4.0).as("capped"))
+      .orderBy(col("source"))
+  }
+
   /** Binned quantile normalization — every document's length mapped to
     * its SOURCE-relative quantile on a shared global grid, the
     * cross-source score calibration step (a "long doc" means different
@@ -1213,6 +1258,7 @@ object Curation {
     "kappa_agreement"  -> (kappaAgreement _),
     "seqlen_budget"    -> (seqlenBudget _),
     "source_temperature" -> (sourceTemperature _),
+    "epoch_plan"       -> (epochPlan _),
     "zorder_layout"    -> (zorderLayout _),
     "negative_pairs"   -> (negativePairs _),
     "dataset_card"     -> (datasetCard _),
@@ -1436,6 +1482,34 @@ object Curation {
         |FROM p JOIN documents d ON d.doc_id = p.neg_id
         |WHERE p.neg_id <> p.doc_id
         |ORDER BY p.doc_id, p.j""".stripMargin,
+    "epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, POW(n_tokens::DOUBLE, 0.3) AS w FROM t),
+        |tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |         SUM(w) AS tw
+        |  FROM w),
+        |p AS (
+        |  SELECT source, n_docs, n_tokens, tot_tokens,
+        |         ROUND(w / tw + 1e-9, 6) AS p_temp
+        |  FROM w CROSS JOIN tot),
+        |x AS (
+        |  SELECT source, n_docs, n_tokens, p_temp,
+        |    CAST(FLOOR(p_temp * 2.0 * tot_tokens + 0.5) AS BIGINT)
+        |      AS target_tokens
+        |  FROM p)
+        |SELECT source, n_docs, n_tokens, p_temp, target_tokens,
+        |  LEAST(ROUND(target_tokens::DOUBLE / n_tokens + 1e-9, 4), 4.0)
+        |    AS epochs,
+        |  CAST(LEAST(target_tokens, n_tokens * 4) AS BIGINT)
+        |    AS planned_tokens,
+        |  (ROUND(target_tokens::DOUBLE / n_tokens + 1e-9, 4) > 4.0)
+        |    AS capped
+        |FROM x ORDER BY source""".stripMargin,
     "source_temperature" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n_docs,

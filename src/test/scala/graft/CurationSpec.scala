@@ -821,4 +821,39 @@ class CurationSpec extends AnyFunSuite {
     val floors = rows.map(_.getDouble(1))
     floors.zip(floors.tail).foreach { case (a, b) => assert(a < b) }
   }
+
+  test("epoch_plan: budget conservation on the real fixture; a planted " +
+       "skewed corpus drives the tiny source into the 4-epoch cap") {
+    // real fixture: near-uniform sources, nobody capped, epochs ≈ 2
+    val rows = Curation.epochPlan(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, target, epochs, planned, capped) =
+        (r.getLong(2), r.getLong(4), r.getDouble(5), r.getLong(6),
+         r.getBoolean(7))
+      assert(epochs <= 4.0 && epochs > 0.0)
+      assert(planned <= target && planned <= nTok * 4)
+      if (!capped) assert(planned === target,
+        "uncapped sources take their full temperature share")
+    }
+    // targets distribute ~the whole 2× budget (floor rounding slack only)
+    val totTok = rows.map(_.getLong(2)).sum
+    val totTarget = rows.map(_.getLong(4)).sum
+    assert(math.abs(totTarget - 2L * totTok) <= rows.length,
+      "temperature shares must partition the 2× token budget")
+
+    // planted skew: the tiny source's temperature share exceeds 4 epochs
+    // of its own data → capped, planned = 4× available
+    val sdir = TestFixtures.writeDir(Map(
+      "documents" -> ((0 until 40).map(i =>
+        (i.toLong, Seq.fill(50)(s"w$i").mkString(" "), "en", "big")) :+
+        (40L, "tiny doc here", "en", "small"))
+        .toDF("doc_id", "text", "lang", "source")))
+    val skew = Curation.epochPlan(spark, sdir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(skew("small").getBoolean(7), "tiny source must hit the cap")
+    assert(skew("small").getDouble(5) === 4.0)
+    assert(skew("small").getLong(6) === skew("small").getLong(2) * 4)
+    assert(!skew("big").getBoolean(7))
+  }
 }
