@@ -468,7 +468,48 @@ object Audit {
       .orderBy(col("key_multiplicity"))
   }
 
+  /** Differentially-private count release — the step AFTER the k-anon /
+    * l-div / t-closeness audits: per-source document counts released
+    * through the Laplace mechanism at three privacy budgets
+    * (ε ∈ {0.5, 1, 2}, sensitivity 1 — one document is one unit of any
+    * source's count), so the utility cost of each budget is a number
+    * the release owner reads off one table. Noise is the inverse-CDF
+    * Laplace draw over a SEEDED md5 uniform (the doc_shuffle/
+    * globalSample RNG-free doctrine: md5 is the one hash both engines
+    * compute identically; a rand() release would be un-gateable and
+    * un-reproducible) — u = first 48 hash bits / 2⁴⁸, noise =
+    * −(1/ε)·sgn(u−½)·ln(1−2|u−½|), with the 1−2|·| term floored at
+    * 1e-12 so the u→{0,1} corner can't produce ±∞.
+    *
+    * NOTE: a seeded deterministic draw demonstrates (and gates) the
+    * MECHANISM; a production release swaps the seed for entropy — the
+    * dataflow (map-side noise on a |groups|-row aggregate, nothing
+    * row-level leaves the first shuffle) is unchanged.
+    *
+    * Scale: one map-side-combinable groupBy (|sources| rows) and pure
+    * row-local arithmetic after it; the ε fan-out is a 3-element
+    * array explode on the tiny aggregate, never on the corpus. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.spread(Tables.t(spark, dir, "documents"))
+      .groupBy(col("source")).agg(count(lit(1)).as("true_n"))
+    g.select(col("source"), col("true_n"),
+        explode(array(lit(0.5), lit(1.0), lit(2.0))).as("eps"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("dp|"), col("eps").cast("string"),
+            lit("|"), col("source")).cast("binary")), 1, 12), 16, 10)
+          .cast("double") / lit(281474976710656.0))
+      .withColumn("noise",
+        round(-(lit(1.0) / col("eps")) * signum(col("u") - 0.5) *
+          log(greatest(lit(1.0) - lit(2.0) * abs(col("u") - 0.5),
+            lit(1e-12))), 6))
+      .select(col("source"), col("eps"), col("true_n"), col("noise"),
+        (col("true_n") + round(col("noise"), 0).cast("long"))
+          .as("released_n"))
+      .orderBy(col("source"), col("eps"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dp_release"      -> (dpRelease _),
     "k_anonymity"     -> (kAnonymity _),
     "l_diversity"     -> (lDiversity _),
     "join_fanout"     -> (joinFanout _),
@@ -480,6 +521,27 @@ object Audit {
     "crosstab_assoc"  -> (crosstabAssoc _))
 
   val oracle: Map[String, String] = Map(
+    "dp_release" ->
+      """WITH g AS (
+        |  SELECT source, COUNT(*)::BIGINT AS true_n
+        |  FROM documents GROUP BY source),
+        |u AS (
+        |  SELECT source, true_n, eps,
+        |    CAST(('0x' || substring(md5(
+        |        'dp|' || CAST(eps AS VARCHAR) || '|' || source),
+        |      1, 12))::BIGINT AS DOUBLE) / 281474976710656.0 AS u
+        |  FROM g CROSS JOIN
+        |    (SELECT unnest([0.5::DOUBLE, 1.0::DOUBLE, 2.0::DOUBLE])
+        |       AS eps)),
+        |n AS (
+        |  SELECT source, eps, true_n,
+        |    ROUND(-(1.0 / eps) * SIGN(u - 0.5)
+        |      * LN(GREATEST(1.0 - 2.0 * ABS(u - 0.5), 1e-12)), 6)
+        |      AS noise
+        |  FROM u)
+        |SELECT source, eps, true_n, noise,
+        |  true_n + CAST(ROUND(noise, 0) AS BIGINT) AS released_n
+        |FROM n ORDER BY source, eps""".stripMargin,
     "l_diversity" ->
       """WITH cls AS (
         |  SELECT c_nationkey,

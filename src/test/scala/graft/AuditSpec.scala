@@ -229,4 +229,28 @@ class AuditSpec extends AnyFunSuite {
     assert(got("classes_above_03") === above.size.toDouble)
     assert(got("rows_above_03") === above.map(_._1).sum.toDouble)
   }
+
+  test("dp_release: released = true + rounded noise, runs are " +
+       "bit-identical, and mean |noise| tracks the 1/ε Laplace scale") {
+    val rows = graft.ops.Audit.dpRelease(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+                 r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).distinct.sorted.toSeq === Seq(0.5, 1.0, 2.0))
+    rows.foreach { case (src, eps, t, noise, rel) =>
+      // half-away-from-zero, matching the engine's round(noise, 0)
+      val r = (math.signum(noise) * math.floor(math.abs(noise) + 0.5)).toLong
+      assert(rel === t + r, s"$src@$eps")
+    }
+    // the seeded draw is deterministic: a second run is bit-identical
+    val again = graft.ops.Audit.dpRelease(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+                 r.getDouble(3), r.getLong(4)))
+    assert(rows.toSeq === again.toSeq)
+    // E|Laplace(1/ε)| = 1/ε: the per-ε mean magnitude must order 1/ε
+    val meanAbs = rows.groupBy(_._2).view
+      .mapValues(g => g.map(x => math.abs(x._4)).sum / g.size).toMap
+    assert(meanAbs(0.5) > meanAbs(1.0) && meanAbs(1.0) > meanAbs(2.0),
+      s"noise magnitude must shrink as the budget grows: $meanAbs")
+  }
 }
