@@ -109,6 +109,72 @@ object Corpus {
       .limit(20)
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, k = 60 — the
+    * Cormack/Clarke constant): the production search pattern that runs a
+    * LEXICAL ranker and a VECTOR ranker independently and fuses their
+    * rank lists, because each recalls documents the other misses (exact
+    * rare terms vs paraphrase). Queries are the 5 lowest-id documents
+    * (doc_id ≡ vec_id in the fixture); each leg returns its TOP-50 per
+    * query through the bounded-heap TopKAggregator — never a per-query
+    * window over the corpus, which would buffer O(N) rows in one task
+    * (the topKBrute lesson) — and fusion touches only the ≤ 100 union
+    * rows per query. A candidate missing from a leg carries rank 0 and
+    * contributes nothing (the standard RRF convention, and 0 instead of
+    * NULL keeps cross-engine row parity trivial).
+    *
+    * Legs: lexical = integer tf·tf dot over shared RARE terms (df ≤ 32 —
+    * sparseCosine's prefix-filter bound, so pair work is Θ(Σ_rare df²)
+    * and stopwords never pair); vector = exact cosine against the
+    * 5-query broadcast (the priced bounded-probe brute). RRF scores are
+    * sums of two fixed-order reciprocals of small integers — identical
+    * doubles in both engines before the one 6-dp rounding. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 5
+    val topL = 50
+    val tf = termFreq(spark, dir)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rare = tf
+      .join(dfreq.filter(col("df") <= 32), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val lexTop = Similarity.rankTopK(
+      rare.filter(col("doc_id") < nQ).as("a")
+        .join(rare.as("b"), col("a.term") === col("b.term") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("query_id"),
+                 col("b.doc_id").as("neighbor_id"))
+        .agg(sum(col("a.tf") * col("b.tf")).cast("double").as("sim")),
+      topL)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+              col("rnk").as("lex_rank"))
+    val q = Tables.t(spark, dir, "embeddings").filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val vecTop = Similarity.rankTopK(
+      Tables.spread(Tables.t(spark, dir, "embeddings"))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(Similarity.cosine(col("q_emb"), col("embedding")), 6)
+            .as("sim")),
+      topL)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+              col("rnk").as("vec_rank"))
+    lexTop.join(vecTop, Seq("query_id", "cand_id"), "full")
+      .select(col("query_id"), col("cand_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      // +1e-9: deterministic decimal-tie break, see q1Agg
+      .withColumn("rrf", round(
+        when(col("lex_rank") > 0, lit(1.0) / (lit(60.0) + col("lex_rank")))
+          .otherwise(lit(0.0)) +
+        when(col("vec_rank") > 0, lit(1.0) / (lit(60.0) + col("vec_rank")))
+          .otherwise(lit(0.0)) + 1e-9, 6))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("cand_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Inverted index: per term, document frequency + the first 5 postings
     * (sorted doc ids, comma-joined).
     *
@@ -582,6 +648,7 @@ object Corpus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_rrf"        -> (hybridRrf _),
     "heavy_hitters"     -> (cmsHeavyHitters _),
     "zipf_slope"        -> (zipfSlope _),
     "vocab_coverage"    -> (vocabCoverage _),
@@ -800,6 +867,57 @@ object Corpus {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |            ORDER BY tfidf DESC, term) AS rn FROM scored)
         |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+    "hybrid_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |rare AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf
+         |  FROM tf JOIN dfq USING (term) WHERE dfq.df <= 32),
+         |lexp AS (
+         |  SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
+         |         CAST(SUM(a.tf * b.tf) AS DOUBLE) AS s
+         |  FROM rare a JOIN rare b
+         |    ON a.term = b.term AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id < 5 GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT query_id, cand_id, lex_rank FROM (
+         |    SELECT query_id, cand_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY s DESC, cand_id) AS BIGINT) AS lex_rank
+         |    FROM lexp) WHERE lex_rank <= 50),
+         |vecp AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |         ${Similarity.duckCosine("a.embedding", "b.embedding")}
+         |           AS sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5),
+         |vecr AS (
+         |  SELECT query_id, cand_id, vec_rank FROM (
+         |    SELECT query_id, cand_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, cand_id) AS BIGINT) AS vec_rank
+         |    FROM vecp) WHERE vec_rank <= 50),
+         |fused AS (
+         |  SELECT query_id, cand_id,
+         |         COALESCE(lex_rank, 0) AS lex_rank,
+         |         COALESCE(vec_rank, 0) AS vec_rank
+         |  FROM lexr FULL JOIN vecr USING (query_id, cand_id)),
+         |scored AS (
+         |  SELECT query_id, cand_id, lex_rank, vec_rank,
+         |    ROUND(CASE WHEN lex_rank > 0
+         |            THEN 1.0 / (60.0 + lex_rank) ELSE 0.0 END
+         |        + CASE WHEN vec_rank > 0
+         |            THEN 1.0 / (60.0 + vec_rank) ELSE 0.0 END
+         |        + 1e-9, 6) AS rrf
+         |  FROM fused)
+         |SELECT query_id, cand_id, lex_rank, vec_rank, rrf, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
     "bm25_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term

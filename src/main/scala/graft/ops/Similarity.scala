@@ -27,7 +27,7 @@ object Similarity {
     * task's contribution to k rows per query before the shuffle. Output
     * and ordering are identical to the window form (asserted in
     * TextSimilaritySpec), so the ROW_NUMBER-based oracle still matches. */
-  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+  private[ops] def rankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs // expects columns: query_id, neighbor_id, sim
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAggregator.topK(k)(

@@ -748,6 +748,29 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("hybrid_rrf: rrf recomputes from the emitted ranks, ranks are " +
+       "dense, and both legs contribute to the fused top-5") {
+    val rows = graft.ops.Corpus.hybridRrf(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    def f(r: Long) = if (r > 0) 1.0 / (60.0 + r) else 0.0
+    rows.foreach { case (q, c, lex, vec, rrf, _) =>
+      val want = math.floor((f(lex) + f(vec) + 1e-9) * 1e6 + 0.5) / 1e6
+      assert(rrf === want, s"($q,$c)")
+      assert(lex >= 0 && lex <= 50 && vec >= 0 && vec <= 50)
+      assert(lex > 0 || vec > 0, "a fused candidate came from some leg")
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._6).sorted.toSeq === (1L to g.size).toSeq)
+    }
+    // fusion is doing work: some winner is backed by BOTH legs, and the
+    // legs are not identical rankings (some top row is single-leg)
+    assert(rows.exists(r => r._3 > 0 && r._4 > 0))
+    assert(rows.exists(r => r._3 == 0 || r._4 == 0))
+  }
+
   test("mmr_select == an independent plain-Scala greedy MMR recompute " +
        "on the operator's own clusters (λ=0.5, k_sel=3)") {
     val sf = "/root/testdata/sf0.001"
