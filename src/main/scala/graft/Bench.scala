@@ -191,7 +191,13 @@ object Bench {
   private[graft] def inferRound(envRound: Option[String],
       benchFiles: Seq[(Int, Long)], lastCommitMillis: Option[Long],
       nowMillis: Long): String =
-    envRound.getOrElse {
+    // normalize the env label to the history's rNN form: "10", "r10"
+    // and "r1" all mean r10/r01 — a bare-number export otherwise files
+    // the run under a stray key next to the real round's record
+    envRound.map { raw =>
+      raw.trim.stripPrefix("r").stripPrefix("R").toIntOption
+        .map(n => f"r$n%02d").getOrElse(raw)
+    }.getOrElse {
       val newestMtime = benchFiles.map(_._2).maxOption.getOrElse(0L)
       val inWindow = nowMillis - newestMtime <= 30 * 60 * 1000L
       val newWork = lastCommitMillis.exists(_ > newestMtime)

@@ -360,6 +360,12 @@ class PropertySpec extends AnyFunSuite {
     val files = Seq((8, now - 50 * hour), (9, now - 60 * 1000L))
     // explicit label always wins
     assert(Bench.inferRound(Some("r42"), files, None, now) === "r42")
+    // ...and is normalized to the history's rNN form: a bare number or
+    // short form must not file the run under a stray key (the round-10
+    // "10"-vs-"r10" split repro)
+    assert(Bench.inferRound(Some("10"), files, None, now) === "r10")
+    assert(Bench.inferRound(Some("r7"), files, None, now) === "r07")
+    assert(Bench.inferRound(Some("junk"), files, None, now) === "junk")
     // outside the 30-min window: max+1 is sound
     assert(Bench.inferRound(None, Seq((8, now - 50 * hour)), None, now)
       === "r09")
