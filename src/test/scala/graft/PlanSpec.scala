@@ -738,13 +738,19 @@ class PlanSpec extends AnyFunSuite {
 
   test("sim_ann_pq: encode and ADC reconstruction are map-side (codebook " +
        "as expression constants, never a joined relation); candidates " +
-       "meet only through the IVF cell equi-join") {
+       "meet only through the cell equi-join — the one nested-loop join " +
+       "is the bounded query-sample × centroid probe ranking") {
     val p = plan(Similarity.simAnnPq(spark, sf))
     assert(p.contains("centroid_argmax"),
       "per-subspace encode must be the codegen'd argmax expression")
-    assert(!p.contains("CartesianProduct") &&
-           !p.contains("BroadcastNestedLoopJoin"),
-      "neither the PQ codebook nor the candidate stage may go all-pairs")
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast all-pairs anywhere")
+    // the nprobe=2 cell ranking is Θ(|Q|·C): query sample × broadcast
+    // centroids — priced and corpus-independent, like sim_topk_brute's
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      "candidates must meet through a hash-joinable cell key")
   }
 
   test("mmr_select: centroid relevance and the selected set join as " +
