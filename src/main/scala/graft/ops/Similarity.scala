@@ -652,6 +652,36 @@ object Similarity {
       .select(col("cell"), col("vec_id"), col("embedding"))
   }
 
+  /** IVF cell-occupancy audit — the index-health report an ANN
+    * deployment watches between codebook retrains: occupied/empty cell
+    * counts, min/max/mean members per occupied cell, and the skew ratio
+    * max/mean (the number that says one cell is becoming a mega-bucket —
+    * the same failure class adaptiveBits defends the sign-LSH tier
+    * against, here measured instead of prevented because the ⌈√N⌉
+    * codebook is retrainable). Everything derives from the Θ(√N)
+    * cell-size relation: one map-side-combinable count per cell, then a
+    * 1-row aggregate — the corpus is scanned once for the map-side
+    * assignment and nothing row-level survives the first shuffle. */
+  def clusterBalance(spark: SparkSession, dir: String): DataFrame = {
+    val nCents = math.ceil(math.sqrt(
+      Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
+    ivfAssigned(spark, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_occupied"),
+           sum(col("sz")).as("n_vecs"),
+           min(col("sz")).as("min_sz"),
+           max(col("sz")).as("max_sz"))
+      .select(
+        lit(nCents).as("n_cells"),
+        col("n_occupied"),
+        (lit(nCents) - col("n_occupied")).as("n_empty"),
+        col("n_vecs"), col("min_sz"), col("max_sz"),
+        // +1e-9: deterministic decimal-tie break, see q1Agg
+        round(col("n_vecs") / col("n_occupied") + 1e-9, 4).as("mean_sz"),
+        round(col("max_sz") * col("n_occupied") / col("n_vecs") + 1e-9, 4)
+          .as("skew_ratio"))
+  }
+
   /** Recall@k evaluation of BOTH approximate paths (sign-LSH buckets and
     * IVF cells) against exact brute-force ground truth on the probe
     * sample — the method-comparison loop every ANN deployment runs
@@ -1161,7 +1191,8 @@ object Similarity {
     "sim_ann_quant"  -> (annQuant _),
     "pq_codes"       -> (pqCodes _),
     "sim_ann_pq"     -> (simAnnPq _),
-    "mmr_select"     -> (mmrSelect _))
+    "mmr_select"     -> (mmrSelect _),
+    "cluster_balance" -> (clusterBalance _))
 
   /** DuckDB cosine written out explicitly (dot/(|a||b|) in double) so the
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
@@ -1313,6 +1344,35 @@ object Similarity {
     }.mkString("WITH ", ",\n", "")
 
   val oracle: Map[String, String] = Map(
+    "cluster_balance" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+         |                  FROM embeddings)),
+         |asg AS (
+         |  SELECT cell, vec_id FROM (
+         |    SELECT c.cent_id AS cell, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
+         |        AS crn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE crn = 1),
+         |sizes AS (
+         |  SELECT cell, COUNT(*)::BIGINT AS sz FROM asg GROUP BY cell),
+         |nc AS (
+         |  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS n_cells
+         |  FROM embeddings)
+         |SELECT nc.n_cells,
+         |  COUNT(*)::BIGINT AS n_occupied,
+         |  CAST(nc.n_cells - COUNT(*) AS BIGINT) AS n_empty,
+         |  CAST(SUM(sz) AS BIGINT) AS n_vecs,
+         |  CAST(MIN(sz) AS BIGINT) AS min_sz,
+         |  CAST(MAX(sz) AS BIGINT) AS max_sz,
+         |  ROUND(SUM(sz)::DOUBLE / COUNT(*) + 1e-9, 4) AS mean_sz,
+         |  ROUND(MAX(sz)::DOUBLE * COUNT(*) / SUM(sz) + 1e-9, 4)
+         |    AS skew_ratio
+         |FROM sizes CROSS JOIN nc GROUP BY nc.n_cells""".stripMargin,
     "pq_codes" ->
       (duckPqCtes +
         """

@@ -748,6 +748,27 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("cluster_balance: accounting identities hold against the corpus " +
+       "and the skew ratio recomputes from the emitted stats") {
+    val sf = "/root/testdata/sf0.001"
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val r = Similarity.clusterBalance(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (cells, occ, empty, vecs) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val (minSz, maxSz, meanSz, skew) =
+      (row.getLong(4), row.getLong(5), row.getDouble(6), row.getDouble(7))
+    assert(cells === math.ceil(math.sqrt(n.toDouble)).toLong)
+    assert(occ + empty === cells && vecs === n)
+    assert(minSz <= maxSz && minSz >= 1)
+    assert(meanSz >= minSz - 1e-9 && meanSz <= maxSz + 1e-9)
+    def r4(x: Double) = math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
+    assert(meanSz === r4(vecs.toDouble / occ))
+    assert(skew === r4(maxSz.toDouble * occ / vecs))
+    assert(skew >= 1.0)
+  }
+
   test("hybrid_rrf: rrf recomputes from the emitted ranks, ranks are " +
        "dense, and both legs contribute to the fused top-5") {
     val rows = graft.ops.Corpus.hybridRrf(spark, "/root/testdata/sf0.001")
