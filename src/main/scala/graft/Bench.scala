@@ -195,8 +195,10 @@ object Bench {
     // and "r1" all mean r10/r01 — a bare-number export otherwise files
     // the run under a stray key next to the real round's record
     envRound.map { raw =>
+      // only positive rounds normalize — "0" / "-1" would otherwise mint
+      // stray keys "r00" / "r-1" that sort outside the rNN series
       raw.trim.stripPrefix("r").stripPrefix("R").toIntOption
-        .map(n => f"r$n%02d").getOrElse(raw)
+        .filter(_ > 0).map(n => f"r$n%02d").getOrElse(raw)
     }.getOrElse {
       val newestMtime = benchFiles.map(_._2).maxOption.getOrElse(0L)
       val inWindow = nowMillis - newestMtime <= 30 * 60 * 1000L

@@ -203,7 +203,7 @@ object Audit {
     psiTail(
       o.crossJoin(broadcast(psiEdges(spark, dir)))
         .withColumn("bin", expr(psiBinExpr).cast("long"))
-        .withColumn("is_base", col("o_orderdate") < psiCut)
+        .withColumn("is_base", psiIsBase)
         .groupBy(col("bin"))
         .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
              sum(when(col("is_base"), 0L).otherwise(1L)).as("n_cur")))
@@ -212,6 +212,15 @@ object Audit {
   /** The base/current boundary of the PSI audit — the SINGLE definition
     * the batch operator, the streaming twin, and the oracle text share. */
   private[graft] def psiCut: Column = lit("1998-01-01").cast("timestamp")
+
+  /** TRUE when an order row belongs to the BASE slice. NULL order dates
+    * are NOT base (they fall to the current slice): the batch pivot's
+    * `when(is_base, …).otherwise(…)` already sent NULL there, and the
+    * streaming twin must route the same rows the same way — a bare
+    * `o_orderdate >= psiCut` stream filter would silently DROP them
+    * instead, diverging the twins the day a feed carries a NULL date. */
+  private[graft] def psiIsBase: Column =
+    coalesce(col("o_orderdate") < psiCut, lit(false))
 
   /** Base-slice decile edges — the 1-row model parameter the drift audit
     * publishes offline and every scoring pass broadcasts. */
@@ -481,21 +490,29 @@ object Audit {
     * −(1/ε)·sgn(u−½)·ln(1−2|u−½|), with the 1−2|·| term floored at
     * 1e-12 so the u→{0,1} corner can't produce ±∞.
     *
-    * NOTE: a seeded deterministic draw demonstrates (and gates) the
-    * MECHANISM; a production release swaps the seed for entropy — the
-    * dataflow (map-side noise on a |groups|-row aggregate, nothing
-    * row-level leaves the first shuffle) is unchanged.
+    * The draw's seed is an EXPLICIT salt parameter threaded into the
+    * hash input. The gate fixes it ("gate" — the oracle restates the
+    * same constant) so the release is bit-reproducible; BECAUSE the salt
+    * is public at the gate, this build's released_n is invertible (anyone
+    * can recompute the noise and recover true_n) and provides zero actual
+    * privacy — it demonstrates the MECHANISM only. A production release
+    * passes entropy (e.g. a per-release random salt kept secret), which
+    * is the one knob that makes the noise unpredictable; the dataflow
+    * (map-side noise on a |groups|-row aggregate, nothing row-level
+    * leaves the first shuffle) is unchanged either way.
     *
     * Scale: one map-side-combinable groupBy (|sources| rows) and pure
     * row-local arithmetic after it; the ε fan-out is a 3-element
     * array explode on the tiny aggregate, never on the corpus. */
-  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+  def dpRelease(spark: SparkSession, dir: String,
+                salt: String = gateSalt): DataFrame = {
     val g = Tables.spread(Tables.t(spark, dir, "documents"))
       .groupBy(col("source")).agg(count(lit(1)).as("true_n"))
     g.select(col("source"), col("true_n"),
         explode(array(lit(0.5), lit(1.0), lit(2.0))).as("eps"))
       .withColumn("u",
-        conv(substring(md5(concat(lit("dp|"), col("eps").cast("string"),
+        conv(substring(md5(concat(lit(s"dp|$salt|"),
+            col("eps").cast("string"),
             lit("|"), col("source")).cast("binary")), 1, 12), 16, 10)
           .cast("double") / lit(281474976710656.0))
       .withColumn("noise",
@@ -508,8 +525,12 @@ object Audit {
       .orderBy(col("source"), col("eps"))
   }
 
+  /** The gate's public dp_release salt — fixed so the oracle can restate
+    * it; see dpRelease's invertibility note. */
+  private[graft] val gateSalt = "gate"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dp_release"      -> (dpRelease _),
+    "dp_release"      -> ((s: SparkSession, d: String) => dpRelease(s, d)),
     "k_anonymity"     -> (kAnonymity _),
     "l_diversity"     -> (lDiversity _),
     "join_fanout"     -> (joinFanout _),
@@ -528,7 +549,7 @@ object Audit {
         |u AS (
         |  SELECT source, true_n, eps,
         |    CAST(('0x' || substring(md5(
-        |        'dp|' || CAST(eps AS VARCHAR) || '|' || source),
+        |        'dp|gate|' || CAST(eps AS VARCHAR) || '|' || source),
         |      1, 12))::BIGINT AS DOUBLE) / 281474976710656.0 AS u
         |  FROM g CROSS JOIN
         |    (SELECT unnest([0.5::DOUBLE, 1.0::DOUBLE, 2.0::DOUBLE])

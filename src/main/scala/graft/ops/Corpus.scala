@@ -136,8 +136,14 @@ object Corpus {
     val rare = tf
       .join(dfreq.filter(col("df") <= 32), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"))
+    // the query set is ONE hash-min sample over the embedding ids (the
+    // vecSample rule — dense-id-free), shared by both legs: the fixture
+    // aligns doc_id and vec_id, so the lexical leg semi-joins the same
+    // sampled ids as doc_ids
+    val qIds = Similarity.vecSampleIds(spark, dir, nQ)
     val lexTop = Similarity.rankTopK(
-      rare.filter(col("doc_id") < nQ).as("a")
+      rare.join(broadcast(qIds.select(col("vec_id").as("doc_id"))),
+        Seq("doc_id"), "left_semi").as("a")
         .join(rare.as("b"), col("a.term") === col("b.term") &&
           col("a.doc_id") =!= col("b.doc_id"))
         .groupBy(col("a.doc_id").as("query_id"),
@@ -146,7 +152,7 @@ object Corpus {
       topL)
       .select(col("query_id"), col("neighbor_id").as("cand_id"),
               col("rnk").as("lex_rank"))
-    val q = Tables.t(spark, dir, "embeddings").filter(col("vec_id") < nQ)
+    val q = Similarity.vecSample(spark, dir, nQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val vecTop = Similarity.rankTopK(
       Tables.spread(Tables.t(spark, dir, "embeddings"))
@@ -881,7 +887,8 @@ object Corpus {
          |         CAST(SUM(a.tf * b.tf) AS DOUBLE) AS s
          |  FROM rare a JOIN rare b
          |    ON a.term = b.term AND a.doc_id <> b.doc_id
-         |  WHERE a.doc_id < 5 GROUP BY 1, 2),
+         |  WHERE ${Similarity.duckInSample("a.doc_id", 5)}
+         |  GROUP BY 1, 2),
          |lexr AS (
          |  SELECT query_id, cand_id, lex_rank FROM (
          |    SELECT query_id, cand_id,
@@ -893,7 +900,7 @@ object Corpus {
          |         ${Similarity.duckCosine("a.embedding", "b.embedding")}
          |           AS sim
          |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < 5),
+         |  WHERE ${Similarity.duckInSample("a.vec_id", 5)}),
          |vecr AS (
          |  SELECT query_id, cand_id, vec_rank FROM (
          |    SELECT query_id, cand_id,

@@ -257,6 +257,56 @@ object Similarity {
       s => sig.bitwiseXOR(s("mask")))
   }
 
+  /** Deterministic hash-min sample over the embeddings table: the k rows
+    * with the smallest md5("vs|" <> vec_id), ties by vec_id — the
+    * globalSample rule applied to the vector family's seed and probe
+    * draws. Replaces the old `vec_id < k` selection, which assumed dense
+    * zero-based ids and was unusable on any real corpus (gapped ids,
+    * post-dedup survivors, snowflake ids — it THREW by design).
+    * Content-independent and engine-identical (md5 of the decimal id
+    * string, the dp_release/doc_shuffle RNG-free doctrine); compiles to
+    * TakeOrderedAndProject, so each task keeps a k-row heap and only
+    * k·#partitions rows move — no global sort, no count pass. At 100 TB
+    * the draw costs one id-column scan: the price every deterministic
+    * uniform sample pays, and the sample is a bounded model parameter
+    * from there on. */
+  private[ops] def vecSample(spark: SparkSession, dir: String,
+                             k: Int): DataFrame =
+    Tables.t(spark, dir, "embeddings")
+      .withColumn("h",
+        md5(concat(lit("vs|"), col("vec_id").cast("string"))
+          .cast("binary")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .drop("h")
+
+  /** Just the sampled ids — for semi-joining a derived relation down to
+    * the probe set (broadcast both legs: k rows). */
+  private[ops] def vecSampleIds(spark: SparkSession, dir: String,
+                                k: Int): DataFrame =
+    vecSample(spark, dir, k).select(col("vec_id"))
+
+  /** Oracle form of vecSample(k): same hash, same tie, same k. */
+  private[ops] def duckVecSample(k: Int): String =
+    "SELECT vec_id, embedding, label FROM embeddings " +
+      s"ORDER BY md5('vs|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
+
+  /** Inline oracle predicate: `idExpr` is one of the k sampled ids. */
+  private[ops] def duckInSample(idExpr: String, k: Int): String =
+    s"$idExpr IN (SELECT vec_id FROM embeddings ORDER BY " +
+      s"md5('vs|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)"
+
+  /** Oracle form of the ⌈√N⌉-row centroid sample (dynamic k — LIMIT
+    * can't take a subquery, so the cut is a ranked subselect). */
+  private[ops] val duckCentSample: String =
+    """SELECT vec_id, embedding FROM (
+      |    SELECT vec_id, embedding, ROW_NUMBER() OVER (
+      |        ORDER BY md5('vs|' || CAST(vec_id AS VARCHAR)), vec_id)
+      |      AS hrn
+      |    FROM embeddings)
+      |  WHERE hrn <= (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+      |                FROM embeddings)""".stripMargin
+
   /** Shared candidate stage of the margin-directed sign-LSH search tier
     * (annLsh, annRecall's LSH arm, annNdcg, hardNegatives, annQuant's
     * candidate stage): the corpus side keys on its OWN signature; the
@@ -269,13 +319,16 @@ object Similarity {
     * mask set): candidate ⇔ sig(q) XOR sig(c) ranks within the query's
     * probe budget by (flipped-margin total, mask). */
   private def lshCandidates(spark: SparkSession, dir: String,
-      probeOnly: Option[Column] = None): DataFrame = {
+      probeOnly: Option[DataFrame] = None): DataFrame = {
     // count() is answered from parquet footer metadata, no data scan
     val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
               signBits(col("embedding"), bits).as("sig"))
-    val q = probeOnly.fold(e)(e.filter)
+    // probe restriction is a broadcast semi-join against the sampled id
+    // set (a row-local predicate can't express a hash-min top-k)
+    val q = probeOnly.fold(e)(ids =>
+      e.join(broadcast(ids), Seq("vec_id"), "left_semi"))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(directedProbes(col("sig"), col("embedding"), bits))
           .as("sig"))
@@ -287,10 +340,11 @@ object Similarity {
               round(cosine(col("q_emb"), col("n_emb")), 6).as("sim"))
   }
 
-  /** Exact brute-force cosine top-k: probe set = vec_id < 10, k = 5. */
+  /** Exact brute-force cosine top-k: probe set = hash-min 10 (the
+    * vecSample rule), k = 5. */
   def topKBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-    val q = e.filter(col("vec_id") < 10)
+    val q = vecSample(spark, dir, 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     rankTopK(
@@ -380,9 +434,10 @@ object Similarity {
     * cell. The codebook size scales with the corpus — C = ⌈√N⌉ — so
     * in-cell scoring is N²/C = N^1.5, the standard IVF balance; a FIXED C
     * would degrade quadratically as the corpus grows (measured 9× on a
-    * 10× scale-up before this). Centroids are the C lowest-id vectors — a
-    * deterministic stand-in for a k-means codebook (codebook training is
-    * offline; the SEARCH dataflow is what must scale). Shape at 100 TB:
+    * 10× scale-up before this). Centroids are the C hash-min vectors
+    * (vecSample) — a deterministic stand-in for a k-means codebook
+    * (codebook training is offline; the SEARCH dataflow is what must
+    * scale). Shape at 100 TB:
     * centroids broadcast (assignment is map-side), corpus shuffles once
     * on cell id, per-cell candidate scoring via hash join. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -434,7 +489,9 @@ object Similarity {
         transform(col("embedding"),
           x => round(x.cast("double") / col("scale")).cast("long"))
           .as("code"))
-    val q = codes.filter(col("vec_id") < 10)
+    val q = codes
+      .join(broadcast(vecSampleIds(spark, dir, 10)), Seq("vec_id"),
+        "left_semi")
       .select(col("vec_id").as("query_id"), col("code").as("q_code"),
         explode(directedProbes(col("sig"), col("embedding"), bits))
           .as("sig"))
@@ -471,9 +528,9 @@ object Similarity {
   private val pqK = 16 // codes per subspace
 
   /** Spherical product-quantization assignment: per subspace, ONE Lloyd
-    * refinement from the `pqK` lowest-id seed slices (the kmeansAssign
-    * doctrine — fixed seed + fixed iteration count is what makes a
-    * clustering oracle-checkable), cosine-argmax code assignment through
+    * refinement from the hash-min `pqK` seed slices (the kmeansAssign
+    * doctrine — deterministic seed + fixed iteration count is what makes
+    * a clustering oracle-checkable), cosine-argmax code assignment through
     * the codegen'd CentroidArgmax on `slice(embedding, …)` (map-side, no
     * codebook crossJoin), and the standard empty-code fallback: a code
     * no vector chose keeps its SEED centroid (the refinement mean is
@@ -490,16 +547,15 @@ object Similarity {
       : (DataFrame, Array[Array[Array[Double]]], Array[Long]) = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
-    val seed = Tables.t(spark, dir, "embeddings")
-      .filter(col("vec_id") < pqK)
+    // Seeds = hash-min pqK sample (vecSample — works on any id space);
+    // the CODE a seed carries is its RANK among the seeds ordered by
+    // vec_id (0..pqK−1, the oracle's ROW_NUMBER()−1), because the recon
+    // stage indexes the codebook array by code+1: codes must be dense
+    // ordinals even though vec_ids need not be.
+    val seed = vecSample(spark, dir, pqK)
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
-    val ids = seed.map(_.getLong(0))
-    // Dense seed ids are what lets the oracle use vec_id AS code and the
-    // recon stage use element_at(codebook, code+1) — the same density
-    // assumption kmeansAssign's vec_id<k seeding already relies on.
-    require(ids.sameElements(0L until pqK.toLong),
-      s"pq seeds must be the dense ids 0..${pqK - 1}")
+    val ids = Array.tabulate(pqK)(_.toLong)
     val cb1: Array[Array[Array[Float]]] = Array.tabulate(pqM) { s =>
       seed.map(_.getSeq[Float](1).slice(s * pqSub, (s + 1) * pqSub).toArray)
     }
@@ -582,13 +638,11 @@ object Similarity {
     // disjoint across the two probed cells, so no dedup stage is needed.
     val centDf = {
       val nCents = math.ceil(math.sqrt(
-        Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
-      Tables.t(spark, dir, "embeddings")
-        .filter(col("vec_id") < nCents)
+        Tables.t(spark, dir, "embeddings").count().toDouble)).toInt
+      vecSample(spark, dir, nCents)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     }
-    val q = Tables.t(spark, dir, "embeddings")
-      .filter(col("vec_id") < 10)
+    val q = vecSample(spark, dir, 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centDf))
       .withColumn("crn", row_number().over(Window
@@ -628,11 +682,11 @@ object Similarity {
     * labeled with its nearest-centroid cell. */
   private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-    // count() is answered from parquet footer metadata (no data scan),
-    // and the centroid collect below prunes to vec_id < C at the scan —
-    // the setup phase reads C rows of data, not 2 extra table passes.
+    // count() is answered from parquet footer metadata (no data scan);
+    // the centroid draw below is the hash-min TakeOrdered — one scan,
+    // C·#partitions rows moved, works on any id space.
     val nCents = math.ceil(math.sqrt(
-      Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
+      Tables.t(spark, dir, "embeddings").count().toDouble)).toInt
     // The codebook is a MODEL PARAMETER (C = ⌈√N⌉ rows, KBs even at
     // 10⁹ vectors), collected once and shipped to executors inside the
     // codegen'd CentroidArgmax expression — exactly how a trained
@@ -641,8 +695,7 @@ object Similarity {
     // argmax aggregation, no shuffle, and whole-stage codegen stays
     // intact (a greatest() over C struct comparisons breaks codegen past
     // a few dozen centroids — measured as a full interpreted fallback).
-    val centRows = Tables.t(spark, dir, "embeddings")
-      .filter(col("vec_id") < nCents)
+    val centRows = vecSample(spark, dir, nCents)
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
     e.withColumn("cell", graft.functions.CentroidArgmax.assign(
@@ -689,7 +742,7 @@ object Similarity {
     * (corpus streams once past the broadcast probe set); each method's
     * candidates come from its own blocking join; recall = |ANN ∩ truth|
     * / |truth| per (method, query). Evaluation always runs on a bounded
-    * probe SAMPLE (here vec_id < 10), so the |Q|·N exact pass is a
+    * probe SAMPLE (here the hash-min 10), so the |Q|·N exact pass is a
     * deliberate, sized cost — that is what makes ground truth affordable
     * at any corpus size.
     *
@@ -704,7 +757,7 @@ object Similarity {
     * distance histogram the ball couldn't afford to cover. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
-    val truth = topKBrute(spark, dir) // probes vec_id < 10, top-5
+    val truth = topKBrute(spark, dir) // probes the hash-min 10, top-5
 
     def recallOf(ann: DataFrame, method: String): DataFrame =
       truth.as("t")
@@ -719,12 +772,13 @@ object Similarity {
           round(col("n_hit").cast("double") / col("n_truth") + 1e-9, 4)
             .as("recall"))
 
+    val probeIds = vecSampleIds(spark, dir, 10)
     val lsh = rankTopK(
-      lshCandidates(spark, dir, Some(col("vec_id") < 10)), k)
+      lshCandidates(spark, dir, Some(probeIds)), k)
 
     val asg = ivfAssigned(spark, dir)
     val ivf = rankTopK(
-      asg.filter(col("vec_id") < 10)
+      asg.join(broadcast(probeIds), Seq("vec_id"), "left_semi")
         .select(col("cell"), col("vec_id").as("query_id"),
                 col("embedding").as("q_emb"))
         .join(asg.select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -744,8 +798,9 @@ object Similarity {
   }
 
   /** Deterministic k-means over the embedding corpus — ONE Lloyd's
-    * refinement from a fixed seed codebook (the k lowest-id vectors),
-    * output = final cluster assignment per vector. This is the corpus
+    * refinement from a fixed seed codebook (the k hash-min vectors),
+    * output = final cluster assignment per vector. The seed codebook is
+    * the k hash-min vectors (vecSample). This is the corpus
     * clustering step of an embedding pipeline (topic bucketing, cluster
     * dedup, per-cluster sampling); iteration count and seed are fixed so
     * the result is reproducible and oracle-checkable (a converged k-means
@@ -784,8 +839,7 @@ object Similarity {
     val k = 8
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
-    val seed = Tables.t(spark, dir, "embeddings")
-      .filter(col("vec_id") < k)
+    val seed = vecSample(spark, dir, k)
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
     val cents1 = seed.map(_.getSeq[Float](1).toArray)
@@ -1107,7 +1161,7 @@ object Similarity {
               (lit(6) - col("rnk")).cast("double").as("rel"))
 
     val ann = rankTopK(
-      lshCandidates(spark, dir, Some(col("vec_id") < 10)), k)
+      lshCandidates(spark, dir, Some(vecSampleIds(spark, dir, 10))), k)
 
     val scored = ann.as("a")
       .join(truth.as("t"),
@@ -1274,7 +1328,7 @@ object Similarity {
   private val duckKmeansCtes: String =
     s"""WITH c1 AS (
        |  SELECT vec_id AS cell, embedding AS cent
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM (${duckVecSample(8)})),
        |a1 AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
@@ -1310,8 +1364,10 @@ object Similarity {
     (0 until pqM).map { s =>
       def sl(e: String) = s"$e[${s * pqSub + 1}:${(s + 1) * pqSub}]"
       s"""c1_$s AS (
-         |  SELECT vec_id AS code, ${sl("embedding")} AS cent
-         |  FROM embeddings WHERE vec_id < $pqK),
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |           AS code,
+         |         ${sl("embedding")} AS cent
+         |  FROM (${duckVecSample(pqK)})),
          |a1_$s AS (
          |  SELECT vec_id, code FROM (
          |    SELECT e.vec_id, c.code,
@@ -1347,9 +1403,7 @@ object Similarity {
     "cluster_balance" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent
-         |  FROM embeddings
-         |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
-         |                  FROM embeddings)),
+         |  FROM ($duckCentSample)),
          |asg AS (
          |  SELECT cell, vec_id FROM (
          |    SELECT c.cent_id AS cell, e.vec_id,
@@ -1389,9 +1443,7 @@ object Similarity {
         s""",
            |cents AS (
            |  SELECT vec_id AS cent_id, embedding AS cent
-           |  FROM embeddings
-           |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
-           |                  FROM embeddings)),
+           |  FROM ($duckCentSample)),
            |asg AS (
            |  SELECT cell, vec_id, embedding FROM (
            |    SELECT c.cent_id AS cell, e.vec_id, e.embedding,
@@ -1420,7 +1472,7 @@ object Similarity {
            |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
            |        AS crn
            |    FROM embeddings e CROSS JOIN cents c
-           |    WHERE e.vec_id < 10)
+           |    WHERE ${duckInSample("e.vec_id", 10)})
            |  WHERE crn <= 2),
            |cd AS (
            |  SELECT a.query_id, b.vec_id AS neighbor_id,
@@ -1613,7 +1665,7 @@ object Similarity {
       (duckPqCtes + s""",
          |q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb
-         |  FROM embeddings WHERE vec_id < 10),
+         |  FROM embeddings WHERE ${duckInSample("vec_id", 10)}),
          |bp AS (
          |  SELECT query_id, vec_id AS neighbor_id,
          |         ${duckCosine("q_emb", "embedding")} AS sim
@@ -1629,7 +1681,7 @@ object Similarity {
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
          |  $duckDirectedJoin
-         |  WHERE a.vec_id < 10),
+         |  WHERE ${duckInSample("a.vec_id", 10)}),
          |lsh AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (
@@ -1637,9 +1689,7 @@ object Similarity {
          |    FROM lp) WHERE rnk <= 5),
          |cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent
-         |  FROM embeddings
-         |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
-         |                  FROM embeddings)),
+         |  FROM ($duckCentSample)),
          |asg AS (
          |  SELECT cell, vec_id, embedding FROM (
          |    SELECT c.cent_id AS cell, e2.vec_id, e2.embedding,
@@ -1652,7 +1702,7 @@ object Similarity {
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
          |  FROM asg a JOIN asg b ON a.cell = b.cell
-         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |  WHERE ${duckInSample("a.vec_id", 10)} AND a.vec_id <> b.vec_id),
          |ivf AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (
@@ -1694,7 +1744,7 @@ object Similarity {
          |        ${duckCosine("e3.embedding", "c.cent")} DESC, c.cent_id)
          |        AS crn
          |    FROM embeddings e3 CROSS JOIN cents c
-         |    WHERE e3.vec_id < 10)
+         |    WHERE ${duckInSample("e3.vec_id", 10)})
          |  WHERE crn <= 2),
          |pcd AS (
          |  SELECT a.query_id, b.vec_id AS neighbor_id,
@@ -1732,7 +1782,7 @@ object Similarity {
     "sim_topk_brute" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb
-         |  FROM embeddings WHERE vec_id < 10),
+         |  FROM embeddings WHERE ${duckInSample("vec_id", 10)}),
          |p AS (
          |  SELECT query_id, vec_id AS neighbor_id,
          |         ${duckCosine("q_emb", "embedding")} AS sim
@@ -1748,9 +1798,7 @@ object Similarity {
     "sim_ann_ivf" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent
-         |  FROM embeddings
-         |  WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
-         |                  FROM embeddings)),
+         |  FROM ($duckCentSample)),
          |asg AS (
          |  SELECT cell, vec_id, embedding FROM (
          |    SELECT c.cent_id AS cell, e.vec_id, e.embedding,
@@ -1790,7 +1838,7 @@ object Similarity {
          |  $duckDirectedJoin
          |    JOIN q8 qa ON qa.vec_id = a.vec_id
          |    JOIN q8 qb ON qb.vec_id = b.vec_id
-         |  WHERE a.vec_id < 10),
+         |  WHERE ${duckInSample("a.vec_id", 10)}),
          |cand AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1811,7 +1859,7 @@ object Similarity {
          |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "c.embedding")} AS sim
          |  FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id
-         |  WHERE a.vec_id < 10),
+         |  WHERE ${duckInSample("a.vec_id", 10)}),
          |tr AS (
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
@@ -1826,7 +1874,7 @@ object Similarity {
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim
          |  $duckDirectedJoin
-         |  WHERE a.vec_id < 10),
+         |  WHERE ${duckInSample("a.vec_id", 10)}),
          |ar AS (
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)

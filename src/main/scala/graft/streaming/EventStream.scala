@@ -33,13 +33,31 @@ object EventStream {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   sys.addShutdownHook {
-    stagedDirs.values.forEach { d =>
-      val dir = java.nio.file.Paths.get(d)
+    stagedDirs.forEach { (_, staged) =>
+      val dir = java.nio.file.Paths.get(staged)
       try {
-        java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+        java.nio.file.Files.list(dir).forEach(f =>
+          java.nio.file.Files.deleteIfExists(f))
         java.nio.file.Files.deleteIfExists(dir)
       } catch { case _: java.io.IOException => () }
     }
+  }
+
+  /** The file-stream source only accepts directories (a real deployment
+    * streams a directory of arriving files); a single-file fixture is
+    * staged into a temp dir via symlink, cached per source file (repeated
+    * reads reuse one dir instead of leaking one per call), all removed at
+    * JVM exit. Shared by readEvents / readDocuments / readOrders /
+    * readEmbeddings — one staging rule, four schemas. */
+  private def stagedStreamDir(dir: String, fileName: String): String = {
+    val p = java.nio.file.Paths.get(dir, fileName)
+    if (java.nio.file.Files.isRegularFile(p)) {
+      stagedDirs.computeIfAbsent(p.toString, { _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(fileName), p)
+        d.toString
+      })
+    } else p.toString
   }
 
   /** PUBLISH a static relation a stream will join against: write it to
@@ -83,16 +101,7 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String,
                  filesPerTrigger: Option[Int] = None): DataFrame = {
     graft.Tables.ensureNanosAsLong(spark)
-    val p = java.nio.file.Paths.get(dir, "events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        stagedDirs.computeIfAbsent(p.toString, { _ =>
-          val d = java.nio.file.Files.createTempDirectory("graft_stream")
-          java.nio.file.Files.createSymbolicLink(
-            d.resolve("events.parquet"), p)
-          d.toString
-        })
-      } else p.toString
+    val streamDir = stagedStreamDir(dir, "events.parquet")
     // Match the batch loader's timestamp acceptance (Tables.events): the
     // stream schema must mirror what the parquet footer actually stores,
     // so peek it with a batch read (footer-only) and normalize the same
@@ -422,16 +431,7 @@ object EventStream {
   /** Unbounded read of the documents fixture (file-stream source, same
     * symlink staging as readEvents). */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val p = java.nio.file.Paths.get(dir, "documents.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        stagedDirs.computeIfAbsent(p.toString, { _ =>
-          val d = java.nio.file.Files.createTempDirectory("graft_stream")
-          java.nio.file.Files.createSymbolicLink(
-            d.resolve("documents.parquet"), p)
-          d.toString
-        })
-      } else p.toString
+    val streamDir = stagedStreamDir(dir, "documents.parquet")
     spark.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType),
@@ -446,16 +446,7 @@ object EventStream {
     * o_orderdate as timestamp[us] — already an instant under the UTC
     * session, no normalization needed. */
   def readOrders(spark: SparkSession, dir: String): DataFrame = {
-    val p = java.nio.file.Paths.get(dir, "orders.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        stagedDirs.computeIfAbsent(p.toString, { _ =>
-          val d = java.nio.file.Files.createTempDirectory("graft_stream")
-          java.nio.file.Files.createSymbolicLink(
-            d.resolve("orders.parquet"), p)
-          d.toString
-        })
-      } else p.toString
+    val streamDir = stagedStreamDir(dir, "orders.parquet")
     spark.readStream.schema(StructType(Seq(
         StructField("o_orderkey", LongType),
         StructField("o_custkey", LongType),
@@ -483,7 +474,7 @@ object EventStream {
       audit.psiEdges(spark, dir).withColumn("jk", lit(1)),
       s"psi_edges@$dir")
     spreadStream(readOrders(spark, dir))
-      .filter(col("o_orderdate") >= audit.psiCut)
+      .filter(!audit.psiIsBase) // shared slice rule: NULL dates are current
       .withColumn("jk", lit(1))
       .join(broadcast(edges), Seq("jk"))
       .withColumn("bin", expr(audit.psiBinExpr).cast("long"))
@@ -493,16 +484,7 @@ object EventStream {
   /** Unbounded read of the embeddings fixture (file-stream source, same
     * symlink staging as readEvents/readDocuments). */
   def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        stagedDirs.computeIfAbsent(p.toString, { _ =>
-          val d = java.nio.file.Files.createTempDirectory("graft_stream")
-          java.nio.file.Files.createSymbolicLink(
-            d.resolve("embeddings.parquet"), p)
-          d.toString
-        })
-      } else p.toString
+    val streamDir = stagedStreamDir(dir, "embeddings.parquet")
     spark.readStream.schema(StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),

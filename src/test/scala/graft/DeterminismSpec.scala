@@ -75,4 +75,38 @@ class DeterminismSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"non-total presentation sorts:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("vector family runs on a gapped-id corpus (no dense-id " +
+       "assumption) and stays deterministic") {
+    // The round-10 review's finding: PQ/IVF/k-means seeds were "rows
+    // with vec_id < k", which THREW on any corpus without dense
+    // zero-based ids — post-dedup survivors, snowflake ids, shards.
+    // The hash-min vecSample rule must make the whole family run on a
+    // remapped fixture whose ids are gapped, offset, and non-zero-based.
+    val spark = TestSpark.spark
+    val gapped = java.nio.file.Files
+      .createTempDirectory("graft_gapped").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") * 37 + 1000)
+      .write.mode("overwrite").parquet(s"$gapped/embeddings.parquet")
+    val fam: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("kmeans_assign", () => ops.Similarity.kmeansAssign(spark, gapped)),
+      ("pq_codes", () => ops.Similarity.pqCodes(spark, gapped)),
+      ("cluster_balance",
+        () => ops.Similarity.clusterBalance(spark, gapped)),
+      ("sim_topk_brute", () => ops.Similarity.topKBrute(spark, gapped)),
+      ("sim_ann_ivf", () => ops.Similarity.annIvf(spark, gapped)))
+    for ((name, fn) <- fam) {
+      val a = fn().collect()
+      assert(a.nonEmpty, s"$name returned no rows on the gapped corpus")
+      val ids = a.flatMap(r => (0 until r.length).collect {
+        case i if r.schema(i).name.endsWith("_id") ||
+          r.schema(i).name == "vec_id" => r.getLong(i) })
+      ids.foreach(id => assert(id >= 1000 && (id - 1000) % 37 == 0,
+        s"$name emitted an id outside the remapped space: $id"))
+      val b = fn().collect()
+      assert(a.toSeq === b.toSeq, s"$name is not rerun-deterministic")
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -1,6 +1,13 @@
 #!/bin/bash
 # Run a graft main class directly (faster than sbt): tools/run.sh graft.Verify args...
 set -e
+# Bench appends a BENCH_HISTORY row keyed by round; an unset round label
+# forces inferRound's ambiguous-window heuristics. Make the label explicit
+# for every bench launched through this script so the guard is unreachable.
+if [ "$1" = "graft.Bench" ] && [ -z "$SPARK_GRAFT_ROUND" ]; then
+  echo "tools/run.sh: set SPARK_GRAFT_ROUND=rNN for graft.Bench runs" >&2
+  exit 2
+fi
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
