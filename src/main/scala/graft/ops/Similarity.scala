@@ -527,6 +527,24 @@ object Similarity {
   private val pqSub = 16 // dims per subspace
   private val pqK = 16 // codes per subspace
 
+  /** Learned-model cache: trained codebooks (PQ, IVF, k-means) are
+    * MODEL PARAMETERS — KBs of driver-side state derived by a
+    * deterministic bounded job per fixture dir. Before this cache each
+    * CONSUMING QUERY re-ran the learn pass (seed draw + corpus
+    * aggregate) inside its own job tree — at 100 TB the learn is the
+    * expensive offline stage and must run once, with every search/encode
+    * query reading the trained model (the offline-writes/online-reads
+    * shape the streaming twins and materializeOnce already pin for
+    * relations). Keys embed the dir; fixture dirs are immutable, so no
+    * staleness window. getOrElseUpdate under the map's monitor is
+    * reentrant per thread (nested learns — PQ's learn reading the IVF
+    * model — can't self-deadlock). */
+  private val modelCache =
+    scala.collection.mutable.Map.empty[String, AnyRef]
+  private def modelOnce[T <: AnyRef](key: String)(compute: => T): T =
+    modelCache.synchronized(
+      modelCache.getOrElseUpdate(key, compute)).asInstanceOf[T]
+
   /** Spherical product-quantization assignment: per subspace, ONE Lloyd
     * refinement from the hash-min `pqK` seed slices (the kmeansAssign
     * doctrine — deterministic seed + fixed iteration count is what makes
@@ -538,54 +556,68 @@ object Similarity {
     * empty, so the rule is load-bearing, not theoretical).
     *
     * Scale shape: learn = one N·dim posexplode aggregate (m·k·subdim =
-    * 1024 groups cross the wire regardless of N); encode = pure map-side
-    * projection with the 4×16×16-double codebook shipped inside the
-    * expression — the same model-parameter deployment as the IVF
-    * codebook. Returns (assigned frame with c0..c3, refined codebook,
-    * code ids). */
+    * 1024 groups cross the wire regardless of N), run ONCE per corpus
+    * (modelOnce); encode = pure map-side projection with the
+    * 4×16×16-double codebook shipped inside the expression — staged once
+    * as the pq_codes artifact (materializeOnce), so every consuming
+    * query reads the 4-byte/vector code table a PQ index actually ships
+    * instead of re-encoding the corpus. Returns (staged code frame with
+    * c0..c3, refined codebook, code ids). */
+  private def pqModel(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], Array[Long]) =
+    modelOnce(s"pq_model@$dir") {
+      val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      // Seeds = hash-min pqK sample (vecSample — works on any id space);
+      // the CODE a seed carries is its RANK among the seeds ordered by
+      // vec_id (0..pqK−1, the oracle's ROW_NUMBER()−1), because the recon
+      // stage indexes the codebook array by code+1: codes must be dense
+      // ordinals even though vec_ids need not be.
+      val seed = vecSample(spark, dir, pqK)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+      val ids = Array.tabulate(pqK)(_.toLong)
+      val cb1: Array[Array[Array[Float]]] = Array.tabulate(pqM) { s =>
+        seed.map(_.getSeq[Float](1)
+          .slice(s * pqSub, (s + 1) * pqSub).toArray)
+      }
+
+      val withA1 = (0 until pqM).foldLeft(e) { (d, s) =>
+        d.withColumn(s"a1_$s", graft.functions.CentroidArgmax.assign(
+          slice(col("embedding"), s * pqSub + 1, pqSub), cb1(s), ids))
+      }
+      // refinement means: m·k·subdim tiny aggregate (6-dp rounded — the
+      // kmeansAssign partial-agg-vs-sequential-AVG absorption)
+      val meanRows = withA1
+        .select(array((0 until pqM).map(s => col(s"a1_$s")): _*)
+                  .as("codes"),
+                posexplode(col("embedding")))
+        .select(floor(col("pos") / pqSub).cast("int").as("s"),
+          element_at(col("codes"),
+            floor(col("pos") / pqSub).cast("int") + 1).as("code"),
+          pmod(col("pos"), lit(pqSub)).as("d"),
+          col("col").cast("double").as("v"))
+        .groupBy(col("s"), col("code"), col("d"))
+        .agg(round(avg(col("v")), 6).as("m"))
+        .collect()
+      val cb2: Array[Array[Array[Double]]] =
+        cb1.map(_.map(_.map(_.toDouble)))
+      meanRows.foreach { r =>
+        cb2(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+      }
+      (cb2, ids)
+    }
+
   private def pqAssignedFull(spark: SparkSession, dir: String)
       : (DataFrame, Array[Array[Array[Double]]], Array[Long]) = {
-    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"))
-    // Seeds = hash-min pqK sample (vecSample — works on any id space);
-    // the CODE a seed carries is its RANK among the seeds ordered by
-    // vec_id (0..pqK−1, the oracle's ROW_NUMBER()−1), because the recon
-    // stage indexes the codebook array by code+1: codes must be dense
-    // ordinals even though vec_ids need not be.
-    val seed = vecSample(spark, dir, pqK)
-      .select(col("vec_id"), col("embedding")).collect()
-      .sortBy(_.getLong(0))
-    val ids = Array.tabulate(pqK)(_.toLong)
-    val cb1: Array[Array[Array[Float]]] = Array.tabulate(pqM) { s =>
-      seed.map(_.getSeq[Float](1).slice(s * pqSub, (s + 1) * pqSub).toArray)
-    }
-
-    val withA1 = (0 until pqM).foldLeft(e) { (d, s) =>
-      d.withColumn(s"a1_$s", graft.functions.CentroidArgmax.assign(
-        slice(col("embedding"), s * pqSub + 1, pqSub), cb1(s), ids))
-    }
-    // refinement means: m·k·subdim tiny aggregate (6-dp rounded — the
-    // kmeansAssign partial-agg-vs-sequential-AVG absorption)
-    val meanRows = withA1
-      .select(array((0 until pqM).map(s => col(s"a1_$s")): _*).as("codes"),
-              posexplode(col("embedding")))
-      .select(floor(col("pos") / pqSub).cast("int").as("s"),
-        element_at(col("codes"),
-          floor(col("pos") / pqSub).cast("int") + 1).as("code"),
-        pmod(col("pos"), lit(pqSub)).as("d"),
-        col("col").cast("double").as("v"))
-      .groupBy(col("s"), col("code"), col("d"))
-      .agg(round(avg(col("v")), 6).as("m"))
-      .collect()
-    val cb2: Array[Array[Array[Double]]] =
-      cb1.map(_.map(_.map(_.toDouble)))
-    meanRows.foreach { r =>
-      cb2(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
-    }
-
-    val asg = (0 until pqM).foldLeft(e) { (d, s) =>
-      d.withColumn(s"c$s", graft.functions.CentroidArgmax.assignD(
-        slice(col("embedding"), s * pqSub + 1, pqSub), cb2(s), ids))
+    val (cb2, ids) = pqModel(spark, dir)
+    val asg = graft.Pipeline.materializeOnce(spark, s"pq_codes@$dir") {
+      val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      (0 until pqM).foldLeft(e) { (d, s) =>
+        d.withColumn(s"c$s", graft.functions.CentroidArgmax.assignD(
+          slice(col("embedding"), s * pqSub + 1, pqSub), cb2(s), ids))
+      }.select(col("vec_id") +: (0 until pqM).map(s => col(s"c$s")): _*)
     }
     (asg, cb2, ids)
   }
@@ -636,11 +668,12 @@ object Similarity {
     // single argmax cell (probing is a QUERY-side dial; re-homing the
     // index would change the stored layout). Candidate sets stay
     // disjoint across the two probed cells, so no dedup stage is needed.
+    // the probe-cell ranking reads the TRAINED codebook (ivfModel) as a
+    // local relation — no re-scan of the corpus for the centroid draw
     val centDf = {
-      val nCents = math.ceil(math.sqrt(
-        Tables.t(spark, dir, "embeddings").count().toDouble)).toInt
-      vecSample(spark, dir, nCents)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      val (cents, ids) = ivfModel(spark, dir)
+      import spark.implicits._
+      ids.zip(cents.map(_.toSeq)).toSeq.toDF("cent_id", "cent")
     }
     val q = vecSample(spark, dir, 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -680,13 +713,27 @@ object Similarity {
 
   /** IVF cell assignment, shared by annIvf and annRecall: every vector
     * labeled with its nearest-centroid cell. */
+  /** The IVF coarse codebook — (centroid vectors, centroid ids), learned
+    * once per corpus (modelOnce: before this, every consuming query
+    * re-ran the footer count + hash-min TakeOrdered + C-row collect as
+    * its own setup jobs). */
+  private[ops] def ivfModel(spark: SparkSession, dir: String)
+      : (Array[Array[Float]], Array[Long]) =
+    modelOnce(s"ivf_model@$dir") {
+      // count() is answered from parquet footer metadata (no data scan);
+      // the centroid draw is the hash-min TakeOrdered — one scan,
+      // C·#partitions rows moved, works on any id space.
+      val nCents = math.ceil(math.sqrt(
+        Tables.t(spark, dir, "embeddings").count().toDouble)).toInt
+      val centRows = vecSample(spark, dir, nCents)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+      (centRows.map(_.getSeq[Float](1).toArray),
+       centRows.map(_.getLong(0)))
+    }
+
   private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-    // count() is answered from parquet footer metadata (no data scan);
-    // the centroid draw below is the hash-min TakeOrdered — one scan,
-    // C·#partitions rows moved, works on any id space.
-    val nCents = math.ceil(math.sqrt(
-      Tables.t(spark, dir, "embeddings").count().toDouble)).toInt
     // The codebook is a MODEL PARAMETER (C = ⌈√N⌉ rows, KBs even at
     // 10⁹ vectors), collected once and shipped to executors inside the
     // codegen'd CentroidArgmax expression — exactly how a trained
@@ -695,13 +742,9 @@ object Similarity {
     // argmax aggregation, no shuffle, and whole-stage codegen stays
     // intact (a greatest() over C struct comparisons breaks codegen past
     // a few dozen centroids — measured as a full interpreted fallback).
-    val centRows = vecSample(spark, dir, nCents)
-      .select(col("vec_id"), col("embedding")).collect()
-      .sortBy(_.getLong(0))
+    val (cents, ids) = ivfModel(spark, dir)
     e.withColumn("cell", graft.functions.CentroidArgmax.assign(
-        col("embedding"),
-        centRows.map(_.getSeq[Float](1).toArray),
-        centRows.map(_.getLong(0))))
+        col("embedding"), cents, ids))
       .select(col("cell"), col("vec_id"), col("embedding"))
   }
 
@@ -759,9 +802,11 @@ object Similarity {
     val k = 5
     val truth = topKBrute(spark, dir) // probes the hash-min 10, top-5
 
+    // both sides of the metric join are ≤ |Q|·k rows — broadcast the ANN
+    // leg so the three per-method tails stay exchange-free
     def recallOf(ann: DataFrame, method: String): DataFrame =
       truth.as("t")
-        .join(ann.as("a"),
+        .join(broadcast(ann.as("a")),
           col("t.query_id") === col("a.query_id") &&
             col("t.neighbor_id") === col("a.neighbor_id"), "left")
         .groupBy(col("t.query_id").as("query_id"))
@@ -836,31 +881,38 @@ object Similarity {
     * projection of this). */
   private[ops] def kmeansFull(spark: SparkSession, dir: String)
       : (DataFrame, Array[Array[Double]], Array[Long]) = {
-    val k = 8
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
-    val seed = vecSample(spark, dir, k)
-      .select(col("vec_id"), col("embedding")).collect()
-      .sortBy(_.getLong(0))
-    val cents1 = seed.map(_.getSeq[Float](1).toArray)
-    val ids = seed.map(_.getLong(0))
+    // the refined centroid matrix is learned once per corpus (modelOnce)
+    // — seed draw, first assignment, and the k·dim mean aggregate are
+    // the offline learn pass; consumers only re-run the map-side
+    // assignment projection
+    val (cents2, ids2) = modelOnce(s"kmeans_model@$dir") {
+      val k = 8
+      val seed = vecSample(spark, dir, k)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+      val cents1 = seed.map(_.getSeq[Float](1).toArray)
+      val ids = seed.map(_.getLong(0))
 
-    val asg1 = e.withColumn("cluster",
-      graft.functions.CentroidArgmax.assign(col("embedding"), cents1, ids))
+      val asg1 = e.withColumn("cluster",
+        graft.functions.CentroidArgmax.assign(
+          col("embedding"), cents1, ids))
 
-    // update step: k·dim tiny aggregate, then sort dims back into arrays
-    val meanRows = asg1
-      .select(col("cluster"), posexplode(col("embedding")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 6).as("v"))
-      .groupBy(col("cluster"))
-      .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
-      .select(col("cluster"),
-              transform(array_sort(col("pv")), p => p("v")).as("cent"))
-      .collect()
-      .sortBy(_.getLong(0))
-    val cents2 = meanRows.map(_.getSeq[Double](1).toArray)
-    val ids2 = meanRows.map(_.getLong(0))
+      // update step: k·dim tiny aggregate, dims sorted back into arrays
+      val meanRows = asg1
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("v"))
+        .groupBy(col("cluster"))
+        .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+        .select(col("cluster"),
+                transform(array_sort(col("pv")), p => p("v")).as("cent"))
+        .collect()
+        .sortBy(_.getLong(0))
+      (meanRows.map(_.getSeq[Double](1).toArray),
+       meanRows.map(_.getLong(0)))
+    }
 
     val asg2 = e.withColumn("cluster",
       graft.functions.CentroidArgmax.assignD(col("embedding"), cents2, ids2))

@@ -742,7 +742,10 @@ class PlanSpec extends AnyFunSuite {
        "is the bounded query-sample × centroid probe ranking") {
     val p = plan(Similarity.simAnnPq(spark, sf))
     assert(p.contains("centroid_argmax"),
-      "per-subspace encode must be the codegen'd argmax expression")
+      "cell assignment must be the codegen'd argmax expression")
+    assert(p.contains("graft-staged"),
+      "the PQ code table must be read from the staged artifact — the " +
+        "learn/encode pass runs once offline, not inside each query")
     assert(!p.contains("CartesianProduct"),
       "no unbroadcast all-pairs anywhere")
     // the nprobe=2 cell ranking is Θ(|Q|·C): query sample × broadcast
@@ -751,6 +754,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
            p.contains("BroadcastHashJoin"),
       "candidates must meet through a hash-joinable cell key")
+  }
+
+  test("pq_codes: consumers scan the trained code artifact — no encode " +
+       "expression and no learn aggregate re-enter a consuming plan") {
+    Similarity.pqCodes(spark, sf).count() // train + stage once
+    val p = plan(Similarity.pqCodes(spark, sf))
+    assert(p.contains("graft-staged"), "expected the staged artifact scan")
+    assert(!p.contains("centroid_argmax"),
+      "the encode must not re-run in a consumer of the staged codes")
+    assert(!p.contains("Generate"),
+      "the posexplode learn aggregate must not re-enter the plan")
   }
 
   test("mmr_select: centroid relevance and the selected set join as " +
