@@ -243,7 +243,9 @@ class TextSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
       .toMap
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val q = e.filter(col("vec_id") < 10)
+    val probeIds = hashMin(fixtureVecs("/root/testdata/sf0.001"), 10)
+      .map(_._1)
+    val q = e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val agg = q.crossJoin(
         e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")))
@@ -305,7 +307,7 @@ class TextSimilaritySpec extends AnyFunSuite {
       cents.map { case (id, c) => (q6(cos(v, c)), id) }
         .reduceLeft((a, b) =>
           if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)._2
-    val seeds = vecs.filter(_._1 < 8).toSeq
+    val seeds = hashMin(vecs, 8)
     val a1 = vecs.map { case (id, v) => id -> argmax(v, seeds) }.toMap
     val dim = vecs.head._2.length
     val cents2 = a1.values.toSeq.distinct.sorted.map { cell =>
@@ -513,7 +515,9 @@ class TextSimilaritySpec extends AnyFunSuite {
     val log2 = math.log(2)
 
     val rows = Similarity.annNdcg(spark, dir).collect()
-    assert(rows.map(_.getLong(0)).toSeq === (0L until 10L))
+    val probeIds = emb.keys.toSeq
+      .sortBy(id => (md5hex(s"vs|$id"), id)).take(10).sorted
+    assert(rows.map(_.getLong(0)).toSeq === probeIds)
     rows.foreach { r =>
       val q = r.getLong(0)
       val truth = top5(emb.keys, q)
@@ -638,6 +642,15 @@ class TextSimilaritySpec extends AnyFunSuite {
   }
 
   // ---- shared plain-Scala recompute helpers (PQ / MMR) ---------------
+  /** The vecSample rule recomputed independently: the k rows with the
+    * smallest md5("vs|" <> id), ties by id, returned in vec_id order. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def hashMin(vecs: Array[(Long, Array[Double])], k: Int)
+      : Seq[(Long, Array[Double])] =
+    vecs.sortBy(x => (md5hex(s"vs|${x._1}"), x._1)).take(k)
+      .sortBy(_._1).toSeq
   private def q6d(x: Double) =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
   private def cosd(a: Array[Double], b: Array[Double]): Double = {
@@ -664,7 +677,10 @@ class TextSimilaritySpec extends AnyFunSuite {
     val (m, sub, k) = (4, 16, 16)
     (0 until m).map { s =>
       def sl(v: Array[Double]) = v.slice(s * sub, (s + 1) * sub)
-      val seeds = vecs.filter(_._1 < k).map { case (id, v) => id -> sl(v) }
+      // codes are the seeds' vec_id-ordered ranks (hashMin returns them
+      // in vec_id order), mirroring pqModel
+      val seeds = hashMin(vecs, k).zipWithIndex
+        .map { case ((_, v), i) => i.toLong -> sl(v) }
       val a1 = vecs.map { case (id, v) =>
         id -> argmaxCos(sl(v), seeds.toSeq) }.toMap
       // refined means (6-dp) where a code has members; seed otherwise
@@ -698,13 +714,19 @@ class TextSimilaritySpec extends AnyFunSuite {
   test("pq_codes empty-code seed fallback: a seed collinear with a " +
        "lower-id seed loses every tie, its code goes empty, and the " +
        "refinement keeps the SEED centroid for it") {
-    // vec 5 = 2 × vec 3 in every subspace: cosine ties at 1.0 against
-    // both seeds, the lower id wins, so code 5 gets zero members
+    // pick two SAMPLED seeds a < b (the hash-min 16 of ids 0..19) and
+    // plant vec b = 2 × vec a: cosine ties at 1.0 against both seed
+    // codes, the lower CODE wins, so b's code gets zero members
+    val sampleIds = (0L until 20L)
+      .sortBy(id => (md5hex(s"vs|$id"), id)).take(16).sorted
+    val a = sampleIds.head
+    val b = sampleIds(1)
+    val emptyCode = 1L // b's code = its vec_id rank among the seeds
     def mk(id: Int): Seq[Float] =
       Seq.tabulate(64)(d => (math.sin(id * 7.3 + d * 1.1) +
         0.01f * (id + d % 5)).toFloat)
     val rows = (0 until 20).map { i =>
-      val v = if (i == 5) mk(3).map(_ * 2.0f) else mk(i)
+      val v = if (i.toLong == b) mk(a.toInt).map(_ * 2.0f) else mk(i)
       (i.toLong, v, 0)
     }
     val dir = TestFixtures.writeDir(Map(
@@ -713,8 +735,8 @@ class TextSimilaritySpec extends AnyFunSuite {
     val want = pqRecompute(vecs)
     // the planted fixture actually exercises the branch
     (0 until 4).foreach { s =>
-      assert(!want(s).values.exists(_ == 5L),
-        s"code 5 must be empty in subspace $s") }
+      assert(!want(s).values.exists(_ == emptyCode),
+        s"code $emptyCode (seed vec $b) must be empty in subspace $s") }
     val got = pqGot(dir)
     got.foreach { case (id, codes) =>
       assert(codes === (0 until 4).map(s => want(s)(id)), s"vec $id")
@@ -729,7 +751,8 @@ class TextSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(got.nonEmpty)
     assert(got.forall(x => x._1 != x._2))
-    assert(got.forall(_._1 < 10))
+    val probeSet = hashMin(fixtureVecs(sf), 10).map(_._1).toSet
+    assert(got.forall(x => probeSet(x._1)))
     // the ADC candidate stage only prunes; the reported sim is always the
     // true fp32 pair cosine (6 dp)
     got.foreach { case (q, n, s, _) =>
@@ -786,18 +809,34 @@ class TextSimilaritySpec extends AnyFunSuite {
     rows.groupBy(_._1).values.foreach { g =>
       assert(g.map(_._6).sorted.toSeq === (1L to g.size).toSeq)
     }
-    // fusion is doing work: some winner is backed by BOTH legs, and the
-    // legs are not identical rankings (some top row is single-leg)
-    assert(rows.exists(r => r._3 > 0 && r._4 > 0))
-    assert(rows.exists(r => r._3 == 0 || r._4 == 0))
+    // fusion is doing work — proven on a PLANTED corpus (the sf fixture
+    // has a single rare term, so whether a sampled query touches the
+    // lexical leg is fixture luck): every doc shares a rare term with
+    // its ring neighbors, so any sampled query has lexical candidates,
+    // and with 19 < topL vector candidates every lexical candidate row
+    // must carry BOTH ranks
+    val planted = TestFixtures.writeDir(Map(
+      "documents" -> (0 until 20).map(i =>
+        (i.toLong, s"t$i t${(i + 1) % 20}", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"),
+      "embeddings" -> (0 until 20).map(i =>
+        (i.toLong,
+         Seq.tabulate(8)(d => (math.sin(i * 1.7 + d) + 0.3).toFloat), 0))
+        .toDF("vec_id", "embedding", "label")))
+    val pr = graft.ops.Corpus.hybridRrf(spark, planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pr.exists(r => r._3 > 0 && r._4 > 0),
+      "some fused winner must be backed by both legs")
+    assert(pr.exists(r => r._3 == 0 || r._4 == 0),
+      "the legs must not be identical rankings")
   }
 
   test("mmr_select == an independent plain-Scala greedy MMR recompute " +
        "on the operator's own clusters (λ=0.5, k_sel=3)") {
     val sf = "/root/testdata/sf0.001"
     val vecs = fixtureVecs(sf)
-    // reproduce kmeansFull: one refinement from the 8 lowest-id seeds
-    val seeds = vecs.filter(_._1 < 8).toSeq
+    // reproduce kmeansFull: one refinement from the 8 hash-min seeds
+    val seeds = hashMin(vecs, 8)
     val a1 = vecs.map { case (id, v) => id -> argmaxCos(v, seeds) }.toMap
     val dim = vecs.head._2.length
     val cents2 = a1.values.toSeq.distinct.sorted.map { cell =>
