@@ -778,6 +778,66 @@ object Similarity {
           .as("skew_ratio"))
   }
 
+  /** IVF codebook retrain — the lifecycle step clusterBalance's audit
+    * exists to trigger, closing the loop the round-10 review left open
+    * (the audit measured skew; nothing consumed the signal). The audit
+    * row is collected (1 row — the gated-collect doctrine) and its
+    * skew_ratio gates the retrain at 1.25: below the gate the index is
+    * healthy and the report echoes the before-stats with
+    * retrained=false; above it, ONE Lloyd update runs from the CURRENT
+    * assignment — per-cell 6-dp dimension means become the refined
+    * codebook (a cell with no members keeps its seed centroid, the PQ
+    * empty-code rule), the corpus re-homes map-side through the
+    * codegen'd argmax, and the report carries occupancy before/after.
+    *
+    * Scale: the update is the kmeansFull shape — one posexplode
+    * aggregate with C·dim groups on the wire, the refined codebook a
+    * driver-side model parameter (√N·dim doubles — ~16 MB at 10⁹
+    * vectors), re-homing one map-side pass, and the report a 1-row
+    * aggregate. Nothing row-level survives the first shuffle. */
+  def ivfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val gate = 1.25
+    val bal = clusterBalance(spark, dir).collect().head
+    val nCells = bal.getLong(0)
+    val occB = bal.getLong(1)
+    val nVecs = bal.getLong(3)
+    val maxB = bal.getLong(5)
+    val skewB = bal.getDouble(7)
+    val retrained = skewB > gate
+    import spark.implicits._
+    val after =
+      if (!retrained)
+        Seq((occB, maxB)).toDF("n_occupied_after", "max_sz_after")
+      else {
+        val (cents, ids) = ivfModel(spark, dir)
+        val meanMap = ivfAssigned(spark, dir)
+          .select(col("cell"), posexplode(col("embedding")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(round(avg(col("col").cast("double")), 6).as("v"))
+          .groupBy(col("cell"))
+          .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+          .select(col("cell"),
+                  transform(array_sort(col("pv")), p => p("v")).as("cent"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+        val cb2 = ids.zip(cents).map { case (id, c) =>
+          meanMap.getOrElse(id, c.map(_.toDouble)) }
+        Tables.spread(Tables.t(spark, dir, "embeddings"))
+          .withColumn("cell", graft.functions.CentroidArgmax.assignD(
+            col("embedding"), cb2, ids))
+          .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_occupied_after"),
+               max(col("sz")).as("max_sz_after"))
+      }
+    after.select(
+      lit(nCells).as("n_cells"), lit(nVecs).as("n_vecs"),
+      lit(occB).as("n_occupied_before"), lit(maxB).as("max_sz_before"),
+      lit(skewB).as("skew_before"), lit(retrained).as("retrained"),
+      col("n_occupied_after"), col("max_sz_after"),
+      round(col("max_sz_after") * col("n_occupied_after") /
+        lit(nVecs.toDouble) + 1e-9, 4).as("skew_after"))
+  }
+
   /** Recall@k evaluation of BOTH approximate paths (sign-LSH buckets and
     * IVF cells) against exact brute-force ground truth on the probe
     * sample — the method-comparison loop every ANN deployment runs
@@ -1298,7 +1358,8 @@ object Similarity {
     "pq_codes"       -> (pqCodes _),
     "sim_ann_pq"     -> (simAnnPq _),
     "mmr_select"     -> (mmrSelect _),
-    "cluster_balance" -> (clusterBalance _))
+    "cluster_balance" -> (clusterBalance _),
+    "ivf_retrain"    -> (ivfRetrain _))
 
   /** DuckDB cosine written out explicitly (dot/(|a||b|) in double) so the
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
@@ -1452,6 +1513,69 @@ object Similarity {
     }.mkString("WITH ", ",\n", "")
 
   val oracle: Map[String, String] = Map(
+    "ivf_retrain" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM ($duckCentSample)),
+         |asg AS (
+         |  SELECT cell, vec_id FROM (
+         |    SELECT c.cent_id AS cell, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
+         |        AS crn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE crn = 1),
+         |sizes AS (
+         |  SELECT cell, COUNT(*)::BIGINT AS sz FROM asg GROUP BY cell),
+         |nc AS (
+         |  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS n_cells
+         |  FROM embeddings),
+         |bstat AS (
+         |  SELECT COUNT(*)::BIGINT AS occ_b,
+         |         CAST(SUM(sz) AS BIGINT) AS n_vecs,
+         |         CAST(MAX(sz) AS BIGINT) AS max_b,
+         |         ROUND(MAX(sz)::DOUBLE * COUNT(*) / SUM(sz) + 1e-9, 4)
+         |           AS skew_b
+         |  FROM sizes),
+         |m AS (
+         |  SELECT asg.cell,
+         |         generate_subscripts(e.embedding, 1) AS dim,
+         |         unnest(e.embedding) AS val
+         |  FROM asg JOIN embeddings e USING (vec_id)),
+         |c2 AS (
+         |  SELECT c.cent_id, COALESCE(mm.cent, c.cent::DOUBLE[]) AS cent
+         |  FROM cents c LEFT JOIN (
+         |    SELECT cell, LIST(v ORDER BY dim) AS cent FROM (
+         |      SELECT cell, dim, ROUND(AVG(val::DOUBLE), 6) AS v
+         |      FROM m GROUP BY cell, dim)
+         |    GROUP BY cell) mm ON mm.cell = c.cent_id),
+         |asg2 AS (
+         |  SELECT cell, vec_id FROM (
+         |    SELECT c.cent_id AS cell, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id)
+         |        AS crn
+         |    FROM embeddings e CROSS JOIN c2 c)
+         |  WHERE crn = 1),
+         |astat AS (
+         |  SELECT COUNT(*)::BIGINT AS occ_a, CAST(MAX(sz) AS BIGINT)
+         |           AS max_a
+         |  FROM (SELECT cell, COUNT(*)::BIGINT AS sz
+         |        FROM asg2 GROUP BY cell))
+         |SELECT nc.n_cells, b.n_vecs,
+         |  b.occ_b AS n_occupied_before, b.max_b AS max_sz_before,
+         |  b.skew_b AS skew_before,
+         |  b.skew_b > 1.25 AS retrained,
+         |  CASE WHEN b.skew_b > 1.25 THEN a.occ_a ELSE b.occ_b END
+         |    AS n_occupied_after,
+         |  CASE WHEN b.skew_b > 1.25 THEN a.max_a ELSE b.max_b END
+         |    AS max_sz_after,
+         |  ROUND((CASE WHEN b.skew_b > 1.25 THEN a.max_a
+         |              ELSE b.max_b END)::DOUBLE
+         |      * (CASE WHEN b.skew_b > 1.25 THEN a.occ_a
+         |              ELSE b.occ_b END)
+         |      / b.n_vecs + 1e-9, 4) AS skew_after
+         |FROM bstat b CROSS JOIN astat a CROSS JOIN nc""".stripMargin,
     "cluster_balance" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent

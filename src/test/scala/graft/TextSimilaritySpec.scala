@@ -831,6 +831,52 @@ class TextSimilaritySpec extends AnyFunSuite {
       "the legs must not be identical rankings")
   }
 
+  test("ivf_retrain == an independent plain-Scala Lloyd update from the " +
+       "current assignment, and the gate consumes cluster_balance's skew") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = fixtureVecs(sf)
+    val nCells = math.ceil(math.sqrt(vecs.length.toDouble)).toLong
+    val seeds = hashMin(vecs, nCells.toInt)
+    val a1 = vecs.map { case (id, v) => id -> argmaxCos(v, seeds) }.toMap
+    def stats(asg: Map[Long, Long]): (Long, Long, Double) = {
+      val sizes = asg.values.groupBy(identity).view.mapValues(_.size)
+      val (occ, mx) = (sizes.size.toLong, sizes.values.max.toLong)
+      def r4(x: Double) = math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
+      (occ, mx, r4(mx.toDouble * occ / vecs.length))
+    }
+    val (occB, maxB, skewB) = stats(a1)
+    val dim = vecs.head._2.length
+    val cents2 = seeds.map { case (cell, seedV) =>
+      val members = vecs.filter(x => a1(x._1) == cell).map(_._2)
+      cell -> (if (members.isEmpty) seedV
+               else Array.tabulate(dim)(d =>
+                 q6d(members.map(_(d)).sum / members.length)))
+    }
+    val a2 = vecs.map { case (id, v) => id -> argmaxCos(v, cents2) }.toMap
+    val (occA, maxA, skewA) = stats(a2)
+    val r = Similarity.ivfRetrain(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === nCells && row.getLong(1) === vecs.length)
+    assert(row.getLong(2) === occB && row.getLong(3) === maxB)
+    assert(row.getDouble(4) === skewB)
+    // the gate consumes the audit: retrained ⇔ skew_before > 1.25, and
+    // the after-columns follow the branch
+    val retrained = skewB > 1.25
+    assert(row.getBoolean(5) === retrained)
+    if (retrained) {
+      assert(row.getLong(6) === occA && row.getLong(7) === maxA)
+      assert(row.getDouble(8) === skewA)
+    } else {
+      assert(row.getLong(6) === occB && row.getLong(7) === maxB)
+      assert(row.getDouble(8) === skewB)
+    }
+    // the fixture exercises the retrain branch, and the update is a
+    // genuine re-home (some vector changed cell)
+    assert(retrained, "sf0.001 skew must trip the 1.25 gate")
+    assert(a1 !== a2, "the refined codebook should move some vector")
+  }
+
   test("mmr_select == an independent plain-Scala greedy MMR recompute " +
        "on the operator's own clusters (λ=0.5, k_sel=3)") {
     val sf = "/root/testdata/sf0.001"
