@@ -234,6 +234,73 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Staged ARRIVAL PERMUTATION of the events fixture, one per dir: file
+    * f_0000 holds each (user, type) key's MAX-event_id row, f_0001
+    * everything else, with pinned ascending mtimes so the file source
+    * (maxFilesPerTrigger=1) makes f_0000 the first micro-batch. Pinning
+    * arrival is what makes dropDuplicatesWithinWatermark's surviving
+    * payload a pure function of the data: each key's first ARRIVAL is
+    * alone in batch 0 (no in-batch race — one row per key per file by
+    * construction), and every later duplicate lands in a strictly later
+    * batch against live state. Max-event_id is deliberately NOT the
+    * batch dedup survivor rule (min event-time struct): the oracle can
+    * only be checking arrival-order semantics if the arrival winner
+    * differs from every natural data order. */
+  private val arrivalDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def arrivalStagedDir(spark: SparkSession, dir: String): String =
+    arrivalDirs.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.sql.expressions.Window
+      val out = java.nio.file.Files.createTempDirectory("graft_arrival")
+      val ranked = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+        .withColumn("arn", row_number().over(Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("event_id").desc)))
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_arr_w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+          .head
+        val dst = out.resolve(name)
+        java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      writeOne(ranked.filter(col("arn") === 1).drop("arn"),
+        "f_0000.parquet", 1000000000000L)
+      writeOne(ranked.filter(col("arn") =!= 1).drop("arn"),
+        "f_0001.parquet", 1000000060000L)
+      out.toString
+    })
+
+  /** Arrival-order streaming dedup, ORACLE-GATED — the last streaming
+    * form that was spec-only: dropDuplicatesWithinWatermark keeps each
+    * key's first-ARRIVED payload, which plain SQL can't restate for an
+    * arbitrary arrival order, so the arrival is pinned by the staged
+    * two-file permutation above and the survivor becomes "the
+    * max-event_id row per (user, type)" — exactly what the oracle
+    * states. The watermark delay is far beyond the fixture's time span,
+    * so no key's state expires mid-run and re-admits a duplicate (state
+    * stays bounded by KEY cardinality — the same bound the production
+    * 2-hour form enjoys; only the gate needs the horizon pinned open). */
+  def dedupArrivalStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(arrivalStagedDir(spark, dir))
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+              col("event_id").as("arrival_event_id"), col("value"))
+
   /** Oracle-checkable streaming dedup: first-writer-wins per (user,
     * type) BY EVENT TIME — the surviving payload is the min (ts,
     * event_id, value) struct, the same min-struct survivor doctrine as

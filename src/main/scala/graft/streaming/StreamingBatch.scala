@@ -172,6 +172,11 @@ object StreamingBatch {
       "complete", "sq_dedup")
       .orderBy("user_id", "event_type")
 
+  def streamingDedupArrival(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventStream.dedupArrivalStream(spark, dir),
+      "append", "sq_dedup_arrival")
+      .orderBy("user_id", "event_type")
+
   def streamingDecontaminate(spark: SparkSession, dir: String): DataFrame =
     runToTable(EventStream.decontaminateVerifiedStream(spark, dir),
       "complete", "sq_decontaminate")
@@ -224,6 +229,7 @@ object StreamingBatch {
     "streaming_resample"      -> (streamingResample _),
     "streaming_sessions"      -> (streamingSessions _),
     "streaming_dedup"         -> (streamingDedup _),
+    "streaming_dedup_arrival" -> (streamingDedupArrival _),
     "streaming_decontaminate" -> (streamingDecontaminate _))
 
   val oracle: Map[String, String] = Map(
@@ -453,6 +459,20 @@ object StreamingBatch {
         |SELECT user_id, event_type, tsq AS first_ts,
         |  event_id AS first_event_id, value AS first_value,
         |  CAST(n_dups AS BIGINT) AS n_dups
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    // the staged two-file permutation pins arrival (each key's
+    // max-event_id row arrives first, alone in batch 0), so the
+    // arrival-order survivor dropDuplicatesWithinWatermark keeps IS the
+    // max-event_id row per key — deliberately not the event-time winner,
+    // or the gate couldn't tell arrival semantics from data order
+    "streaming_dedup_arrival" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS arrival_event_id, value
         |FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
     // the bloom is a prefilter only — the exact stream-static join it

@@ -115,6 +115,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("arrival-pinned streaming dedup keeps the FIRST-ARRIVED payload " +
+       "(max event_id via the staged permutation), not the event-time " +
+       "winner") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingBatch
+      .streamingDedupArrival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getTimestamp(3)))
+    val byKey = ev.groupBy(x => (x._1, x._2))
+    assert(got.keySet === byKey.keySet)
+    // survivor = the pinned first arrival (max event_id per key)
+    byKey.foreach { case (k, rows) =>
+      assert(got(k) === rows.map(_._3).max, s"key $k")
+    }
+    // the pin is testing ARRIVAL semantics, not a data order: for some
+    // key the arrival winner differs from the event-time winner the
+    // batch/complete-mode dedups keep
+    val diverges = byKey.exists { case (k, rows) =>
+      val eventTimeWinner =
+        rows.minBy(x => (x._4.getTime, x._3))._3
+      got(k) != eventTimeWinner
+    }
+    assert(diverges,
+      "fixture must hold a key whose arrival winner != event-time winner")
+  }
+
   test("streaming range-frame features equal the batch RANGE window on " +
        "every emitted event") {
     val q = EventStream.rangeFrameStream(spark, "/root/testdata/sf0.001")
