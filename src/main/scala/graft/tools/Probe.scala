@@ -20,6 +20,20 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-table row counts, printed BEFORE the run and again in the
+    // headline: the no-silent-caps doctrine applied to the probe itself
+    // — a "100×" headline that holds some tables at 1× must say so in
+    // numbers (the round-10 review's mislabeling finding). Footer-only
+    // counts: no data scan.
+    val tableCounts = Seq("region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "documents", "events", "embeddings")
+      .map { t =>
+        val n =
+          try graft.Tables.t(spark, dir, t).count()
+          catch { case _: Exception => -1L }
+        s"$t=$n"
+      }.mkString(" ")
+    println(s"PROBE TABLES $tableCounts")
     val t0 = System.nanoTime()
     var ok = 0
     val failed = collection.mutable.ArrayBuffer[String]()
@@ -44,6 +58,7 @@ object Probe {
     val n = graft.SparkEntry.queries.size
     println(f"PROBE $ok/$n complete, ${failed.size} failed, " +
       f"$total%.0f s wall, dir=$dir")
+    println(s"PROBE TABLES $tableCounts")
     require(ok == n && failed.isEmpty,
       s"probe completed $ok of SparkEntry.queries.size=$n " +
         s"(${failed.size} failed) — the headline may not understate the " +

@@ -27,7 +27,109 @@ import graft.ops.Similarity
   *          tools/run.sh graft.tools.RecallCurve /tmp/probe100 [bits...]
   */
 object RecallCurve {
+
+  /** Symmetric-gate curve (`ball <N> [bits...]`): recall AND candidate
+    * volume of the Hamming ≤ 3 ball rule vs signature width at N+
+    * vectors — the evidence behind Similarity.GateMaxBits. Corpus =
+    * hash-uniform synth plus 2000 PLANTED near-dup pairs (id i
+    * duplicated as id N+i with a deterministic ±0.48-uniform
+    * perturbation — measured pair cosine ≈ 0.9, the embed_neardup
+    * threshold). Per width:
+    *   - recall = fraction of planted pairs with sig Hamming ≤ 3 (the
+    *     gate can only verify pairs its blocking join forms);
+    *   - ball candidate volume = Σ_masks Σ_v h(v)·h(v⊕m) over the
+    *     signature histogram — EXACT, no 10¹⁰-row join materialized;
+    *   - the 4-band split's volume (Σ_band Σ_val h_b(val)² — the
+    *     MinHash-style alternative that catches every Hamming ≤ 3 pair
+    *     with one clean band) — measured to close the "band instead of
+    *     ball?" question at operating density.
+    * Probe rows = (N+2000)·ballCount(bits) is arithmetic, printed for
+    * context. */
+  private def ballMode(spark: org.apache.spark.sql.SparkSession,
+                       n: Long, bitsList: Seq[Int]): Unit = {
+    val nPlant = 2000L
+    def synthEmb(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(64)), d =>
+        (pmod(xxhash64(id, d), lit(200000L)).cast("double")
+          / 100000.0 - 1.0).cast("float"))
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      synthEmb(col("id")).as("embedding"))
+    // perturbed copies of ids [0, nPlant): noise uniform in [-0.48,
+    // 0.48) per dim → E[cos] ≈ 0.9 against var-1/3 components
+    val dups = spark.range(nPlant).select((col("id") + n).as("vec_id"),
+      zip_with(synthEmb(col("id")),
+        transform(sequence(lit(1), lit(64)), d =>
+          (pmod(xxhash64(col("id") + 7777777L, d), lit(96000L))
+            .cast("double") / 100000.0 - 0.48).cast("float")),
+        (x, nz) => (x + nz).cast("float")).as("embedding"))
+    val e = base.unionAll(dups).persist()
+    val total = e.count()
+    val meanCos = e.filter(col("vec_id") >= n)
+      .select((col("vec_id") - n).as("vec_id"),
+              col("embedding").as("emb_b"))
+      .join(base, Seq("vec_id"))
+      .select(avg(Similarity.cosine(col("embedding"), col("emb_b"))))
+      .first.getDouble(0)
+    println(f"corpus $total vectors ($nPlant planted pairs, mean " +
+      f"cosine $meanCos%.3f), radius ${Similarity.ProbeRadius}")
+    println("bits  ball_probes/row  recall  ball_cands  band4_cands")
+    for (bits <- bitsList) {
+      val sigged = e.select(col("vec_id"),
+        Similarity.signBits(col("embedding"), bits).as("sig")).persist()
+      sigged.count()
+      val okPairs = sigged.filter(col("vec_id") >= n)
+        .select((col("vec_id") - n).as("vec_id"), col("sig").as("sig_b"))
+        .join(sigged, Seq("vec_id"))
+        .filter(expr(
+          s"bit_count(sig ^ sig_b) <= ${Similarity.ProbeRadius}"))
+        .count()
+      val recall = okPairs.toDouble / nPlant
+      // exact candidate volumes from the signature histogram
+      val h = sigged.groupBy(col("sig")).agg(count(lit(1)).as("c"))
+        .persist()
+      h.count()
+      val masks = typedLit(
+        Similarity.ballMasks(bits, Similarity.ProbeRadius))
+      val ballCands = h.select(col("c"),
+          explode(masks).as("m"), col("sig"))
+        .select((col("sig").bitwiseXOR(col("m"))).as("sig2"), col("c"))
+        .join(h.select(col("sig").as("sig2"), col("c").as("c2")),
+          Seq("sig2"))
+        .select(sum(col("c") * col("c2"))).first.getLong(0) - total
+      val w = (bits + 3) / 4
+      val bandCands = (0 until 4).map { b =>
+        val mask = ((1L << math.min(w, math.max(1, bits - b * w))) - 1
+          ) << (b * w)
+        sigged.groupBy((col("sig").bitwiseAND(lit(mask))).as("v"))
+          .agg(count(lit(1)).as("c"))
+          .select(sum(col("c") * col("c"))).first.getLong(0) - total
+      }.sum
+      println(f"$bits%4d ${Similarity.ballCount(bits)}%15d $recall%7.3f " +
+        f"$ballCands%11d $bandCands%12d")
+      h.unpersist(); sigged.unpersist()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ball")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = graft.GraftSession
+        .builder(s"local[$cpus]", shufflePartitions = Some(cpus.toInt))
+        .config("spark.ui.enabled", "false")
+        // the sig histogram at wide widths is ~N rows — too big to
+        // auto-broadcast into the volume join (maxResultSize trip)
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.driver.maxResultSize", "8g")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+      val bl =
+        if (args.length > 2) args.drop(2).toSeq.map(_.toInt)
+        else Seq(10, 14, 17, 20, 24, 28, 32)
+      ballMode(spark, n, bl)
+      return
+    }
     val dir = args.headOption.getOrElse("/tmp/probe100")
     val bitsList =
       if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
