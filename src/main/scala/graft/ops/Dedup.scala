@@ -246,7 +246,7 @@ object Dedup {
     // Bucket width scales with N (8 bits at fixture sizes, more as the
     // corpus grows) so expected in-bucket pairing stays Θ(N·64·probes),
     // not N²/256 — see Similarity.adaptiveBits. count() is footer-only.
-    val bits = Similarity.adaptiveBits(
+    val bits = Similarity.gateBits(
       Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),

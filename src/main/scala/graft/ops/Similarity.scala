@@ -121,6 +121,40 @@ object Similarity {
     * equi-join fan-out, never all-pairs. */
   val ProbeRadius = 3
 
+  /** Signature-width cap of the SYMMETRIC ball gates (embedPairs'
+    * near-dup/semantic pairing, annIncremental, the streaming ANN
+    * admission twin) — pinned by PropertySpec, measured by
+    * `RecallCurve ball` at 1M vectors with 2000 planted 0.90-cosine
+    * pairs (SCALE.md round-11):
+    *
+    *   bits        10     14     17     20     24     28
+    *   recall@≤3  .975   .923   .865   .789   .678   .562
+    *   probes/row  176    470    834   1351   2325   3683
+    *
+    * At FIXED radius 3 the gate's recall falls with width (a 0.9-cos
+    * pair flips each sign bit with p ≈ 0.135, so P(Hamming ≤ 3) shrinks
+    * as bits grow) and crosses the 0.5 line — the rationale that made 3
+    * the radius — just past 28 bits. 24 is the last width with margin
+    * (0.678) and corresponds to the operating point N = 64·2²⁴ ≈ 1.1G
+    * vectors: the symmetric sign gate is certified to ~10⁹ vectors and
+    * HANDS OFF beyond (the poolBits doctrine — past the cap, near-dup
+    * gating belongs to the cluster-bucketed route the family already
+    * ships: semantic_dedup / kmeans cells). The 4-band MinHash-style
+    * split was measured out as the alternative: its candidate volume is
+    * WORSE at every width in range (439G vs the ball's 28.8G at the
+    * 14-bit operating width; 31.4G vs 13.8M at 28 bits) because a
+    * bits/4-wide band keeps bucket density N/2^(bits/4) — the OR-
+    * amplification only pays at widths the recall curve has already
+    * disqualified. The DIRECTED search tier is not capped here: its
+    * budget (probeBudget/poolBits) is the asymmetric dial. */
+  private[graft] val GateMaxBits = 24
+
+  /** Width the symmetric gates actually use: adaptive, capped. At every
+    * fixture scale this equals adaptiveBits (= 8), so the static 8-bit
+    * oracles are untouched. */
+  private[graft] def gateBits(n: Long): Int =
+    math.min(adaptiveBits(n), GateMaxBits)
+
   /** The Hamming ≤ `radius` ball's probe count: C(bits,0)+…+C(bits,3). */
   private[graft] def ballCount(bits: Int): Int =
     1 + bits + bits * (bits - 1) / 2 + bits * (bits - 1) * (bits - 2) / 6
@@ -393,7 +427,7 @@ object Similarity {
     * is a max(struct(sim, −id)) — one aggregate, no window over the
     * corpus, deterministic in both engines. */
   def annIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val bits = gateBits(Tables.t(spark, dir, "embeddings").count())
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
               signBits(col("embedding"), bits).as("bucket"))

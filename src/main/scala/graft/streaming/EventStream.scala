@@ -583,7 +583,7 @@ object EventStream {
   def annAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
     val sim = graft.ops.Similarity
     // count() is answered from parquet footer metadata, no data scan
-    val bits = sim.adaptiveBits(
+    val bits = sim.gateBits(
       graft.Tables.t(spark, dir, "embeddings").count())
     val index = publish(
       graft.Tables.spread(graft.Tables.t(spark, dir, "embeddings"))

@@ -309,6 +309,31 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Similarity.probeBudget(64) === 39808)
   }
 
+  test("symmetric-gate width cap: GateMaxBits = 24 (the round-11 " +
+       "measured dial), fixture widths untouched") {
+    import graft.ops.Similarity
+    // the RecallCurve ball measurement at 1M vectors / 2000 planted
+    // 0.90-cos pairs: recall@Hamming≤3 = .975/.923/.865/.789/.678/.562
+    // at 10/14/17/20/24/28 bits — the 0.5 rationale line is crossed
+    // just past 28, and 24 (recall 0.678, N ≈ 1.1G vectors) is the
+    // last width with margin; SCALE.md round-11 carries the curve
+    assert(Similarity.GateMaxBits === 24)
+    // below the cap the gates keep the adaptive width — every fixture
+    // scale stays at the oracles' 8 bits
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val n = TestSpark.spark.read
+        .parquet(s"/root/testdata/sf$sf/embeddings.parquet").count()
+      assert(Similarity.gateBits(n) === 8, s"sf$sf")
+    }
+    assert(Similarity.gateBits(200000L) ===
+      Similarity.adaptiveBits(200000L))
+    assert(Similarity.gateBits(64L << 24) === 24) // the certified edge
+    // above it the gate width pins at the cap instead of following
+    // adaptiveBits into the recall collapse
+    assert(Similarity.gateBits(1L << 40) === 24)
+    assert(Similarity.adaptiveBits(1L << 40) === 34)
+  }
+
   test("directedProbes selects the budget-many lowest-(margin-sum, mask) " +
        "flip variants — driver recompute on a hand vector") {
     val emb = Array(0.5f, -0.01f, 0.02f, -0.3f, 0.001f, 0.6f, -0.05f, 0.004f)
