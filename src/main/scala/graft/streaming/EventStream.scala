@@ -287,6 +287,13 @@ object EventStream {
     * stays bounded by KEY cardinality — the same bound the production
     * 2-hour form enjoys; only the gate needs the horizon pinned open). */
   def dedupArrivalStream(spark: SparkSession, dir: String): DataFrame =
+    dedupArrivalStreamFrom(spark, arrivalStagedDir(spark, dir))
+
+  /** The stream itself, over an already-staged arrival dir — split out
+    * so the restart-recovery spec can feed the permutation one file per
+    * RUN (die between f_0000 and f_0001) through the same lineage. */
+  private[graft] def dedupArrivalStreamFrom(spark: SparkSession,
+      stagedDir: String): DataFrame =
     spark.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType),
@@ -295,7 +302,7 @@ object EventStream {
         StructField("event_type", StringType),
         StructField("value", DoubleType))))
       .option("maxFilesPerTrigger", "1")
-      .parquet(arrivalStagedDir(spark, dir))
+      .parquet(stagedDir)
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"),

@@ -776,6 +776,22 @@ class PlanSpec extends AnyFunSuite {
            !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("psi_drift: no exact-percentile aggregate anywhere in the plan — " +
+       "edges are pre-learned order statistics (distributedRank), the " +
+       "corpus pass is one map-side bin + bounded aggregate") {
+    // the round-11 100x probe's one super-linear find: nine scalar
+    // percentile() buffers merged in one task (316 s at 15M orders).
+    // psiEdges now learns edges eagerly via bounded-memory ranking, so
+    // the consuming plan must carry only the broadcast 1-row edge
+    // relation — any 'percentile(' in the plan is the regression
+    val p = plan(graft.ops.Audit.psiDrift(spark, sf))
+    assert(!p.contains("percentile"),
+      "exact percentile must not re-enter the psi plan")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the 1-row edge relation joins as a broadcast")
+  }
+
   test("q11_important: the grand total broadcasts back over the per-part " +
        "aggregate — the fact table is scanned once, not once per scalar") {
     val p = plan(graft.ops.Relational.q11Important(spark, sf))

@@ -243,6 +243,81 @@ class StreamingLateSpec extends AnyFunSuite {
     }
   }
 
+  test("arrival-dedup restart recovery: keys admitted before the stop " +
+       "stay deduped after it, on both state store providers") {
+    // the twin's own staging splits winners/losers into two files; here
+    // the split is fed ONE FILE PER RUN with a kill in between, so every
+    // loser arrives against RESTORED dropDuplicatesWithinWatermark
+    // state — a failed restore would emit losers as fresh keys
+    val fixture = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.events(spark, fixture)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+      .withColumn("arn", row_number().over(Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id").desc)))
+    val winners = ranked.filter(col("arn") === 1).drop("arn")
+    val losers = ranked.filter(col("arn") =!= 1).drop("arn")
+    val want = winners.collect()
+      .map(r => (r.getLong(2), r.getString(3)) -> r.getLong(0)).toMap
+    assert(want.nonEmpty)
+    def addFlat(df: DataFrame, dir: String, name: String): Unit = {
+      val staging = Files.createTempDirectory("graft_arr_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(part), Paths.get(dir, name))
+    }
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    for (provider <- Seq(None, Some(rocks))) {
+      val streamDir = Files.createTempDirectory("graft_arrdd").toString
+      val out = Files.createTempDirectory("graft_arrdd_out").toString
+      val ckpt = Files.createTempDirectory("graft_arrdd_ck").toString
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      provider.foreach(spark.conf.set(provKey, _))
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        addFlat(winners, streamDir, "f_0000.parquet")
+        def start() = graft.streaming.EventStream
+          .dedupArrivalStreamFrom(spark, streamDir)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/b$id")
+          }
+          .start()
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop()
+        addFlat(losers, streamDir, "f_0001.parquet")
+        val q2 = start()
+        try {
+          q2.processAllAvailable()
+          assert(q2.recentProgress.nonEmpty)
+        } finally q2.stop()
+        val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+          .sorted
+        val got = spark.read.parquet(dirs: _*).collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        assert(got.length === want.size,
+          s"provider=$provider: exactly one survivor per key — a loser " +
+            "slipping through means the state did not restore")
+        assert(got.toMap === want,
+          s"provider=$provider: survivors must be the first-arrived " +
+            "(max event_id) payloads")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None    => spark.conf.unset(provKey)
+        }
+      }
+    }
+  }
+
   test("foreachBatch sink: streamed keyed upsert converges to the batch " +
        "last-writer-wins result") {
     val streamDir = Files.createTempDirectory("graft_fb").toString
