@@ -872,6 +872,60 @@ object Similarity {
         lit(nVecs.toDouble) + 1e-9, 4).as("skew_after"))
   }
 
+  /** Per-query recall of an ANN leg against exact truth — the shared
+    * metric tail of annRecall and annDimTradeoff. Both sides are
+    * ≤ |Q|·k rows, so the ANN leg broadcasts and the per-method tail
+    * stays exchange-free. */
+  private def recallAgainst(truth: DataFrame, ann: DataFrame,
+      method: String): DataFrame =
+    truth.as("t")
+      .join(broadcast(ann.as("a")),
+        col("t.query_id") === col("a.query_id") &&
+          col("t.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("t.query_id").as("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+           count(col("a.neighbor_id")).as("n_hit"))
+      .select(lit(method).as("method"), col("query_id"),
+        col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth") + 1e-9, 4)
+          .as("recall"))
+
+  /** Dimension-truncation retrieval evaluation — the matryoshka
+    * question a vector tier answers before choosing how many dimensions
+    * its index actually stores: recall@5 of brute-force cosine over the
+    * FIRST d dims (d ∈ 8/16/32/64) against the full-dim exact truth on
+    * the hash-min probe sample. Truncation is the cheapest compression
+    * dial there is (a prefix slice — no codebook, no training), so this
+    * curve is what decides whether the PQ/int8 tiers are even needed at
+    * a given recall target; the d=64 leg equals the truth by
+    * construction (recall 1.0 — the self-check row).
+    *
+    * Scale: each leg is the priced bounded-probe brute (|Q|·N map-side
+    * dot products over the broadcast sample, k-heap rank — topKBrute's
+    * shape, 4 legs); the metric tails are the shared ≤ |Q|·k broadcast
+    * joins. Nothing corpus-sized shuffles. */
+  def annDimTradeoff(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val truth = topKBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id").as("neighbor_id"),
+              col("embedding").as("n_emb"))
+    val q = vecSample(spark, dir, 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val legs = Seq(8, 16, 32, 64).map { d =>
+      val ann = rankTopK(
+        broadcast(q).crossJoin(e)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(cosine(slice(col("q_emb"), 1, d),
+                         slice(col("n_emb"), 1, d)), 6).as("sim")),
+        k)
+      recallAgainst(truth, ann, f"d$d%02d")
+    }
+    legs.reduce(_.unionAll(_)).orderBy(col("method"), col("query_id"))
+  }
+
   /** Recall@k evaluation of BOTH approximate paths (sign-LSH buckets and
     * IVF cells) against exact brute-force ground truth on the probe
     * sample — the method-comparison loop every ANN deployment runs
@@ -896,20 +950,8 @@ object Similarity {
     val k = 5
     val truth = topKBrute(spark, dir) // probes the hash-min 10, top-5
 
-    // both sides of the metric join are ≤ |Q|·k rows — broadcast the ANN
-    // leg so the three per-method tails stay exchange-free
     def recallOf(ann: DataFrame, method: String): DataFrame =
-      truth.as("t")
-        .join(broadcast(ann.as("a")),
-          col("t.query_id") === col("a.query_id") &&
-            col("t.neighbor_id") === col("a.neighbor_id"), "left")
-        .groupBy(col("t.query_id").as("query_id"))
-        .agg(count(lit(1)).as("n_truth"),
-             count(col("a.neighbor_id")).as("n_hit"))
-        .select(lit(method).as("method"), col("query_id"),
-          col("n_truth"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_truth") + 1e-9, 4)
-            .as("recall"))
+      recallAgainst(truth, ann, method)
 
     val probeIds = vecSampleIds(spark, dir, 10)
     val lsh = rankTopK(
@@ -1393,7 +1435,8 @@ object Similarity {
     "sim_ann_pq"     -> (simAnnPq _),
     "mmr_select"     -> (mmrSelect _),
     "cluster_balance" -> (clusterBalance _),
-    "ivf_retrain"    -> (ivfRetrain _))
+    "ivf_retrain"    -> (ivfRetrain _),
+    "ann_dim_tradeoff" -> (annDimTradeoff _))
 
   /** DuckDB cosine written out explicitly (dot/(|a||b|) in double) so the
     * arithmetic mirrors `cosine` above; 6-dp rounding absorbs summation-
@@ -1547,6 +1590,48 @@ object Similarity {
     }.mkString("WITH ", ",\n", "")
 
   val oracle: Map[String, String] = Map(
+    "ann_dim_tradeoff" -> {
+      val legs = Seq(8, 16, 32, 64).map { d =>
+        s"""p_$d AS (
+           |  SELECT q.query_id, e.vec_id AS neighbor_id,
+           |    ${duckCosine(s"q.q_emb[1:$d]", s"e.embedding[1:$d]")} AS sim
+           |  FROM qs q JOIN embeddings e ON e.vec_id <> q.query_id),
+           |a_$d AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+           |      AS rnk
+           |    FROM p_$d) WHERE rnk <= 5),
+           |r_$d AS (
+           |  SELECT 'd${"%02d".format(d)}' AS method, t.query_id,
+           |    count(*)::BIGINT AS n_truth,
+           |    count(a.neighbor_id)::BIGINT AS n_hit,
+           |    ROUND(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4)
+           |      AS recall
+           |  FROM truth t LEFT JOIN a_$d a
+           |    ON t.query_id = a.query_id
+           |   AND t.neighbor_id = a.neighbor_id
+           |  GROUP BY t.query_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qs AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM (${duckVecSample(10)})),
+         |bp AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         ${duckCosine("q_emb", "embedding")} AS sim
+         |  FROM qs CROSS JOIN embeddings
+         |  WHERE vec_id <> query_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |      AS rnk
+         |    FROM bp) WHERE rnk <= 5),
+         |$legs
+         |SELECT * FROM r_8 UNION ALL SELECT * FROM r_16
+         |UNION ALL SELECT * FROM r_32 UNION ALL SELECT * FROM r_64
+         |ORDER BY method, query_id""".stripMargin
+    },
     "ivf_retrain" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent

@@ -831,6 +831,34 @@ class TextSimilaritySpec extends AnyFunSuite {
       "the legs must not be identical rankings")
   }
 
+  test("ann_dim_tradeoff: the full-dim leg scores exactly 1, and the " +
+       "d=8 leg equals a plain-Scala truncated-cosine recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = fixtureVecs(sf)
+    val vmap = vecs.toMap
+    val rows = Similarity.annDimTradeoff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val qIds = hashMin(vecs, 10).map(_._1)
+    assert(rows.keySet.map(_._1) === Set("d08", "d16", "d32", "d64"))
+    assert(rows.keySet.filter(_._1 == "d64").map(_._2) === qIds.toSet)
+    // d64 IS the truth: recall exactly 1 for every query
+    qIds.foreach { q =>
+      val (nt, nh, rec) = rows(("d64", q))
+      assert(nt === nh && rec === 1.0, s"q=$q")
+    }
+    // d08 leg == independent truncated-cosine recompute
+    def top5(d: Int, q: Long): Set[Long] =
+      vecs.filter(_._1 != q).map { case (n, v) =>
+        (q6d(cosd(vmap(q).take(d), v.take(d))), n)
+      }.sortBy { case (s, n) => (-s, n) }.take(5).map(_._2).toSet
+    qIds.foreach { q =>
+      val truth = top5(64, q)
+      val hit = (top5(8, q) intersect truth).size.toLong
+      assert(rows(("d08", q))._2 === hit, s"q=$q")
+    }
+  }
+
   test("ivf_retrain == an independent plain-Scala Lloyd update from the " +
        "current assignment, and the gate consumes cluster_balance's skew") {
     val sf = "/root/testdata/sf0.001"
