@@ -488,12 +488,17 @@ object Events {
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
-    val med = e.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val mad = e.join(broadcast(med), Seq("event_type"))
-      .groupBy(col("event_type"))
-      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
-           first(col("med")).as("med"))
+    // both median stages ride the bounded-memory grouped exact quantile
+    // dataflow (Relational.groupedQuantiles) — percentile() held each
+    // type's Θ(distinct values) buffer whole in one task
+    val med = Relational.groupedQuantiles(e, "event_type", "value",
+      Seq(("med", 0.5)))
+    val mad = Relational.groupedQuantiles(
+        e.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), abs(col("value") - col("med"))
+            .as("absdev")),
+        "event_type", "absdev", Seq(("mad", 0.5)))
+      .join(broadcast(med), Seq("event_type"))
     e.join(broadcast(mad), Seq("event_type"))
       .withColumn("rscore",
         round((col("value") - col("med")) / (col("mad") * 1.4826) + 1e-9, 4))
@@ -750,15 +755,23 @@ object Events {
   def interarrival(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    // per-type tail quantiles via the bounded-memory grouped exact
+    // quantile dataflow (Relational.groupedQuantiles — the percentile()
+    // form held each type's Θ(distinct deltas) buffer in one task)
+    val deltas = Tables.events(spark, dir)
       .withColumn("delta_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
       .filter(col("delta_us").isNotNull)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"),
-        round(expr("percentile(delta_us, 0.5)") + 1e-9, 2).as("p50_us"),
-        round(expr("percentile(delta_us, 0.9)") + 1e-9, 2).as("p90_us"),
-        round(expr("percentile(delta_us, 0.99)") + 1e-9, 2).as("p99_us"))
+      .select(col("event_type"), col("delta_us"))
+    val counts = deltas.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"))
+    val qs = Relational.groupedQuantiles(deltas, "event_type", "delta_us",
+      Seq(("q50", 0.5), ("q90", 0.9), ("q99", 0.99)))
+    counts.join(qs, Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("q50") + 1e-9, 2).as("p50_us"),
+        round(col("q90") + 1e-9, 2).as("p90_us"),
+        round(col("q99") + 1e-9, 2).as("p99_us"))
       .orderBy(col("event_type"))
   }
 

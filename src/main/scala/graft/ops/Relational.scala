@@ -966,6 +966,81 @@ object Relational {
     else ranked.drop("_bkt", "_off", "_soff", "_stotal")
   }
 
+  /** Exact PER-GROUP quantiles with bounded task memory — the grouped
+    * complement of the psiEdges order-statistic selection. percentile()
+    * holds each group's value→count map WHOLE in that group's
+    * final-merge task (Θ(distinct values per group) heap — the shape
+    * the round-11 probe measured at 316 s / 15M rows for psi_drift's
+    * ungrouped case; a grouped call concentrates the same buffer in
+    * |groups| tasks). Here the identical multiset semantics compute as
+    * a dataflow: the (group, value) HISTOGRAM aggregates map-side
+    * (Θ(distinct) distributed ROWS, no big buffer), a per-group window
+    * over the histogram assigns each distinct value its [lo, hi] rank
+    * range (window sort SPILLS — disk-safe, unlike an aggregation
+    * buffer), each requested p fetches its two flanking ranks
+    * pos = p·(n_g−1) through a broadcast of the Θ(|groups|·|ps|) target
+    * relation, and the interpolation replicates Spark Percentile's
+    * `if (lower == higher) lowerKey else (higher−pos)·lowerKey +
+    * (pos−lower)·higherKey` double arithmetic in columns — results are
+    * bit-identical to percentile() and the DuckDB quantile_cont
+    * oracles. Returns one row per group: groupCol + one double column
+    * per (name, p). */
+  private[ops] def groupedQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val hist = df.filter(v.isNotNull)
+      .groupBy(g, v).agg(count(lit(1)).as("_c"))
+    // rank WITHIN (group, value-range bucket), offsets from the bounded
+    // (|groups|·|buckets|) aggregate — the distributedRank move applied
+    // per group, so no task ever sorts more than a bucket's slice of
+    // one group's histogram (a bare per-group window would concentrate
+    // each group's whole Θ(distinct) histogram in one sort task; global
+    // bounds can still leave a value-concentrated group in few buckets
+    // — the residual, same as distributedRank's)
+    val bounds = df.filter(v.isNotNull).stat
+      .approxQuantile(valueCol, (1 until 32).map(_ / 32.0).toArray, 0.01)
+      .distinct.sorted
+    val vd = v.cast("double")
+    val withB = hist.withColumn("_bkt",
+      size(filter(typedLit(bounds.toSeq), b => vd > b)))
+    val wOff = Window.partitionBy(g).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(g, col("_bkt"))
+      .agg(sum(col("_c")).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .select(g, col("_bkt"), col("_off"))
+    val wIn = Window.partitionBy(g, col("_bkt")).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = withB.join(broadcast(offs), Seq(groupCol, "_bkt"))
+      .withColumn("_hi", col("_off") + sum(col("_c")).over(wIn))
+      .withColumn("_lo", col("_hi") - col("_c") + 1)
+    val targets = ranked.groupBy(g).agg(max(col("_hi")).as("_n"))
+      .select(g +: ps.map { case (nm, p) =>
+        (lit(p) * (col("_n") - 1).cast("double")).as(s"_pos_$nm") }: _*)
+    // one streamed pass of the histogram past the broadcast targets;
+    // each p keeps only its two flanking ranks
+    val joined = ranked.join(broadcast(targets), Seq(groupCol))
+    val picks = ps.map { case (nm, _) =>
+      val pos = col(s"_pos_$nm")
+      val rlo = (floor(pos) + 1).cast("long")
+      val rho = (ceil(pos) + 1).cast("long")
+      Seq(
+        max(when(rlo.between(col("_lo"), col("_hi")), v)).as(s"_vlo_$nm"),
+        max(when(rho.between(col("_lo"), col("_hi")), v)).as(s"_vho_$nm"),
+        first(pos).as(s"_p_$nm"))
+    }
+    val agg = joined.groupBy(g)
+      .agg(picks.flatten.head, picks.flatten.tail: _*)
+    agg.select(g +: ps.map { case (nm, _) =>
+      val pos = col(s"_p_$nm")
+      val lo = col(s"_vlo_$nm").cast("double")
+      val hi = col(s"_vho_$nm").cast("double")
+      when(floor(pos) === ceil(pos), lo)
+        .otherwise((ceil(pos) - pos) * lo + (pos - floor(pos)) * hi)
+        .as(nm) }: _*)
+  }
+
   /** Exact NTILE(k) bucket from a global 1-based rank: the first n%k
     * buckets take ceil(n/k) rows, the rest floor(n/k) — the ANSI
     * definition both Spark and DuckDB implement. Computing it from the

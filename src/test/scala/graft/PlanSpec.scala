@@ -181,15 +181,21 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("LessThan(l_quantity"))
   }
 
-  test("mad_outlier: both percentile stages aggregate partially map-side " +
-       "and join back broadcast — never a per-type window sort") {
+  test("mad_outlier: both median stages ride the bounded-memory grouped " +
+       "quantile dataflow — no percentile value-buffer aggregate, ranking " +
+       "windows keyed by (type, value bucket), stats broadcast back") {
     val p = plan(graft.ops.Events.madOutliers(spark, sf))
-    assert("partial_percentile".r.findAllIn(p).length === 2,
-      "median and MAD must both be partial+final aggregations")
-    assert("BroadcastHashJoin".r.findAllIn(p).length === 2,
+    assert(!p.contains("percentile"),
+      "the Θ(distinct-per-type) percentile buffer must not return")
+    // the quantile ranking window partitions by (group, _bkt): a window
+    // keyed by the group ALONE would concentrate one type's whole
+    // histogram in a single sort task
+    assert(p.contains("_bkt"),
+      "ranking must be bucketed (the distributedRank move per group)")
+    assert(p.contains("BroadcastHashJoin"),
       "the |event types|-row statistics must broadcast back")
-    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
-      "no full-type shuffle or window sort belongs in this plan")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-sized should sort-merge in this plan")
   }
 
   test("weighted_sample: ticket-min priority is computed map-side before " +
