@@ -369,11 +369,19 @@ object Curation {
     // (tied 4-dp scores), and a 1-ulp edge wobble next to a real data
     // value flips bin membership. Scores are 4-dp quantized, so 6-dp
     // edges lose nothing and cannot wobble.
-    val edges = docs.agg(
-      expr("round(percentile(avg_logp, 0.1) + 1e-9, 6)").as("e1"),
-      (2 to 9).map(k =>
-        expr(s"round(percentile(avg_logp, 0.$k) + 1e-9, 6)")
-          .as(s"e$k")): _*)
+    // one bounded-memory grouped-quantile pass (constant group) instead
+    // of 9 scalar percentile() buffers; groupedQuantiles replicates the
+    // percentile interpolation bit-for-bit, so the 6-dp rounding below
+    // sees identical doubles
+    val edges = {
+      val q = Relational.exactQuantiles(
+        docs.select(lit(1).as("_all"), col("avg_logp")),
+        "_all", "avg_logp",
+        (1 to 9).map(k => (s"q$k", s"0.$k".toDouble)),
+        Tables.t(spark, dir, "documents").count())
+      q.select((1 to 9).map(k =>
+        round(col(s"q$k") + 1e-9, 6).as(s"e$k")): _*)
+    }
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     // keeping bin b means keeping every bin ABOVE it too: cumulate from
@@ -884,10 +892,14 @@ object Curation {
   def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val edges = d.agg(
-      expr("percentile(n_chars, 0.05)").as("q1"),
-      (2 to 19).map(k =>
-        expr(f"percentile(n_chars, ${k / 20.0}%.2f)").as(s"q$k")): _*)
+    // one bounded-memory grouped-quantile pass (constant group) instead
+    // of 19 scalar percentile() buffers — bit-identical edges
+    val edges = Relational.exactQuantiles(
+        d.select(lit(1).as("_all"), col("n_chars")),
+        "_all", "n_chars",
+        (1 to 19).map(k => (s"q$k", f"${k / 20.0}%.2f".toDouble)),
+        Tables.t(spark, dir, "documents").count())
+      .drop("_all")
     val binned = d.crossJoin(broadcast(edges))
       .withColumn("bin", expr(qnBinExpr).cast("long"))
       .select(col("doc_id"), col("source"), col("n_chars"), col("bin"))

@@ -491,13 +491,23 @@ object Events {
     // both median stages ride the bounded-memory grouped exact quantile
     // dataflow (Relational.groupedQuantiles) — percentile() held each
     // type's Θ(distinct values) buffer whole in one task
-    val med = Relational.groupedQuantiles(e, "event_type", "value",
-      Seq(("med", 0.5)))
-    val mad = Relational.groupedQuantiles(
+    val nEvents = Tables.t(spark, dir, "events").count() // footer-only
+    // the per-type medians are a |types|-row MODEL PARAMETER (the
+    // psiEdges doctrine): collected once, so the deviations stage and
+    // the final report read a local relation instead of re-evaluating
+    // the median subtree twice (two corpus passes at scale)
+    val med = {
+      import spark.implicits._
+      Relational.exactQuantiles(e, "event_type", "value",
+          Seq(("med", 0.5)), nEvents)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        .toDF("event_type", "med")
+    }
+    val mad = Relational.exactQuantiles(
         e.join(broadcast(med), Seq("event_type"))
           .select(col("event_type"), abs(col("value") - col("med"))
             .as("absdev")),
-        "event_type", "absdev", Seq(("mad", 0.5)))
+        "event_type", "absdev", Seq(("mad", 0.5)), nEvents)
       .join(broadcast(med), Seq("event_type"))
     e.join(broadcast(mad), Seq("event_type"))
       .withColumn("rscore",
@@ -765,8 +775,9 @@ object Events {
       .select(col("event_type"), col("delta_us"))
     val counts = deltas.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"))
-    val qs = Relational.groupedQuantiles(deltas, "event_type", "delta_us",
-      Seq(("q50", 0.5), ("q90", 0.9), ("q99", 0.99)))
+    val nEvents = Tables.t(spark, dir, "events").count() // footer-only
+    val qs = Relational.exactQuantiles(deltas, "event_type", "delta_us",
+      Seq(("q50", 0.5), ("q90", 0.9), ("q99", 0.99)), nEvents)
     counts.join(qs, Seq("event_type"))
       .select(col("event_type"), col("n_gaps"),
         round(col("q50") + 1e-9, 2).as("p50_us"),

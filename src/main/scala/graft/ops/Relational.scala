@@ -166,21 +166,30 @@ object Relational {
       .orderBy(col("l_suppkey"))
 
   /** Exact ordered-set aggregation: linear-interpolated percentiles per
-    * group (+1e-9 decimal-tie break, see q1Agg). Exact percentile sorts
-    * within each group — for 100 TB hot paths approx_percentile's
-    * mergeable sketch is the swap-in; the exact form is what the oracle
-    * can check. */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)) + 1e-9, 4)
-          .as("p50_price"),
-        round(percentile(col("l_extendedprice"), lit(0.9)) + 1e-9, 4)
-          .as("p90_price"),
-        round(percentile(col("l_quantity"), lit(0.5)) + 1e-9, 4)
-          .as("p50_qty"))
+    * group (+1e-9 decimal-tie break, see q1Agg). Rides the
+    * bounded-memory grouped-quantile dataflow (groupedQuantiles — the
+    * percentile() aggregate held each group's Θ(distinct) value buffer
+    * in one task); results are bit-identical, so the oracle is
+    * unchanged. For 100 TB hot paths approx_percentile's mergeable
+    * sketch is still the swap-in; the exact form is what the oracle can
+    * check. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+    val nLi = li.count() // footer-only
+    val price = exactQuantiles(
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice",
+      Seq(("q50p", 0.5), ("q90p", 0.9)), nLi)
+    val qty = exactQuantiles(
+      li.select(col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", "l_quantity", Seq(("q50q", 0.5)), nLi)
+    price.join(qty, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("q50p") + 1e-9, 4).as("p50_price"),
+        round(col("q90p") + 1e-9, 4).as("p90_price"),
+        round(col("q50q") + 1e-9, 4).as("p50_qty"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Semi/anti join family (EXISTS / NOT EXISTS): segment customers by
     * whether they have an urgent order. Semi/anti never materialize the
@@ -266,23 +275,29 @@ object Relational {
     * precisely when a sketch drifts out of spec. Bounds: HLL++ default
     * rsd 5% → allow 3σ = 15%; percentile_approx(accuracy=1000) is
     * rank-exact within 1/1000, far inside the exact p45..p55 corridor. */
-  def approxSketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+    // the exact corridor rides the bounded-memory grouped-quantile
+    // dataflow; the sketches stay in the one aggregate pass
+    val exact = exactQuantiles(
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice",
+      Seq(("p45", 0.45), ("p50", 0.5), ("p55", 0.55)), li.count())
+    li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("nd_exact"),
            approx_count_distinct(col("l_partkey")).as("nd_approx"),
-           expr("percentile(l_extendedprice, array(0.45D, 0.5D, 0.55D))")
-             .as("p_exact"),
            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
              .as("p50_approx"))
+      .join(broadcast(exact), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         col("nd_exact"),
         (abs(col("nd_approx") - col("nd_exact")).cast("double")
           / col("nd_exact") <= 0.15).as("nd_ok"),
-        round(element_at(col("p_exact"), 2) + lit(1e-9), 6).as("p50_exact"),
-        (col("p50_approx") >= element_at(col("p_exact"), 1) &&
-         col("p50_approx") <= element_at(col("p_exact"), 3)).as("p50_ok"))
+        round(col("p50") + lit(1e-9), 6).as("p50_exact"),
+        (col("p50_approx") >= col("p45") &&
+         col("p50_approx") <= col("p55")).as("p50_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** SQL-text front: the same engine consumed as SQL over registered
     * views (plus the custom cosine_sim/shingles functions registered in
@@ -985,7 +1000,34 @@ object Relational {
     * bit-identical to percentile() and the DuckDB quantile_cont
     * oracles. Returns one row per group: groupCol + one double column
     * per (name, p). */
-  private[ops] def groupedQuantiles(df: DataFrame, groupCol: String,
+  /** Input-size floor above which exact grouped quantiles switch from
+    * the percentile() aggregate to the bucketed dataflow below
+    * (PropertySpec-pinned). Below it the aggregate's value buffers are
+    * small and its single pass wins (the dataflow pays ~2–3 s of fixed
+    * job overhead per call — measured 9× on the sf0.1 bench when it was
+    * unconditional); above it the buffer is the round-11 psi_drift
+    * failure shape. The two forms are BIT-IDENTICAL (the dataflow
+    * replicates Spark Percentile's interpolation), so the switch can
+    * never change a result — the same adaptive stance AQE takes on join
+    * strategies, keyed on the base table's footer count. */
+  private[graft] val QuantileDataflowMinRows = 5000000L
+
+  /** Exact per-group quantiles, mode chosen by input size — see
+    * QuantileDataflowMinRows. `inputRows` is the caller's base-table
+    * footer count (free; a filtered/derived count would cost a pass). */
+  private[graft] def exactQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[(String, Double)],
+      inputRows: Long): DataFrame =
+    if (inputRows < QuantileDataflowMinRows) {
+      val v = col(valueCol)
+      df.filter(v.isNotNull).groupBy(col(groupCol))
+        .agg(ps.map { case (nm, p) =>
+          expr(s"percentile($valueCol, $p)").as(nm) }.head,
+          ps.tail.map { case (nm, p) =>
+            expr(s"percentile($valueCol, $p)").as(nm) }: _*)
+    } else groupedQuantiles(df, groupCol, valueCol, ps)
+
+  private[graft] def groupedQuantiles(df: DataFrame, groupCol: String,
       valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
@@ -1518,9 +1560,11 @@ object Relational {
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    val cuts = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
-           expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    // exact interpolating cuts via the bounded-memory grouped-quantile
+    // dataflow (bit-identical to the old percentile() aggregate)
+    val cuts = exactQuantiles(li, "l_returnflag", "l_extendedprice",
+      Seq(("p05", 0.05), ("p95", 0.95)),
+      Tables.t(spark, dir, "lineitem").count())
     li.join(broadcast(cuts), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

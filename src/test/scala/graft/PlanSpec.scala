@@ -181,21 +181,37 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("LessThan(l_quantity"))
   }
 
-  test("mad_outlier: both median stages ride the bounded-memory grouped " +
-       "quantile dataflow — no percentile value-buffer aggregate, ranking " +
-       "windows keyed by (type, value bucket), stats broadcast back") {
+  test("mad_outlier at fixture scale: the small mode of the hybrid — " +
+       "percentile aggregates partial map-side, stats broadcast back") {
     val p = plan(graft.ops.Events.madOutliers(spark, sf))
-    assert(!p.contains("percentile"),
-      "the Θ(distinct-per-type) percentile buffer must not return")
-    // the quantile ranking window partitions by (group, _bkt): a window
-    // keyed by the group ALONE would concentrate one type's whole
-    // histogram in a single sort task
-    assert(p.contains("_bkt"),
-      "ranking must be bucketed (the distributedRank move per group)")
-    assert(p.contains("BroadcastHashJoin"),
+    // the median is a collected |types|-row model parameter (computed
+    // at construction), so exactly the MAD stage's percentile aggregate
+    // remains in the consuming plan
+    assert("partial_percentile".r.findAllIn(p).length === 1,
+      "the MAD stage must be a partial+final percentile aggregation " +
+        "below QuantileDataflowMinRows (and the median must NOT " +
+        "re-enter the plan)")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       "the |event types|-row statistics must broadcast back")
     assert(!p.contains("SortMergeJoin"),
       "nothing corpus-sized should sort-merge in this plan")
+  }
+
+  test("exact grouped quantiles, big mode: no percentile value-buffer " +
+       "aggregate; ranking windows keyed by (group, value bucket)") {
+    // the dataflow the hybrid switches to above QuantileDataflowMinRows
+    // (the round-11 psi_drift failure shape otherwise) — plan asserted
+    // directly, since no fixture crosses the 5M-row floor
+    val e = graft.Tables.t(spark, sf, "events")
+      .select("event_type", "value")
+    val p = plan(graft.ops.Relational.groupedQuantiles(
+      e, "event_type", "value", Seq(("q50", 0.5))))
+    assert(!p.contains("percentile"),
+      "the Θ(distinct-per-group) percentile buffer must not appear")
+    // a window keyed by the group ALONE would concentrate one group's
+    // whole histogram in a single sort task
+    assert(p.contains("_bkt"),
+      "ranking must be bucketed (the distributedRank move per group)")
   }
 
   test("weighted_sample: ticket-min priority is computed map-side before " +

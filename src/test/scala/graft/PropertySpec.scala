@@ -309,6 +309,27 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Similarity.probeBudget(64) === 39808)
   }
 
+  test("exact-quantile hybrid: the two modes are bit-identical on the " +
+       "real fixture (the guarantee that lets input size pick the mode)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    assert(graft.ops.Relational.QuantileDataflowMinRows === 5000000L)
+    val e = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("value"))
+    val ps = Seq(("q25", 0.25), ("q50", 0.5), ("q90", 0.9), ("q99", 0.99))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (1 to ps.size).map(r.getDouble)).toMap
+    val small = m(graft.ops.Relational.exactQuantiles(
+      e, "event_type", "value", ps, inputRows = 0L)) // percentile form
+    val big = m(graft.ops.Relational.groupedQuantiles(
+      e, "event_type", "value", ps)) // bucketed dataflow
+    assert(small.keySet === big.keySet)
+    small.keys.foreach { k =>
+      assert(small(k) === big(k), s"group $k") // BIT-identical doubles
+    }
+  }
+
   test("symmetric-gate width cap: GateMaxBits = 24 (the round-11 " +
        "measured dial), fixture widths untouched") {
     import graft.ops.Similarity
