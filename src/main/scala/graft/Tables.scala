@@ -27,6 +27,35 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cheap content fingerprint of one fixture table, for embedding in
+    * model/artifact cache keys (modelOnce / materializeOnce): a dir
+    * REGENERATED in-process (make_probe overwriting a /tmp probe dir, a
+    * spec rewriting its temp fixture) must not be served a stale trained
+    * model or staged relation. Pure local-FS stat (size + mtime; for a
+    * partitioned dir: part count + total bytes + max mtime) — no job.
+    * Immutable driver fixtures fingerprint identically for the whole
+    * JVM, so cached fast paths are unchanged there. */
+  def fp(dir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+    if (java.nio.file.Files.isRegularFile(p))
+      s"${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    else if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try {
+        var n = 0L; var bytes = 0L; var mt = 0L
+        s.forEach { f =>
+          if (java.nio.file.Files.isRegularFile(f)) {
+            n += 1; bytes += java.nio.file.Files.size(f)
+            mt = math.max(mt,
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          }
+        }
+        s"$n:$bytes:$mt"
+      } finally s.close()
+    } else "none"
+  }
+
   /** Conf that lets Spark's parquet reader accept INT64 TIMESTAMP(NANOS)
     * columns (as raw longs). Set at session build (Verify/Bench/TestSpark
     * all do); `ensureNanosAsLong` is the guarded fallback for externally

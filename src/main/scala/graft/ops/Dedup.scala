@@ -91,17 +91,20 @@ object Dedup {
     * PipelineSpec pins staged == recomputed. */
   private[graft] def stagedSignatures(spark: SparkSession,
       dir: String): DataFrame =
-    graft.Pipeline.materializeOnce(spark, s"minhash_sigs@$dir")(
+    graft.Pipeline.materializeOnce(spark,
+      s"minhash_sigs@$dir@${Tables.fp(dir, "documents")}")(
       signatures(spark, dir))
 
   private[graft] def stagedPairs(spark: SparkSession,
       dir: String): DataFrame =
-    graft.Pipeline.materializeOnce(spark, s"minhash_pairs@$dir")(
+    graft.Pipeline.materializeOnce(spark,
+      s"minhash_pairs@$dir@${Tables.fp(dir, "documents")}")(
       minhashPairs(spark, dir))
 
   /** Staged cluster labels — the query-map form of dedupClusters. */
   def stagedLabels(spark: SparkSession, dir: String): DataFrame =
-    graft.Pipeline.materializeOnce(spark, s"dedup_labels@$dir")(
+    graft.Pipeline.materializeOnce(spark,
+      s"dedup_labels@$dir@${Tables.fp(dir, "documents")}")(
       dedupClusters(spark, dir))
 
   /** X2b MinHash LSH candidate pairs: 2 bands × 2 rows — docs agreeing on
@@ -286,8 +289,13 @@ object Dedup {
     * labelComponents: 1M edges ≈ 16 MB of longs — comfortably a driver
     * collect (the same order as a broadcast-join build side), while two
     * orders below the 26M-pair candidate graphs the 100× probe produced,
-    * which stay on the distributed path. */
-  private[graft] val DriverCcMaxEdges = 1000000L
+    * which stay on the distributed path. The system property exists so
+    * a probe run can FORCE the GraphX Pregel branch on real data
+    * (-Dgraft.cc.maxDriverEdges=0) — the branch a 100 TB crawl would
+    * take must carry scale evidence, not just unit-test evidence. */
+  private[graft] def DriverCcMaxEdges: Long =
+    sys.props.get("graft.cc.maxDriverEdges").map(_.toLong)
+      .getOrElse(1000000L)
 
   /** Shared connected-components labeler: given an undirected candidate
     * pair relation (two long id columns) and the universe of ids, return
@@ -467,15 +475,22 @@ object Dedup {
       s"dedupClustersDF: label propagation did not converge in $iter rounds" +
         " — component diameter exceeds the budget; raise the cap or use" +
         " the GraphX path (dedupClusters)")
-    // Same broadcast-size bound as dedupClusters: materialize the small
-    // label table and release every cached iteration handle.
-    val labelRows = labels.collect().toSeq
+    // Materialize the label table DISTRIBUTED (persist + eager count —
+    // the same rule as labelComponents' Pregel path): labels are
+    // Θ(docs in candidate components), which in the regime dedup exists
+    // for can be a large share of the corpus, so they must never route
+    // through the driver (the round-11 review flagged the collect here
+    // as this file's one violation of its own doctrine). The eager
+    // count freezes the iterative lineage before the per-round cache
+    // handles release; no broadcast hint on the final join — the
+    // planner broadcasts when the cached label table is small and falls
+    // back to a shuffle join when it is not.
+    val labelDf = labels.persist()
+    labelDf.count()
     edgesWide.unpersist()
-    cached.unpersist()
-    val labelDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(labelRows, 1), labels.schema)
+    cached.unpersist(blocking = false)
     Tables.t(spark, dir, "documents").select(col("doc_id"))
-      .join(broadcast(labelDf), Seq("doc_id"), "left")
+      .join(labelDf, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("cluster_id") === col("doc_id"))

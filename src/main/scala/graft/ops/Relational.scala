@@ -174,15 +174,14 @@ object Relational {
     * sketch is still the swap-in; the exact form is what the oracle can
     * check. */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.t(spark, dir, "lineitem")
-    val nLi = li.count() // footer-only
-    val price = exactQuantiles(
-      li.select(col("l_returnflag"), col("l_extendedprice")),
+    // big mode reads the SHARED staged rank histogram (one per
+    // (table, group, value) — winsorize and approx_sketch read the same
+    // l_extendedprice artifact instead of re-running the dataflow)
+    val price = exactQuantilesShared(spark, dir, "lineitem",
       "l_returnflag", "l_extendedprice",
-      Seq(("q50p", 0.5), ("q90p", 0.9)), nLi)
-    val qty = exactQuantiles(
-      li.select(col("l_returnflag"), col("l_quantity")),
-      "l_returnflag", "l_quantity", Seq(("q50q", 0.5)), nLi)
+      Seq(("q50p", 0.5), ("q90p", 0.9)))
+    val qty = exactQuantilesShared(spark, dir, "lineitem",
+      "l_returnflag", "l_quantity", Seq(("q50q", 0.5)))
     price.join(qty, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         round(col("q50p") + 1e-9, 4).as("p50_price"),
@@ -278,11 +277,11 @@ object Relational {
   def approxSketches(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(spark, dir, "lineitem")
     // the exact corridor rides the bounded-memory grouped-quantile
-    // dataflow; the sketches stay in the one aggregate pass
-    val exact = exactQuantiles(
-      li.select(col("l_returnflag"), col("l_extendedprice")),
+    // dataflow (big mode: the SHARED staged rank histogram — see
+    // percentiles); the sketches stay in the one aggregate pass
+    val exact = exactQuantilesShared(spark, dir, "lineitem",
       "l_returnflag", "l_extendedprice",
-      Seq(("p45", 0.45), ("p50", 0.5), ("p55", 0.55)), li.count())
+      Seq(("p45", 0.45), ("p50", 0.5), ("p55", 0.55)))
     li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("nd_exact"),
            approx_count_distinct(col("l_partkey")).as("nd_approx"),
@@ -1014,7 +1013,21 @@ object Relational {
 
   /** Exact per-group quantiles, mode chosen by input size — see
     * QuantileDataflowMinRows. `inputRows` is the caller's base-table
-    * footer count (free; a filtered/derived count would cost a pass). */
+    * footer count (free; a filtered/derived count would cost a pass).
+    *
+    * CONTRACT (round-11 advice, both halves):
+    *  - `inputRows` must be an UPPER BOUND on df's row count. Passing an
+    *    underestimate for a large derived frame silently reintroduces
+    *    the unbounded single-task percentile() buffer this switch exists
+    *    to retire (the round-11 psi_drift failure shape). The existing
+    *    call sites all pass the base-table footer count of a frame
+    *    derived by filter/project/1:1-map — never a fan-out.
+    *  - Groups whose values are all NULL (and empty inputs) yield NO
+    *    row in big mode, where percentile() kept the group with NULL
+    *    quantiles. Callers feed NOT-NULL measures (TPC-H columns, event
+    *    values), so the shapes agree on every fixture; a caller that
+    *    needs degenerate groups back must left-join the result to its
+    *    group universe. */
   private[graft] def exactQuantiles(df: DataFrame, groupCol: String,
       valueCol: String, ps: Seq[(String, Double)],
       inputRows: Long): DataFrame =
@@ -1027,8 +1040,45 @@ object Relational {
             expr(s"percentile($valueCol, $p)").as(nm) }: _*)
     } else groupedQuantiles(df, groupCol, valueCol, ps)
 
+  /** exactQuantiles over a BASE-TABLE projection, with the big-mode
+    * ranked histogram STAGED per (dir, table, group, value) — one
+    * materializeOnce artifact serves every caller's percentile set. The
+    * round-11 100× probe priced the alternative: percentiles /
+    * winsorize / approx_sketch each re-ran the full histogram + rank
+    * dataflow over the same (l_returnflag, l_extendedprice) projection
+    * (~28 s apiece at 60M rows). The ranked histogram is Θ(distinct
+    * values) rows — the order-statistics index an offline stats job
+    * would publish — and each consumer then pays only a broadcast-
+    * targets pick pass over it. Small mode is unchanged (the aggregate
+    * wins under 5M rows; no artifact is staged there). */
+  private[graft] def exactQuantilesShared(spark: SparkSession,
+      dir: String, table: String, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val base = Tables.t(spark, dir, table)
+      .select(col(groupCol), col(valueCol))
+    val n = Tables.t(spark, dir, table).count() // footer-only
+    if (n < QuantileDataflowMinRows)
+      exactQuantiles(base, groupCol, valueCol, ps, n)
+    else {
+      val hist = graft.Pipeline.materializeOnce(spark,
+        s"qhist@$dir@$table@$groupCol@$valueCol@" +
+          Tables.fp(dir, table))(
+        rankedGroupHist(base, groupCol, valueCol))
+      quantilesFromHist(hist, groupCol, valueCol, ps)
+    }
+  }
+
   private[graft] def groupedQuantiles(df: DataFrame, groupCol: String,
-      valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+      valueCol: String, ps: Seq[(String, Double)]): DataFrame =
+    quantilesFromHist(rankedGroupHist(df, groupCol, valueCol),
+      groupCol, valueCol, ps)
+
+  /** The expensive half of the grouped-quantile dataflow: the (group,
+    * value) histogram with each distinct value's global [_lo, _hi] rank
+    * range within its group — a stageable order-statistics index (any
+    * percentile of any caller reads off it). */
+  private[graft] def rankedGroupHist(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
     val hist = df.filter(v.isNotNull)
@@ -1054,9 +1104,21 @@ object Relational {
       .select(g, col("_bkt"), col("_off"))
     val wIn = Window.partitionBy(g, col("_bkt")).orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = withB.join(broadcast(offs), Seq(groupCol, "_bkt"))
+    withB.join(broadcast(offs), Seq(groupCol, "_bkt"))
       .withColumn("_hi", col("_off") + sum(col("_c")).over(wIn))
       .withColumn("_lo", col("_hi") - col("_c") + 1)
+      .select(g, v, col("_lo"), col("_hi"))
+  }
+
+  /** The cheap half: given a ranked histogram, each requested p fetches
+    * its two flanking ranks through a broadcast of the Θ(|groups|·|ps|)
+    * target relation and interpolates exactly as Spark's Percentile
+    * does (bit-identical — see the groupedQuantiles scaladoc). */
+  private[graft] def quantilesFromHist(ranked: DataFrame,
+      groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
     val targets = ranked.groupBy(g).agg(max(col("_hi")).as("_n"))
       .select(g +: ps.map { case (nm, p) =>
         (lit(p) * (col("_n") - 1).cast("double")).as(s"_pos_$nm") }: _*)
@@ -1561,10 +1623,11 @@ object Relational {
     val li = Tables.t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
     // exact interpolating cuts via the bounded-memory grouped-quantile
-    // dataflow (bit-identical to the old percentile() aggregate)
-    val cuts = exactQuantiles(li, "l_returnflag", "l_extendedprice",
-      Seq(("p05", 0.05), ("p95", 0.95)),
-      Tables.t(spark, dir, "lineitem").count())
+    // dataflow (bit-identical to the old percentile() aggregate; big
+    // mode reads the SHARED staged rank histogram — see percentiles)
+    val cuts = exactQuantilesShared(spark, dir, "lineitem",
+      "l_returnflag", "l_extendedprice",
+      Seq(("p05", 0.05), ("p95", 0.95)))
     li.join(broadcast(cuts), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

@@ -574,10 +574,40 @@ object Similarity {
     * reentrant per thread (nested learns — PQ's learn reading the IVF
     * model — can't self-deadlock). */
   private val modelCache =
-    scala.collection.mutable.Map.empty[String, AnyRef]
-  private def modelOnce[T <: AnyRef](key: String)(compute: => T): T =
-    modelCache.synchronized(
-      modelCache.getOrElseUpdate(key, compute)).asInstanceOf[T]
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val modelLocks =
+    scala.collection.mutable.Map.empty[String, Object]
+  /** Per-key locks (the materializeOnce stageLocks pattern): training
+    * model A must not serialize unrelated model B's learn job behind one
+    * global monitor, and nested learns (PQ reading the IVF model) stay
+    * safe because Java monitors are reentrant per thread and nested keys
+    * lock in lineage order. A failed compute registers nothing. */
+  private def modelOnce[T <: AnyRef](key: String)(compute: => T): T = {
+    val got = modelCache.get(key)
+    if (got != null) got.asInstanceOf[T]
+    else {
+      val lock = modelLocks.synchronized(
+        modelLocks.getOrElseUpdate(key, new Object))
+      lock.synchronized {
+        val again = modelCache.get(key)
+        if (again != null) again.asInstanceOf[T]
+        else {
+          val v = compute
+          modelCache.put(key, v)
+          v
+        }
+      }
+    }
+  }
+
+  /** Cheap content fingerprint of a dir's embeddings file, appended to
+    * every model/artifact cache key that derives from it: a fixture dir
+    * REGENERATED in-process (make_probe overwriting a /tmp probe dir,
+    * a spec rewriting its temp fixture) must not be served a stale
+    * trained model. Size+mtime of the parquet file — a local metadata
+    * stat, no job. Immutable driver fixtures fingerprint identically
+    * for the whole JVM, so the fast path is unchanged there. */
+  private def embFp(dir: String): String = Tables.fp(dir, "embeddings")
 
   /** Spherical product-quantization assignment: per subspace, ONE Lloyd
     * refinement from the hash-min `pqK` seed slices (the kmeansAssign
@@ -599,7 +629,7 @@ object Similarity {
     * c0..c3, refined codebook, code ids). */
   private def pqModel(spark: SparkSession, dir: String)
       : (Array[Array[Array[Double]]], Array[Long]) =
-    modelOnce(s"pq_model@$dir") {
+    modelOnce(s"pq_model@$dir@${embFp(dir)}") {
       val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
         .select(col("vec_id"), col("embedding"))
       // Seeds = hash-min pqK sample (vecSample — works on any id space);
@@ -645,7 +675,7 @@ object Similarity {
   private def pqAssignedFull(spark: SparkSession, dir: String)
       : (DataFrame, Array[Array[Array[Double]]], Array[Long]) = {
     val (cb2, ids) = pqModel(spark, dir)
-    val asg = graft.Pipeline.materializeOnce(spark, s"pq_codes@$dir") {
+    val asg = graft.Pipeline.materializeOnce(spark, s"pq_codes@$dir@${embFp(dir)}") {
       val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
         .select(col("vec_id"), col("embedding"))
       (0 until pqM).foldLeft(e) { (d, s) =>
@@ -753,7 +783,7 @@ object Similarity {
     * its own setup jobs). */
   private[ops] def ivfModel(spark: SparkSession, dir: String)
       : (Array[Array[Float]], Array[Long]) =
-    modelOnce(s"ivf_model@$dir") {
+    modelOnce(s"ivf_model@$dir@${embFp(dir)}") {
       // count() is answered from parquet footer metadata (no data scan);
       // the centroid draw is the hash-min TakeOrdered — one scan,
       // C·#partitions rows moved, works on any id space.
@@ -766,21 +796,30 @@ object Similarity {
        centRows.map(_.getLong(0)))
     }
 
-  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
-    // The codebook is a MODEL PARAMETER (C = ⌈√N⌉ rows, KBs even at
-    // 10⁹ vectors), collected once and shipped to executors inside the
-    // codegen'd CentroidArgmax expression — exactly how a trained
-    // quantizer deploys. Assignment is then a pure map-side projection
-    // in one fused loop: no crossJoin against a centroid relation, no
-    // argmax aggregation, no shuffle, and whole-stage codegen stays
-    // intact (a greatest() over C struct comparisons breaks codegen past
-    // a few dozen centroids — measured as a full interpreted fallback).
-    val (cents, ids) = ivfModel(spark, dir)
-    e.withColumn("cell", graft.functions.CentroidArgmax.assign(
-        col("embedding"), cents, ids))
-      .select(col("cell"), col("vec_id"), col("embedding"))
-  }
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
+    // The CELL TABLE is a staged artifact (materializeOnce — the
+    // pq_codes shape): (cell, vec_id, embedding) is exactly what an
+    // IVF-Flat index SHIPS (inverted lists carrying the vectors), so
+    // the assignment scan runs once per corpus and every consumer
+    // (sim_ann_ivf, cluster_balance, ivf_retrain, ann_recall's ivf leg)
+    // reads the published table — the offline-writes/online-reads
+    // deployment shape, not a per-query re-encode.
+    graft.Pipeline.materializeOnce(spark, s"ivf_cells@$dir@${embFp(dir)}") {
+      val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
+      // The codebook is a MODEL PARAMETER (C = ⌈√N⌉ rows, KBs even at
+      // 10⁹ vectors), collected once and shipped to executors inside the
+      // codegen'd CentroidArgmax expression — exactly how a trained
+      // quantizer deploys. Assignment is then a pure map-side projection
+      // in one fused loop: no crossJoin against a centroid relation, no
+      // argmax aggregation, no shuffle, and whole-stage codegen stays
+      // intact (a greatest() over C struct comparisons breaks codegen
+      // past a few dozen centroids — measured as a full interpreted
+      // fallback).
+      val (cents, ids) = ivfModel(spark, dir)
+      e.withColumn("cell", graft.functions.CentroidArgmax.assign(
+          col("embedding"), cents, ids))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+    }
 
   /** IVF cell-occupancy audit — the index-health report an ANN
     * deployment watches between codebook retrains: occupied/empty cell
@@ -1023,7 +1062,7 @@ object Similarity {
     // — seed draw, first assignment, and the k·dim mean aggregate are
     // the offline learn pass; consumers only re-run the map-side
     // assignment projection
-    val (cents2, ids2) = modelOnce(s"kmeans_model@$dir") {
+    val (cents2, ids2) = modelOnce(s"kmeans_model@$dir@${embFp(dir)}") {
       val k = 8
       val seed = vecSample(spark, dir, k)
         .select(col("vec_id"), col("embedding")).collect()
@@ -1186,7 +1225,7 @@ object Similarity {
     // references it, and without staging each of the 3 rounds re-runs
     // the kmeans assignment + relevance scan from scratch inside one
     // job tree (measured 3.4 s at sf0.1; Θ(rounds·N·assign) at scale).
-    val cands = graft.Pipeline.materializeOnce(spark, s"mmr_cands@$dir")(
+    val cands = graft.Pipeline.materializeOnce(spark, s"mmr_cands@$dir@${embFp(dir)}")(
       asg.join(broadcast(centDf), col("cluster") === col("m_cluster"))
         .select(col("cluster"), col("vec_id"), col("embedding"),
           round(cosineHof(col("embedding"), col("cent")), 6).as("rel")))

@@ -29,18 +29,26 @@ object EventStream {
 
   /** Staged stream dirs, one per source file — repeated readEvents calls
     * on the same fixture reuse a single symlink dir instead of leaking a
-    * temp dir per call; all are removed on JVM exit. */
+    * temp dir per call; all are removed on JVM exit. The hook also
+    * covers the published-artifact dirs and the arrival-permutation dirs
+    * below — every temp parquet this object writes is registered here,
+    * so a JVM run leaks nothing (the round-11 advice found the arrival
+    * dirs outside the hook, leaving a parquet copy of the events table
+    * in /tmp per run). */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deleteRec(dir: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally s.close() // Files.walk holds open directory streams
+  }
   sys.addShutdownHook {
-    stagedDirs.forEach { (_, staged) =>
-      val dir = java.nio.file.Paths.get(staged)
-      try {
-        java.nio.file.Files.list(dir).forEach(f =>
-          java.nio.file.Files.deleteIfExists(f))
-        java.nio.file.Files.deleteIfExists(dir)
-      } catch { case _: java.io.IOException => () }
-    }
+    Seq(stagedDirs, publishedDirs, arrivalDirs).foreach(_.forEach {
+      (_, staged) =>
+        try deleteRec(java.nio.file.Paths.get(staged))
+        catch { case _: java.io.IOException => () }
+    })
   }
 
   /** The file-stream source only accepts directories (a real deployment
@@ -261,13 +269,17 @@ object EventStream {
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("graft_arr_w")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
-          .head
+        val s = java.nio.file.Files.list(tmp)
+        val part =
+          try s.toArray.map(_.toString)
+            .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+            .head
+          finally s.close()
         val dst = out.resolve(name)
         java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(mtime))
+        deleteRec(tmp) // only the moved part survives; _SUCCESS/.crc go
       }
       writeOne(ranked.filter(col("arn") === 1).drop("arn"),
         "f_0000.parquet", 1000000000000L)

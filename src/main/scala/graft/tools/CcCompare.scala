@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins LABEL EQUALITY of the two connected-component paths of
+  * `Dedup.labelComponents` — driver union-find vs GraphX Pregel — on a
+  * REAL (typically probe-scale) dataset, not just the unit fixtures:
+  * each labeler family runs once on the default path and once with
+  * `-Dgraft.cc.maxDriverEdges=0` forcing the distributed Pregel branch,
+  * and the two labelings must fingerprint identically (row count +
+  * bit_xor of xxhash64 over the whole row — order-independent, exact).
+  *
+  * Covers dedup_clusters (MinHash pairs), semantic_dedup (sign-LSH
+  * embedding pairs) and mm_clusters (perceptual-signature pairs);
+  * corpus_curate consumes dedup_clusters' labels via the staged-labels
+  * artifact, so its labeling is pinned transitively by the first case.
+  *
+  * Usage: SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=16 \
+  *          tools/run.sh graft.tools.CcCompare /tmp/probe100
+  */
+object CcCompare {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/probe100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.GraftSession
+      .builder(s"local[$cpus]", shufflePartitions = Some(cpus.toInt))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df
+        .agg(count(lit(1)),
+             bit_xor(xxhash64(df.columns.map(col): _*)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val cases: Seq[(String, () => DataFrame)] = Seq(
+      "dedup_clusters" ->
+        (() => graft.ops.Dedup.dedupClusters(spark, dir)),
+      "semantic_dedup" ->
+        (() => graft.ops.Dedup.semanticDedup(spark, dir)),
+      "mm_clusters" ->
+        (() => graft.ops.Multimodal.payloadClusters(spark, dir)))
+
+    var bad = 0
+    for ((name, mk) <- cases) {
+      sys.props -= "graft.cc.maxDriverEdges" // default: union-find ≤1M
+      val t0 = System.nanoTime()
+      val a = fp(mk())
+      val tA = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      sys.props("graft.cc.maxDriverEdges") = "0" // force GraphX Pregel
+      val t1 = System.nanoTime()
+      val b = fp(mk())
+      val tB = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      sys.props -= "graft.cc.maxDriverEdges"
+      val verdict = if (a == b) "EQUAL" else { bad += 1; "MISMATCH" }
+      println(f"CC $name%-16s default=(n=${a._1},x=${a._2}) $tA%7.1fs  " +
+        f"pregel=(n=${b._1},x=${b._2}) $tB%7.1fs  $verdict")
+    }
+    require(bad == 0, s"$bad labeler case(s) diverged between paths")
+    println(s"CC-COMPARE OK dir=$dir")
+    spark.stop()
+  }
+}

@@ -72,10 +72,14 @@ class PlanSpec extends AnyFunSuite {
       "sample filter should be map-side over the scan")
   }
 
-  test("sim_ann_ivf: assignment is map-side — no shuffle before the " +
-       "cell join, codegen'd CentroidArgmax in the plan") {
+  test("sim_ann_ivf: consumers read the STAGED cell table (the ivf_cells " +
+       "artifact) — assignment never re-runs inside a query plan") {
+    Similarity.clusterBalance(spark, sf).count() // assign + stage once
     val p = plan(Similarity.annIvf(spark, sf))
-    assert(p.contains("centroid_argmax"))
+    assert(p.contains("graft-staged"),
+      "expected the staged ivf_cells artifact scan")
+    assert(!p.contains("centroid_argmax"),
+      "cell assignment must not re-run in a consumer of the staged cells")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "codebook must not be joined as a relation")
   }
@@ -763,11 +767,13 @@ class PlanSpec extends AnyFunSuite {
        "meet only through the cell equi-join — the one nested-loop join " +
        "is the bounded query-sample × centroid probe ranking") {
     val p = plan(Similarity.simAnnPq(spark, sf))
-    assert(p.contains("centroid_argmax"),
-      "cell assignment must be the codegen'd argmax expression")
+    assert(!p.contains("centroid_argmax"),
+      "both the cell assignment (ivf_cells) and the encode (pq_codes) " +
+        "are staged artifacts — neither may re-run in a consumer")
     assert(p.contains("graft-staged"),
-      "the PQ code table must be read from the staged artifact — the " +
-        "learn/encode pass runs once offline, not inside each query")
+      "the PQ code and IVF cell tables must be read from their staged " +
+        "artifacts — the learn/encode passes run once offline, not " +
+        "inside each query")
     assert(!p.contains("CartesianProduct"),
       "no unbroadcast all-pairs anywhere")
     // the nprobe=2 cell ranking is Θ(|Q|·C): query sample × broadcast
@@ -823,5 +829,95 @@ class PlanSpec extends AnyFunSuite {
            p.contains("BroadcastHashJoin"))
     assert("Scan parquet".r.findAllIn(p).size <= 2,
       "the naive correlated form rescans the fact per comparison")
+  }
+
+  /** The bounded-window doctrine as an ASSERT over the whole surface
+    * (round-11 ask #8): a WindowExec with an EMPTY partitionSpec funnels
+    * its entire input through one task, which is legal only when that
+    * input is bounded by construction — an aggregate over bounded keys,
+    * a limit/top-k, or a collected model relation. Two gates, both
+    * required: (1) structural — below every partition-less window, each
+    * path to a leaf must hit an aggregate / limit / local relation
+    * before any file scan (a raw corpus scan under such a window is the
+    * single-reducer shape the probes keep catching); (2) nominal — the
+    * query must be allowlisted HERE with the argument for why its
+    * aggregate keys are bounded. A new corpus-growing unpartitioned
+    * window therefore fails this test instead of a 100× probe. */
+  test("full surface: every partition-less window sits above a bounded " +
+       "relation, and each site is explicitly allowlisted") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    // Every entry names the bounded relation its partition-less
+    // window(s) ride. Adding a query here requires the same argument.
+    val allow: Map[String, String] = Map(
+      "benford_digits" -> "9-row first-digit relation",
+      "crosstab_assoc" -> "|priority × status| contingency cells",
+      "cumulative_users" -> "|days| calendar aggregate (growth cumsum)",
+      "curriculum_schedule" -> "distributedRank P-row offset cumsum",
+      "equidepth_hist" -> "distributedRank P-row offset cumsum",
+      "events_heatmap" -> "dow × hour ≤ 168 cells",
+      "orders_open" -> "|days| calendar relation (open-interval sweep)",
+      "padding_audit" -> "bounded length-bin relation",
+      "pareto_suppliers" -> "distributedRank P-row offset cumsum",
+      "psi_drift" -> "10-row decile-edge relation (psiEdges)",
+      "quality_tradeoff" -> "10-row decile-bin relation",
+      "rfm_segments" -> "3 × distributedRank P-row offset cumsums",
+      "skyline" -> "B=256 bucket cummax + output-bounded frontier",
+      "streaming_psi_drift" -> "10-row decile-edge relation (psiEdges)",
+      "token_encode" -> "collected vocab relation (model parameter)",
+      "value_histogram" -> "fixed-width bin relation",
+      "vocab_coverage" -> "collected vocab relation (model parameter)",
+      "zipf_slope" -> "top-1000 limit precedes the rank window")
+    // AQE wraps the real tree in AdaptiveSparkPlanExec, whose collect()
+    // traverses nothing — expand wrappers (and expression subqueries)
+    // explicitly or the walk silently inspects an empty forest.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => p.children
+      }
+      p +: (kids ++ p.subqueries).flatMap(nodes)
+    }
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        => true // keys' boundedness is vouched by the allowlist entry
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _ if p.nodeName.contains("Limit") ||
+        p.nodeName.startsWith("TakeOrdered") => true
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case s: QueryStageExec => bounded(s.plan)
+      case leaf if leaf.children.isEmpty => false // a corpus-sized scan
+      case other => other.children.forall(bounded)
+    }
+    val offenders = collection.mutable.ArrayBuffer[String]()
+    var winTotal = 0
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      if (!df.isStreaming) {
+        val wins = nodes(df.queryExecution.executedPlan).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w: SparkPlan
+          case w: org.apache.spark.sql.execution.window
+              .WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            w: SparkPlan
+        }
+        winTotal += wins.size
+        wins.foreach { w =>
+          val structOk = w.children.forall(bounded)
+          val listed = allow.contains(name)
+          if (!structOk || !listed)
+            offenders += s"$name (structural=${structOk}, listed=$listed)"
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    assert(winTotal > 0,
+      "the walk found ZERO partition-less windows — the traversal is " +
+        "broken (distributedRank's offset window alone guarantees some)")
+    assert(offenders.isEmpty,
+      s"partition-less windows outside the doctrine:\n  " +
+        offenders.distinct.mkString("\n  "))
   }
 }

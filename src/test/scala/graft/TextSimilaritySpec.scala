@@ -905,6 +905,51 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(a1 !== a2, "the refined codebook should move some vector")
   }
 
+  test("ivf_retrain echo branch: a PLANTED balanced corpus sits under " +
+       "the 1.25 gate, retrained=false, and the after-columns echo the " +
+       "before-stats (the PQ empty-code planted-fixture rule — both " +
+       "gate branches are spec-recomputed, not just the one the sf " +
+       "fixtures happen to take)") {
+    // 16 vectors → 4 hash-min seed cells. Give each SEED its own
+    // disjoint 16-dim support block and spread the other 12 ids 3 per
+    // block (tiny in-block perturbation): every vector's argmax cell is
+    // its block's seed (cross-block cosine is exactly 0), so all 4
+    // cells hold 4 vectors — skew = 4·4/16 = 1.0 ≤ 1.25.
+    val ids = (0L until 16L)
+    val sampleIds = ids.sortBy(id => (md5hex(s"vs|$id"), id)).take(4)
+      .sorted
+    val rest = ids.filterNot(sampleIds.contains).sorted
+    val groupOf = (sampleIds.zipWithIndex ++
+      rest.zipWithIndex.map { case (id, i) => (id, i % 4) }).toMap
+    def mk(id: Long): Seq[Float] = {
+      val g = groupOf(id)
+      Seq.tabulate(64) { d =>
+        if (d / 16 != g) 0.0f
+        else (1.0 + 0.001 * math.sin(id * 3.7 + d)).toFloat
+      }
+    }
+    import spark.implicits._
+    val dir = TestFixtures.writeDir(Map("embeddings" ->
+      ids.map(id => (id, mk(id), 0)).toDF("vec_id", "embedding", "label")))
+    // independent recompute of the audit the gate consumes
+    val vecs = fixtureVecs(dir)
+    val seeds = hashMin(vecs, 4)
+    val a1 = vecs.map { case (id, v) => id -> argmaxCos(v, seeds) }.toMap
+    val sizes = a1.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size === 4 && sizes.values.max === 4,
+      "planted fixture must balance the cells exactly")
+    val r = Similarity.ivfRetrain(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === 4L && row.getLong(1) === 16L)
+    assert(row.getLong(2) === 4L && row.getLong(3) === 4L)
+    assert(row.getDouble(4) === 1.0, "planted skew must be exactly 1.0")
+    assert(!row.getBoolean(5), "skew 1.0 must NOT trip the 1.25 gate")
+    // echo branch: after == before, skew unchanged
+    assert(row.getLong(6) === 4L && row.getLong(7) === 4L)
+    assert(row.getDouble(8) === 1.0)
+  }
+
   test("mmr_select == an independent plain-Scala greedy MMR recompute " +
        "on the operator's own clusters (λ=0.5, k_sel=3)") {
     val sf = "/root/testdata/sf0.001"
