@@ -57,26 +57,44 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   */
 object StreamingBatch {
 
+  /** Stateful shuffle width sized to the SOURCE, not a constant: every
+    * stateful operator opens one state store per shuffle partition per
+    * micro-batch, and store open/commit is a fixed cost that dominates
+    * at fixture scale — hence the floor of 4 (the round-6 cost-curve
+    * measurement). But a single-file probe source delivers the WHOLE
+    * table as one micro-batch, where a 4-wide stateful interval join is
+    * a 4-core quadratic — the round-12 density probe (10M events,
+    * 6,667/user) measured exactly that wall. ~250k source rows per
+    * partition keeps per-store state in the regime the local
+    * cost curve was measured in; capped at the session's parallelism.
+    * A production deploy gets this sizing from its trigger/batch
+    * policy and executor count — here the bounded source's footer count
+    * is the honest stand-in (no data scan). */
+  private def statefulWidth(spark: SparkSession, dir: String,
+      table: String = "events"): Int = {
+    val n =
+      try graft.Tables.t(spark, dir, table).count()
+      catch { case _: Exception => 0L }
+    math.max(4L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 250000L)).toInt
+  }
+
   /** Run a (bounded-source) streaming DataFrame to completion into a
     * memory sink and hand back the final table. The sink's temp view
     * survives stop(); a fixed per-query name keeps repeated runs
     * (Bench warmup + timed repeats) from leaking views.
     *
-    * Stateful shuffle width: every stateful operator instantiates one
-    * state store PER SHUFFLE PARTITION per micro-batch (a cascaded
-    * interval join = 4 stores/partition), and store open/commit is the
-    * fixed cost that dominates a bounded local run — measured at sf0.1,
-    * the funnel join reads 14.9s at 32 partitions, 7.0s at 8, 4.6s at 4,
-    * 4.4s at 2 (min-of-3, solo): the curve flattens at 4, which keeps
-    * some local parallelism while shedding most of the per-store fixed
-    * cost. The stream's key spaces here (user_id, event_type) are
-    * low-cardinality, so nothing skews; a production deploy sizes this
-    * to its executor count and key space, not this constant. */
-  private def runToTable(df: DataFrame, mode: String, name: String)
-      : DataFrame = {
+    * Stateful shuffle width: see [[statefulWidth]] — a floor of 4 at
+    * fixture scale (state-store open/commit is the fixed cost that
+    * dominates a bounded local run: measured at sf0.1, the funnel join
+    * reads 14.9s at 32 partitions, 7.0s at 8, 4.6s at 4, 4.4s at 2,
+    * min-of-3 solo), growing with the source so a probe-scale batch is
+    * not a 4-core stateful join. */
+  private def runToTable(df: DataFrame, mode: String, name: String,
+      width: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     try {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
@@ -98,12 +116,13 @@ object StreamingBatch {
     * production foreachBatch sink uses), and the driver only ever sees
     * the file listing. */
   private def runToParquet(df: DataFrame, name: String,
-      finish: DataFrame => DataFrame = identity): DataFrame = {
+      finish: DataFrame => DataFrame = identity,
+      width: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_$name").toString
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     try {
       val q = df.writeStream.outputMode("append")
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -135,46 +154,48 @@ object StreamingBatch {
       .orderBy("event_type")
 
   def streamingRangeFrame(spark: SparkSession, dir: String): DataFrame =
-    runToTable(EventStream.rangeFrameStream(spark, dir),
-      "append", "sq_rangeframe")
+    runToParquet(EventStream.rangeFrameStream(spark, dir), "rangeframe",
+      width = statefulWidth(spark, dir))
       .orderBy("event_id")
 
   def streamingQuota(spark: SparkSession, dir: String): DataFrame =
-    runToTable(EventStream.quotaStream(spark, dir),
-      "append", "sq_quota")
+    runToParquet(EventStream.quotaStream(spark, dir), "quota",
+      width = statefulWidth(spark, dir))
       .orderBy("event_id")
 
   def streamingEnrich(spark: SparkSession, dir: String): DataFrame =
-    runToTable(EventStream.enrichStream(spark, dir),
-      "append", "sq_enrich")
+    runToParquet(EventStream.enrichStream(spark, dir), "enrich",
+      width = statefulWidth(spark, dir))
       .orderBy("event_id")
 
   def streamingResample(spark: SparkSession, dir: String): DataFrame =
-    runToTable(EventStream.resampleStream(spark, dir),
-      "append", "sq_resample")
+    runToParquet(EventStream.resampleStream(spark, dir), "resample",
+      width = statefulWidth(spark, dir))
       .orderBy("user_id", "bucket")
 
   def streamingSessions(spark: SparkSession, dir: String): DataFrame =
-    runToTable(EventStream.sessions(spark, dir),
-      "append", "sq_sessions")
+    runToParquet(EventStream.sessions(spark, dir), "sessions",
+      width = statefulWidth(spark, dir))
       .orderBy("user_id", "session_start")
 
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
-    runToParquet(EventStream.clickPurchaseJoin(spark, dir), "interval")
+    runToParquet(EventStream.clickPurchaseJoin(spark, dir), "interval",
+      width = statefulWidth(spark, dir))
       .orderBy("user_id", "click_ts", "purchase_ts")
 
   def streamingFunnel(spark: SparkSession, dir: String): DataFrame =
-    runToParquet(EventStream.funnelJoinStream(spark, dir), "funnel")
+    runToParquet(EventStream.funnelJoinStream(spark, dir), "funnel",
+      width = statefulWidth(spark, dir))
       .orderBy("user_id", "view_ts", "click_ts", "purchase_ts")
 
   def streamingDedup(spark: SparkSession, dir: String): DataFrame =
     runToTable(EventStream.dedupFirstStream(spark, dir),
-      "complete", "sq_dedup")
+      "complete", "sq_dedup", width = statefulWidth(spark, dir))
       .orderBy("user_id", "event_type")
 
   def streamingDedupArrival(spark: SparkSession, dir: String): DataFrame =
-    runToTable(EventStream.dedupArrivalStream(spark, dir),
-      "append", "sq_dedup_arrival")
+    runToParquet(EventStream.dedupArrivalStream(spark, dir),
+      "dedup_arrival", width = statefulWidth(spark, dir))
       .orderBy("user_id", "event_type")
 
   def streamingDecontaminate(spark: SparkSession, dir: String): DataFrame =

@@ -45,9 +45,16 @@ object CcCompare {
       "mm_clusters" ->
         (() => graft.ops.Multimodal.payloadClusters(spark, dir)))
 
+    // Both branches are FORCED, not left to the 1M default gate: on a
+    // heavily-duplicated probe the candidate graph can exceed the cap
+    // (26.9M pairs at 500k docs), in which case an unforced "default"
+    // leg silently takes Pregel too and the comparison collapses into
+    // run-to-run determinism. Forcing union-find is only safe where the
+    // edge list fits the driver — use the 50k-doc probe for the
+    // equality pin and the 500k-doc probe for Pregel scale evidence.
     var bad = 0
     for ((name, mk) <- cases) {
-      sys.props -= "graft.cc.maxDriverEdges" // default: union-find ≤1M
+      sys.props("graft.cc.maxDriverEdges") = Long.MaxValue.toString
       val t0 = System.nanoTime()
       val a = fp(mk())
       val tA = (System.nanoTime() - t0) / 1e9
@@ -59,7 +66,7 @@ object CcCompare {
       spark.catalog.clearCache()
       sys.props -= "graft.cc.maxDriverEdges"
       val verdict = if (a == b) "EQUAL" else { bad += 1; "MISMATCH" }
-      println(f"CC $name%-16s default=(n=${a._1},x=${a._2}) $tA%7.1fs  " +
+      println(f"CC $name%-16s unionfind=(n=${a._1},x=${a._2}) $tA%7.1fs  " +
         f"pregel=(n=${b._1},x=${b._2}) $tB%7.1fs  $verdict")
     }
     require(bad == 0, s"$bad labeler case(s) diverged between paths")
