@@ -127,6 +127,10 @@ object Pipeline {
     * (all current callers; the label lineage is integer-exact). */
   private val stagedPaths =
     scala.collection.mutable.HashMap[String, String]() // committed only
+  // BOUNDEDNESS: one entry per (layer name × fixture dir × content
+  // fingerprint) — a few dozen strings per dataset the JVM touches,
+  // never data-proportional (the DATA lives in the staged parquet, which
+  // superseding fingerprints evict below and the shutdown hook removes).
   private val stageLocks =
     scala.collection.mutable.HashMap[String, Object]()
 
@@ -149,6 +153,22 @@ object Pipeline {
   // locks in lineage (DAG) order, so neither self- nor cross-layer
   // staging can deadlock. A failed compute registers nothing (the next
   // caller retries).
+  // KEY CONVENTION: every materializeOnce key is
+  // "<logical name & inputs>@<content fingerprint>" — the last
+  // '@'-segment is Tables.fp of the input table. Committing a new
+  // fingerprint for the same logical prefix EVICTS the superseded
+  // entry and deletes its staged parquet (a regenerated fixture dir —
+  // make_probe overwriting /tmp/probe100, a spec rewriting its temp
+  // fixture — would otherwise strand one dead staged copy per
+  // regeneration for the JVM lifetime). All staged dirs are deleted at
+  // JVM exit; within a run the committed layers ARE the cache.
+  sys.addShutdownHook {
+    stagedPaths.synchronized(stagedPaths.values.toList).foreach { p =>
+      try deleteRec(Paths.get(p).getParent)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   def materializeOnce(spark: SparkSession, key: String)
                      (compute: => DataFrame): DataFrame = {
     val path = stagedPaths.synchronized(stagedPaths.get(key)) match {
@@ -164,7 +184,19 @@ object Pipeline {
               val p = Files.createTempDirectory("graft-staged")
                 .resolve("data").toString
               atomicWrite(compute, p)
-              stagedPaths.synchronized(stagedPaths.put(key, p))
+              val logical = key.substring(0, key.lastIndexOf('@') + 1)
+              val stale = stagedPaths.synchronized {
+                val old = stagedPaths.keys
+                  .filter(k => k != key && k.startsWith(logical)).toList
+                val paths = old.flatMap(stagedPaths.get)
+                old.foreach(stagedPaths.remove)
+                stagedPaths.put(key, p)
+                paths
+              }
+              stale.foreach { sp =>
+                try deleteRec(Paths.get(sp).getParent)
+                catch { case _: java.io.IOException => () }
+              }
               p
           }
         }

@@ -31,30 +31,83 @@ object Tables {
     * model/artifact cache keys (modelOnce / materializeOnce): a dir
     * REGENERATED in-process (make_probe overwriting a /tmp probe dir, a
     * spec rewriting its temp fixture) must not be served a stale trained
-    * model or staged relation. Pure local-FS stat (size + mtime; for a
-    * partitioned dir: part count + total bytes + max mtime) — no job.
-    * Immutable driver fixtures fingerprint identically for the whole
-    * JVM, so cached fast paths are unchanged there. */
+    * model or staged relation. Local-FS stat (size + mtime) PLUS an MD5
+    * of the file's last 4 KiB — the parquet footer region, which encodes
+    * row-group offsets and column statistics, so two same-size rewrites
+    * within one coarse-mtime tick (fast spec rewrites on ext4's
+    * second-granularity mtime) still fingerprint apart unless the data
+    * is byte-identical, in which case staleness is vacuous. A 4 KiB
+    * local read per call, no job. For a partitioned dir: part count +
+    * total bytes + max mtime + a hash of the sorted file-name set (a
+    * regeneration that renames parts — every Spark/DuckDB write does —
+    * changes the key even when sizes collide). Immutable driver fixtures
+    * fingerprint identically for the whole JVM, so cached fast paths are
+    * unchanged there. */
   def fp(dir: String, name: String): String = {
     val p = java.nio.file.Paths.get(dir, s"$name.parquet")
     if (java.nio.file.Files.isRegularFile(p))
       s"${java.nio.file.Files.size(p)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:" +
+        tailHash(p)
     else if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.list(p)
       try {
         var n = 0L; var bytes = 0L; var mt = 0L
+        val names = scala.collection.mutable.ArrayBuffer[String]()
         s.forEach { f =>
           if (java.nio.file.Files.isRegularFile(f)) {
             n += 1; bytes += java.nio.file.Files.size(f)
             mt = math.max(mt,
               java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            names += f.getFileName.toString
           }
         }
-        s"$n:$bytes:$mt"
+        val nameHash = java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(java.security.MessageDigest.getInstance("MD5")
+            .digest(names.sorted.mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        s"$n:$bytes:$mt:$nameHash"
       } finally s.close()
     } else "none"
   }
+
+  /** MD5 of a file's last ≤4 KiB (the parquet footer region). */
+  private def tailHash(p: java.nio.file.Path): String = {
+    val size = java.nio.file.Files.size(p)
+    val n = math.min(4096L, size).toInt
+    val buf = new Array[Byte](n)
+    val ch = java.nio.file.Files.newByteChannel(p)
+    try {
+      ch.position(size - n)
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      while (bb.hasRemaining && ch.read(bb) >= 0) {}
+    } finally ch.close()
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      java.security.MessageDigest.getInstance("MD5").digest(buf))
+  }
+
+  /** Memoized parquet-footer row count per (dir, table, content
+    * fingerprint). A bare `t(...).count()` is footer-only (no data
+    * scan) but still schedules a Spark job — and the per-call sites
+    * (quantile mode selection, stateful-width sizing, adaptive LSH
+    * widths) re-ran it once per QUERY INVOCATION, which Bench's
+    * warmup + timed repeats multiply ~4× across 238 queries. The
+    * fingerprint in the key keeps a regenerated fixture dir honest
+    * (same staleness rule as every model/artifact cache).
+    *
+    * BOUNDEDNESS CONTRACT: one entry per distinct (dir, table, fp) seen
+    * by the JVM — fixture dirs are a fixed handful per run (driver sf
+    * dirs, per-spec temp dirs, probe dirs), each entry is one small
+    * string → Long, and a regeneration adds one entry rather than
+    * mutating in place. Worst observed case (full spec suite) is a few
+    * hundred entries; there is no workload shape where this map scales
+    * with DATA size. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def footerCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent(s"$dir/$name@${fp(dir, name)}",
+      _ => java.lang.Long.valueOf(t(spark, dir, name).count())).longValue
 
   /** Conf that lets Spark's parquet reader accept INT64 TIMESTAMP(NANOS)
     * columns (as raw longs). Set at session build (Verify/Bench/TestSpark

@@ -51,7 +51,7 @@ object Corpus {
     * regardless of skew; vocab ≪ corpus keeps the join side broadcast.
     * N is a metadata-only count. */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.t(spark, dir, "documents").count()
+    val n = Tables.footerCount(spark, dir, "documents")
     val df = termFreq(spark, dir)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))

@@ -378,7 +378,7 @@ object Curation {
         docs.select(lit(1).as("_all"), col("avg_logp")),
         "_all", "avg_logp",
         (1 to 9).map(k => (s"q$k", s"0.$k".toDouble)),
-        Tables.t(spark, dir, "documents").count())
+        Tables.footerCount(spark, dir, "documents"))
       q.select((1 to 9).map(k =>
         round(col(s"q$k") + 1e-9, 6).as(s"e$k")): _*)
     }
@@ -898,7 +898,7 @@ object Curation {
         d.select(lit(1).as("_all"), col("n_chars")),
         "_all", "n_chars",
         (1 to 19).map(k => (s"q$k", f"${k / 20.0}%.2f".toDouble)),
-        Tables.t(spark, dir, "documents").count())
+        Tables.footerCount(spark, dir, "documents"))
       .drop("_all")
     val binned = d.crossJoin(broadcast(edges))
       .withColumn("bin", expr(qnBinExpr).cast("long"))

@@ -491,7 +491,7 @@ object Events {
     // both median stages ride the bounded-memory grouped exact quantile
     // dataflow (Relational.groupedQuantiles) — percentile() held each
     // type's Θ(distinct values) buffer whole in one task
-    val nEvents = Tables.t(spark, dir, "events").count() // footer-only
+    val nEvents = Tables.footerCount(spark, dir, "events") // footer-only
     // the per-type medians are a |types|-row MODEL PARAMETER (the
     // psiEdges doctrine): collected once, so the deviations stage and
     // the final report read a local relation instead of re-evaluating
@@ -775,7 +775,7 @@ object Events {
       .select(col("event_type"), col("delta_us"))
     val counts = deltas.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"))
-    val nEvents = Tables.t(spark, dir, "events").count() // footer-only
+    val nEvents = Tables.footerCount(spark, dir, "events") // footer-only
     val qs = Relational.exactQuantiles(deltas, "event_type", "delta_us",
       Seq(("q50", 0.5), ("q90", 0.9), ("q99", 0.99)), nEvents)
     counts.join(qs, Seq("event_type"))

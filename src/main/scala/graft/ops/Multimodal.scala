@@ -290,9 +290,28 @@ object Multimodal {
                lit("1")).otherwise(lit("0"))): _*).as("sig"))
   }
 
-  def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
-    // count() is answered from parquet footer metadata, no data scan
-    val bits = perceptualBits(Tables.t(spark, dir, "documents").count())
+  def perceptualDedup(spark: SparkSession, dir: String): DataFrame =
+    stagedPerceptualPairs(spark, dir)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Materialize-once staging of the perceptual-signature pair relation
+    * per (dir, content fingerprint) — shared by mm_neardup, the cluster
+    * labeler (mm_clusters) and any downstream survivorship consumer, so
+    * the banded pair GENERATION (the 2,050 s stage at the 500k-asset
+    * probe) runs once per corpus, like the written candidate table a
+    * 100 TB media-dedup deploy would publish. */
+  private[graft] def stagedPerceptualPairs(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Pipeline.materializeOnce(spark,
+      s"mm_pairs@$dir@${Tables.fp(dir, "documents")}")(
+      perceptualPairs(spark, dir))
+
+  // private[graft]: PlanSpec audits the GENERATION plan (the staged
+  // read-back the query surface serves is just a parquet scan)
+  private[graft] def perceptualPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    // memoized footer count, no data scan
+    val bits = perceptualBits(Tables.footerCount(spark, dir, "documents"))
     val sig = perceptualSigs(
       Tables.spread(Tables.t(spark, dir, "documents")), bits)
     val bandW = bits / 4
@@ -313,8 +332,7 @@ object Multimodal {
         .otherwise(0L)).reduce(_ + _)
     cand.select(col("doc_a"), col("doc_b"), ham.as("hamming"),
                 col("sa").as("sig_a"), col("sb").as("sig_b"))
-      .filter(col("hamming") <= 2)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("hamming") <= 2) // order applied at the query surface
   }
 
   /** Hamming distance between two width-`bits` signature strings,
@@ -393,7 +411,7 @@ object Multimodal {
     * bucket density) — bounded by the adaptive width — and the corpus
     * side is index maintenance, never rescanned per probe. */
   def perceptualAdmission(spark: SparkSession, dir: String): DataFrame = {
-    val bits = perceptualBits(Tables.t(spark, dir, "documents").count())
+    val bits = perceptualBits(Tables.footerCount(spark, dir, "documents"))
     val sigs = perceptualSigs(
       Tables.spread(Tables.t(spark, dir, "documents")), bits)
     admissionVerdicts(
@@ -414,7 +432,7 @@ object Multimodal {
     * signature (non-empty payloads). */
   def payloadClusters(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.labelComponents(spark,
-      perceptualDedup(spark, dir).select(col("doc_a"), col("doc_b")),
+      stagedPerceptualPairs(spark, dir).select(col("doc_a"), col("doc_b")),
       Tables.t(spark, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(col("doc_id")), "doc_id")

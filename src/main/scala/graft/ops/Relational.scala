@@ -1056,7 +1056,9 @@ object Relational {
       ps: Seq[(String, Double)]): DataFrame = {
     val base = Tables.t(spark, dir, table)
       .select(col(groupCol), col(valueCol))
-    val n = Tables.t(spark, dir, table).count() // footer-only
+    // memoized footer count — the round-12 creep: re-counting per call
+    // (percentiles calls twice: price + qty) re-paid a job per invocation
+    val n = Tables.footerCount(spark, dir, table)
     if (n < QuantileDataflowMinRows)
       exactQuantiles(base, groupCol, valueCol, ps, n)
     else {

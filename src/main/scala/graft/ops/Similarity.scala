@@ -355,7 +355,7 @@ object Similarity {
   private def lshCandidates(spark: SparkSession, dir: String,
       probeOnly: Option[DataFrame] = None): DataFrame = {
     // count() is answered from parquet footer metadata, no data scan
-    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val bits = adaptiveBits(Tables.footerCount(spark, dir, "embeddings"))
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
               signBits(col("embedding"), bits).as("sig"))
@@ -427,7 +427,7 @@ object Similarity {
     * is a max(struct(sim, −id)) — one aggregate, no window over the
     * corpus, deterministic in both engines. */
   def annIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val bits = gateBits(Tables.t(spark, dir, "embeddings").count())
+    val bits = gateBits(Tables.footerCount(spark, dir, "embeddings"))
     val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
               signBits(col("embedding"), bits).as("bucket"))
@@ -512,7 +512,7 @@ object Similarity {
     * Θ(candidates) fp32 rows — at 100 TB the fp32 table stays in cold
     * storage and only candidate ids hit it. */
   def annQuant(spark: SparkSession, dir: String): DataFrame = {
-    val bits = adaptiveBits(Tables.t(spark, dir, "embeddings").count())
+    val bits = adaptiveBits(Tables.footerCount(spark, dir, "embeddings"))
     val base = Tables.spread(Tables.t(spark, dir, "embeddings"))
     val codes = base
       .withColumn("scale", greatest(aggregate(col("embedding"), lit(0.0),
@@ -575,6 +575,11 @@ object Similarity {
     * model — can't self-deadlock). */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  // BOUNDEDNESS: one entry per (model kind × fixture dir × content
+  // fingerprint) ever seen by the JVM — a handful of KB-sized models per
+  // dataset, never data-proportional. Lock objects are bytes; models are
+  // the same codebooks a deployed index would pin in memory for its
+  // whole lifetime, so no eviction is needed in any supported shape.
   private val modelLocks =
     scala.collection.mutable.Map.empty[String, Object]
   /** Per-key locks (the materializeOnce stageLocks pattern): training
@@ -788,7 +793,7 @@ object Similarity {
       // the centroid draw is the hash-min TakeOrdered — one scan,
       // C·#partitions rows moved, works on any id space.
       val nCents = math.ceil(math.sqrt(
-        Tables.t(spark, dir, "embeddings").count().toDouble)).toInt
+        Tables.footerCount(spark, dir, "embeddings").toDouble)).toInt
       val centRows = vecSample(spark, dir, nCents)
         .select(col("vec_id"), col("embedding")).collect()
         .sortBy(_.getLong(0))
@@ -833,7 +838,7 @@ object Similarity {
     * assignment and nothing row-level survives the first shuffle. */
   def clusterBalance(spark: SparkSession, dir: String): DataFrame = {
     val nCents = math.ceil(math.sqrt(
-      Tables.t(spark, dir, "embeddings").count().toDouble)).toLong
+      Tables.footerCount(spark, dir, "embeddings").toDouble)).toLong
     ivfAssigned(spark, dir)
       .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_occupied"),

@@ -89,6 +89,34 @@ object Probe {
     }
     failed.foreach(f => println(s"  FAILED $f"))
     val label = if (only.isDefined) "PROBE-SUBSET" else "PROBE"
+    // The PAIR-COUNT axis of the dedup families (round-12 ask): the
+    // cluster walls are claimed Θ(candidate pairs), and the claim is only
+    // checkable round-over-round if each probe prints the measured pair
+    // count next to the wall. Counting reads the staged pair artifacts
+    // the queries above already committed (materializeOnce), so this is
+    // a parquet count, not a re-generation — and it runs only for
+    // families whose generator query was in this run's set (a filtered
+    // run must never trigger a 2,000 s pair generation as a side
+    // effect).
+    val ranNames = todo.map(_._1).toSet
+    val pairCounts = Seq(
+      ("minhash", Set("minhash_pairs", "dedup_clusters"),
+        () => graft.ops.Dedup.stagedPairs(spark, dir).count()),
+      ("embed0.35", Set("semantic_dedup"),
+        () => graft.ops.Dedup.stagedEmbedPairs(spark, dir, 0.35).count()),
+      ("embed0.9", Set("embed_neardup"),
+        () => graft.ops.Dedup.stagedEmbedPairs(spark, dir, 0.9).count()),
+      ("perceptual", Set("mm_neardup", "mm_clusters"),
+        () => graft.ops.Multimodal.stagedPerceptualPairs(spark, dir)
+                .count())
+    ).flatMap { case (fam, gates, cnt) =>
+      if (gates.intersect(ranNames).nonEmpty)
+        try Some(s"$fam=${cnt()}")
+        catch { case e: Exception => Some(s"$fam=err(${e.getMessage})") }
+      else None
+    }
+    if (pairCounts.nonEmpty)
+      println(s"$label PAIRS ${pairCounts.mkString(" ")}")
     val n = todo.size
     println(f"$label $ok/$n complete, ${failed.size} failed, " +
       f"$total%.0f s wall, dir=$dir")

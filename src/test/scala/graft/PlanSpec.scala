@@ -635,7 +635,11 @@ class PlanSpec extends AnyFunSuite {
       // round-robin repartition is exempt: it is the single-file fixture
       // parallelism shim, conditional on input splits < cores, and a
       // no-op on any real multi-split layout.
-      graft.ops.Multimodal.perceptualDedup(spark, sf)
+      // Audited on the GENERATION plan (perceptualPairs): the shipped
+      // query serves the staged pair artifact (materializeOnce), whose
+      // plan is a parquet scan — the doctrine lives in the compute that
+      // writes the artifact.
+      graft.ops.Multimodal.perceptualPairs(spark, sf)
         .queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange
                     .ShuffleExchangeExec
@@ -644,7 +648,7 @@ class PlanSpec extends AnyFunSuite {
                   .HashPartitioning] => e
         }
     } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
-    val df = graft.ops.Multimodal.perceptualDedup(spark, sf)
+    val df = graft.ops.Multimodal.perceptualPairs(spark, sf)
     assert(exchanges.nonEmpty, "expected the band-join/distinct shuffles")
     exchanges.foreach { e =>
       assert(!e.output.exists(_.name == "text"),
