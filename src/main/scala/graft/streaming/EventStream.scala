@@ -189,8 +189,15 @@ object EventStream {
     * Inclusive interval ends stay covered: floor((t+W)/W) = floor(t/W)+1
     * for every t, so the two-band set is exact, not approximate. */
   private def bandOf(ts: org.apache.spark.sql.Column,
-                     widthUs: Long): org.apache.spark.sql.Column =
-    (unix_micros(ts) / widthUs).cast("long") // integer div: µs ≥ 0 here
+                     widthUs: Long): org.apache.spark.sql.Column = {
+    // exact integer floor-division (µs ≥ 0 on every fixture): Column `/`
+    // is DOUBLE division, and trusting float rounding at a band boundary
+    // is exactly the kind of 1-ulp hazard the rounding doctrine bans —
+    // subtract the remainder first so the quotient is an exact integer
+    // (k·W / W with k·W < 2^53 divides exactly under IEEE 754)
+    val us = unix_micros(ts)
+    ((us - pmod(us, lit(widthUs))) / widthUs).cast("long")
+  }
   private def bandPair(ts: org.apache.spark.sql.Column,
                        widthUs: Long): org.apache.spark.sql.Column =
     explode(array(bandOf(ts, widthUs), bandOf(ts, widthUs) + 1))
