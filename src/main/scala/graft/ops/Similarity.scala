@@ -714,6 +714,15 @@ object Similarity {
   def simAnnPq(spark: SparkSession, dir: String): DataFrame =
     rankTopK(pqRescoredPairs(spark, dir), k = 3)
 
+  /** ADC rescore depth at corpus size n — see the SCALE DIAL comment at
+    * the use site. max(30, ⌈(2n/⌈√n⌉)/3⌉): 30 at every fixture scale,
+    * pool-proportional past ~45k vectors (measured 0.30 → 1.00 recall@5
+    * at the 200k-vector density probe). */
+  private[graft] def adcRescoreDepth(nVecs: Long): Long = {
+    val poolSize = 2.0 * nVecs / math.ceil(math.sqrt(nVecs.toDouble))
+    math.max(30L, math.ceil(poolSize / 3.0).toLong)
+  }
+
   /** The IVF-PQ candidate tier (top-15 ADC per query) with the exact
     * fp32 rescore — shared by simAnnPq (final k=3) and annRecall's 'pq'
     * method (recall@5 of this tier). */
@@ -760,14 +769,29 @@ object Similarity {
     // rescore depth scales WITH nprobe (15 per probed cell): a fixed cut
     // over 2× the candidates lets ADC quantization noise evict true
     // neighbors the single-cell cut kept — measured recall@5 0.68 at
-    // nprobe=2/cut=15 vs 0.90 at nprobe=2/cut=30
+    // nprobe=2/cut=15 vs 0.90 at nprobe=2/cut=30.
+    // SCALE DIAL (round-13): past fixture scale the cut must grow with
+    // the probed pool. Cells hold ~N/⌈√N⌉ ≈ √N vectors, so the 2-cell
+    // pool is ~2√N while a FIXED cut keeps a shrinking fraction of it —
+    // and a true neighbor's ADC rank displacement is pool-proportional
+    // (each distractor independently out-scores it with the same
+    // quantization-noise probability), so recall@5 collapsed 0.90 → 0.30
+    // at the 200k-vector density probe. depth = max(30, ⌈pool/3⌉):
+    // identical to the shipped 30 at every fixture scale (pools ≤ 89 at
+    // sf0.001/0.01/0.1, so the DuckDB oracle's literal crank <= 30 stays
+    // exact where the gate runs), opening only past ~45k vectors — the
+    // same fixture-exact/scale-adaptive doctrine as adaptiveBits and
+    // statefulWidth. Rescore stays Θ(|Q|·depth) exact cosines — driver
+    // and shuffle costs are unchanged in kind.
+    val adcDepth = adcRescoreDepth(
+      Tables.footerCount(spark, dir, "embeddings"))
     val cand = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), round(adc, 6).as("adc"))
       .withColumn("crank", row_number().over(Window
         .partitionBy(col("query_id"))
         .orderBy(col("adc").desc, col("neighbor_id"))))
-      .filter(col("crank") <= 30)
+      .filter(col("crank") <= adcDepth)
       .select(col("query_id"), col("neighbor_id"))
     val emb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))

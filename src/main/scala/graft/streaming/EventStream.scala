@@ -202,29 +202,59 @@ object EventStream {
                        widthUs: Long): org.apache.spark.sql.Column =
     explode(array(bandOf(ts, widthUs), bandOf(ts, widthUs) + 1))
 
+  /** Whether to band this source's stream-stream join keys — a SCALE
+    * dial, fixture-exact like statefulWidth: banding pays one extra
+    * explode (2× left-side state rows) and a band-keyed exchange, and
+    * buys probe cost Θ(density × interval) instead of Θ(density ×
+    * horizon). Measured both ways: at the 100k-event sf0.1 bench the
+    * probing it saves is negligible and the overhead is +28% on the
+    * funnel twin (2.99 → 3.83 s); at the 10M-event density probe it wins
+    * 5.6× (1,080 → 194 s funnel, 62.7 → 7.9 s interval join). Gate on
+    * the source's footer count — the same batch-size proxy statefulWidth
+    * uses (production would dial this from trigger policy + observed
+    * per-key density). Forcible both ways via -Dgraft.band.minRows
+    * (0 = always band, Long.MaxValue = never), which is how
+    * StreamingSpec pins banded == unbanded bit-equality on the fixtures
+    * the oracle gate runs at — the ivf_retrain both-branches doctrine
+    * applied to the plan dial. */
+  private def bandingOn(spark: SparkSession, dir: String): Boolean = {
+    val minRows = sys.props.get("graft.band.minRows").map(_.toLong)
+      .getOrElse(1000000L)
+    graft.Tables.footerCount(spark, dir, "events") >= minRows
+  }
+  private def withBand(df: DataFrame, on: Boolean, name: String,
+                       c: => org.apache.spark.sql.Column): DataFrame =
+    if (on) df.withColumn(name, c) else df
+  private def bandEq(on: Boolean, a: String,
+                     b: String): org.apache.spark.sql.Column =
+    if (on) col(a) === col(b) else lit(true)
+
   /** Stream-stream interval join (attribution shape): purchases joined to
     * the user's clicks in the preceding hour. Both sides carry watermarks
     * and the join predicate bounds event time on both ends, so state for
     * either side is dropped once the watermark passes the interval —
-    * bounded state at any scale; join state is partitioned by
-    * (user_id, 1-hour event-time band) — see [[bandOf]] for why the band
-    * is in the key. */
+    * bounded state at any scale; past the [[bandingOn]] row gate the
+    * join state is partitioned by (user_id, 1-hour event-time band) —
+    * see [[bandOf]] for why the band is in the key. */
   def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandingOn(spark, dir)
     val bandUs = 3600L * 1000000L // band width = the 1-hour interval
-    val clicks = readEvents(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "2 hours")
-      .withColumn("c_band", bandPair(col("click_ts"), bandUs))
-    val purchases = readEvents(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-              col("value"))
-      .withWatermark("purchase_ts", "2 hours")
-      .withColumn("p_band", bandOf(col("purchase_ts"), bandUs))
+    val clicks = withBand(
+      readEvents(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours"),
+      banded, "c_band", bandPair(col("click_ts"), bandUs))
+    val purchases = withBand(
+      readEvents(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+                col("value"))
+        .withWatermark("purchase_ts", "2 hours"),
+      banded, "p_band", bandOf(col("purchase_ts"), bandUs))
     clicks.join(purchases,
         col("user_id") === col("p_user") &&
-          col("c_band") === col("p_band") &&
+          bandEq(banded, "c_band", "p_band") &&
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("click_ts"), col("purchase_ts"),
@@ -234,8 +264,9 @@ object EventStream {
   /** MULTI-WAY stream-stream join: view → click (≤ 6 h later) →
     * purchase (≤ 12 h after the click), all three sides unbounded. Spark
     * executes this as two cascaded watermarked interval joins; each
-    * stage's state is bounded by its interval + watermark horizon. Each
-    * join's equi-key composites user_id with a coarse event-time band
+    * stage's state is bounded by its interval + watermark horizon. Past
+    * the [[bandingOn]] row gate, each join's equi-key composites user_id
+    * with a coarse event-time band
     * sized to ITS interval (6 h for view→click, 12 h for →purchase —
     * see [[bandOf]]): without the band, a probing row scans the user's
     * whole in-state history (quadratic in per-user density inside a
@@ -249,6 +280,7 @@ object EventStream {
     * sequence — the common case at ingest. */
   def funnelJoinStream(spark: SparkSession, dir: String,
                        filesPerTrigger: Option[Int] = None): DataFrame = {
+    val banded = bandingOn(spark, dir)
     val band6Us = 6L * 3600L * 1000000L
     val band12Us = 12L * 3600L * 1000000L
     def leg(t: String, tsName: String, extra: org.apache.spark.sql.Column*)
@@ -258,29 +290,29 @@ object EventStream {
         .select((Seq(col("user_id").as(s"${t}_user"),
                      col("ts").as(tsName)) ++ extra): _*)
         .withWatermark(tsName, "2 hours")
-    val views = leg("view", "view_ts")
-      .withColumn("v_band", bandPair(col("view_ts"), band6Us))
-    val clicks = leg("click", "click_ts")
-      .withColumn("c_band", bandOf(col("click_ts"), band6Us))
-    val purchases = leg("purchase", "purchase_ts", col("value"))
-      .withColumn("p_band", bandOf(col("purchase_ts"), band12Us))
-    views
+    val views = withBand(leg("view", "view_ts"),
+      banded, "v_band", bandPair(col("view_ts"), band6Us))
+    val clicks = withBand(leg("click", "click_ts"),
+      banded, "c_band", bandOf(col("click_ts"), band6Us))
+    val purchases = withBand(leg("purchase", "purchase_ts", col("value")),
+      banded, "p_band", bandOf(col("purchase_ts"), band12Us))
+    val vc = views
       .join(clicks,
         col("view_user") === col("click_user") &&
-          col("v_band") === col("c_band") &&
+          bandEq(banded, "v_band", "c_band") &&
           col("click_ts") >= col("view_ts") &&
           col("click_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
-      .drop("v_band", "c_band")
+      .drop("v_band", "c_band") // lenient no-op when unbanded
       // a stream may carry at most ONE event-time column into the next
       // stateful operator: demote view_ts to a plain value (rebuilding it
       // through µs round-trip drops the watermark metadata) and let
       // click_ts drive the second join's state eviction
       .withColumn("view_ts_v", expr("timestamp_micros(unix_micros(view_ts))"))
       .drop("view_ts")
-      .withColumn("c12_band", bandPair(col("click_ts"), band12Us))
+    withBand(vc, banded, "c12_band", bandPair(col("click_ts"), band12Us))
       .join(purchases,
         col("click_user") === col("purchase_user") &&
-          col("c12_band") === col("p_band") &&
+          bandEq(banded, "c12_band", "p_band") &&
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 12 HOURS"))
       .select(col("view_user").as("user_id"),

@@ -111,7 +111,49 @@ object RecallCurve {
     spark.stop()
   }
 
+  /** Method-comparison mode (`methods <dir>`): mean recall@5 of each
+    * shipped ANN family (sign-LSH directed probes / IVF / IVF-PQ) via
+    * `Similarity.annRecall` — the SAME dataflow the oracle gate checks at
+    * sf0.01 — plus the dials in effect at this corpus size, so the
+    * "recall was measured at fixture scale" gap closes: run it on the
+    * density-probe dir and the dials are re-justified (or re-dialed)
+    * from numbers at 200k vectors instead of 2k. */
+  private def methodsMode(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    val n = graft.Tables.footerCount(spark, dir, "embeddings")
+    val bits = Similarity.adaptiveBits(n)
+    println(s"corpus $n vectors; lsh dials: adaptiveBits=$bits " +
+      s"pool=${Similarity.poolBits(bits)} " +
+      s"budget=${Similarity.probeBudget(bits)}; ivf nprobe=2; " +
+      s"pq adcRescoreDepth=${Similarity.adcRescoreDepth(n)} " +
+      "(=30 at fixture scales)")
+    val t0 = System.nanoTime()
+    val rows = Similarity.annRecall(spark, dir)
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_queries"),
+           round(avg(col("recall")), 3).as("mean_recall"))
+      .orderBy(col("method"))
+      .collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    rows.foreach { r =>
+      println(f"method=${r.getString(0)}%-4s queries=${r.getLong(1)}%3d " +
+        f"recall@5=${r.getDouble(2)}%5.3f")
+    }
+    println(f"wall ${wall}%.1f s (truth + all three methods)")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("methods")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = graft.GraftSession
+        .builder(s"local[$cpus]", shufflePartitions = Some(cpus.toInt))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      methodsMode(spark, args.lift(1).getOrElse("/tmp/probedens"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("ball")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
       val spark = graft.GraftSession
