@@ -174,15 +174,34 @@ object Relational {
     * sketch is still the swap-in; the exact form is what the oracle can
     * check. */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
-    // big mode reads the SHARED staged rank histogram (one per
-    // (table, group, value) — winsorize and approx_sketch read the same
-    // l_extendedprice artifact instead of re-running the dataflow)
-    val price = exactQuantilesShared(spark, dir, "lineitem",
-      "l_returnflag", "l_extendedprice",
-      Seq(("q50p", 0.5), ("q90p", 0.9)))
-    val qty = exactQuantilesShared(spark, dir, "lineitem",
-      "l_returnflag", "l_quantity", Seq(("q50q", 0.5)))
-    price.join(qty, Seq("l_returnflag"))
+    val n = Tables.footerCount(spark, dir, "lineitem")
+    val joined = if (n < QuantileDataflowMinRows) {
+      // SMALL MODE, fused: all three ordered-set aggregates in ONE
+      // scan + shuffle. The split per-column calls below cost two scans
+      // plus a join — the r11→r13 percentiles bench creep (0.26 s fused
+      // → 0.42–0.47 s split at sf0.1) was exactly this structure, with
+      // no big-mode payoff below the dataflow floor. percentile() skips
+      // NULLs natively and both measures are NOT-NULL TPC-H columns
+      // (the exactQuantiles caller contract), so fused and split forms
+      // are bit-identical here.
+      Tables.t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("q50p"),
+             expr("percentile(l_extendedprice, 0.9)").as("q90p"),
+             expr("percentile(l_quantity, 0.5)").as("q50q"))
+    } else {
+      // big mode reads the SHARED staged rank histogram (one per
+      // (table, group, value) — winsorize and approx_sketch read the
+      // same l_extendedprice artifact instead of re-running the
+      // dataflow)
+      val price = exactQuantilesShared(spark, dir, "lineitem",
+        "l_returnflag", "l_extendedprice",
+        Seq(("q50p", 0.5), ("q90p", 0.9)))
+      val qty = exactQuantilesShared(spark, dir, "lineitem",
+        "l_returnflag", "l_quantity", Seq(("q50q", 0.5)))
+      price.join(qty, Seq("l_returnflag"))
+    }
+    joined
       .select(col("l_returnflag"),
         round(col("q50p") + 1e-9, 4).as("p50_price"),
         round(col("q90p") + 1e-9, 4).as("p90_price"),

@@ -31,8 +31,12 @@ object Prof {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = ()
     }
     val fn = graft.SparkEntry.queries(name)
-    fn(spark, sfDir).count() // warmup, unlistened
-    spark.catalog.clearCache()
+    // COLD=1 skips the warmup so one-time work (artifact staging, model
+    // training) is profiled too — that is what the Probe times include
+    if (!sys.env.get("COLD").contains("1")) {
+      fn(spark, sfDir).count() // warmup, unlistened
+      spark.catalog.clearCache()
+    }
     spark.sparkContext.addSparkListener(listener)
     (1 to reps).foreach { i =>
       println(s"--- run $i of $name ---")
