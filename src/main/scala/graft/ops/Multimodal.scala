@@ -315,9 +315,29 @@ object Multimodal {
     val sig = perceptualSigs(
       Tables.spread(Tables.t(spark, dir, "documents")), bits)
     val bandW = bits / 4
+    // Blocking key = the 6 choose-2 COMPOSITE band pairs, not the 4
+    // single bands. Same pigeonhole, one step further: ≤ 2 bit errors
+    // dirty ≤ 2 of the 4 bands, so ≥ 2 bands are clean — i.e. some PAIR
+    // of bands is JOINTLY clean, and every Hamming ≤ 2 pair meets in
+    // that combo's bucket (lossless; the emitted set is unchanged and
+    // the oracle needs no edit). What changes is enumeration: single-
+    // band buckets are heavy-tailed on real signatures — text whose
+    // adjacent cell sums oscillate piles into the alternating-pattern
+    // values (measured at 500k docs, bandW=13: avg bucket 238 vs the 61
+    // uniform model predicts, max 6,499, Σ sz² = 1.25G in-band pair
+    // enumerations = the 1,698 s generation wall). A doc lands in a hot
+    // single-band bucket whenever ONE band degenerates; a composite
+    // bucket needs TWO bands to collide jointly, so the 2^(2w) key
+    // space absorbs the tail (same corpus: avg 91, max 699,
+    // Σ sz² = 329M — 3.8× less, within ~2× of the answer-driven floor
+    // of pairs × ≤ 6 combo meetings). Cost: 6 exploded rows per doc
+    // instead of 4 and a 2w-char key — both Θ(docs), trivial beside
+    // the Σ sz² term they buy down.
+    val comboCols = (for (i <- 0 until 4; j <- i + 1 until 4) yield
+      concat(col("sig").substr(i * bandW + 1, bandW),
+             col("sig").substr(j * bandW + 1, bandW))).toSeq
     val bands = sig.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => col("sig").substr((b * bandW + 1).cast("int"), lit(bandW)))))
+      posexplode(array(comboCols: _*)))
       .select(col("doc_id"), col("sig"),
               col("pos").as("band_id"), col("col").as("band"))
     val cand = bands.as("a").join(bands.as("b"),

@@ -28,7 +28,17 @@ object Prof {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"    job ${je.jobId}%3d  $dt%7.3fs  $nm")
       }
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = ()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (for {t0 <- i.submissionTime; t1 <- i.completionTime}
+          yield (t1 - t0) / 1e3).getOrElse(-1.0)
+        val m = i.taskMetrics
+        println(f"      stage ${i.stageId}%3d  $wall%7.3fs  " +
+          f"in=${m.inputMetrics.bytesRead / 1048576}%5dMB " +
+          f"sw=${m.shuffleWriteMetrics.bytesWritten / 1048576}%5dMB " +
+          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1048576}%5dMB  " +
+          i.name.take(70))
+      }
     }
     val fn = graft.SparkEntry.queries(name)
     // COLD=1 skips the warmup so one-time work (artifact staging, model
