@@ -233,10 +233,10 @@ object Multimodal {
     *  5. verify: exact Hamming over the full signature, near-dup ⇔ ≤ 2.
     *
     * Scale: steps 1-3 are array-local map-side work (Θ(payload) per
-    * asset, zero exchanges); only (id, 16-char signature, 4-char band)
-    * tuples ever shuffle — payloads never leave their scan partition
-    * (the mm_dedup digest-only doctrine); the band join is bounded
-    * blocking, never all-pairs.
+    * asset, zero exchanges); only (id, 8-byte integer signature,
+    * 8-byte packed combo key) tuples ever shuffle — payloads never
+    * leave their scan partition (the mm_dedup digest-only doctrine);
+    * the band join is bounded blocking, never all-pairs.
     *
     * Payload encoding: the cell sums iterate CODEPOINTS via the native
     * PerceptualCellSums expression (a direct UTF-8 decode of the
@@ -256,20 +256,63 @@ object Multimodal {
     * at ≤ ~64 assets. A fixed 16-bit signature has 16 values per 4-bit
     * band forever: at 50k assets every band bucket holds ~3k docs and
     * in-band pairing is N²/16 — quadratic, the fixed-IVF-codebook
-    * failure class. w = max(4, ⌈log2(N/64)⌉) → 16 bits at every
-    * fixture scale (the oracles' constant, pinned by PropertySpec),
-    * 40 bits at 50k, 96 at 10⁹. The Hamming ≤ 2 verdict is width-
-    * independent ("a couple of local edits"); more cells = finer grid,
-    * so the gate tightens as the corpus grows — the conservative
-    * direction for a dedup gate. Payloads shorter than the cell count
-    * degrade to stride-1 cells with empty tails (their signatures
-    * cluster — short assets were never this operator's jurisdiction;
-    * payloadDedup's exact hash covers them). */
+    * failure class. w = min(16, max(4, ⌈log2(N/64)⌉)) → 16 bits at
+    * every fixture scale (the oracles' constant, pinned by
+    * PropertySpec), 40 bits at 50k, 64 from ~4.2M assets up.
+    *
+    * CAP AT 64 (w ≤ 16): the whole signature then fits ONE BIGINT, so
+    * Hamming is a single xor+popcount and band keys are shift/mask
+    * extracts — vs 40+ per-character substr compares on the string
+    * form, the dominant CPU of the 500k-asset pair-generation wall.
+    * The cap does NOT revive the quadratic failure the width defends
+    * against, because blocking keys are the 6 choose-2 COMPOSITE band
+    * pairs (see perceptualPairs): past the cap the SINGLE-band key
+    * space freezes at 2^16 (expected bucket N/65536 — ~76 at 5M,
+    * heavy at 10⁹) but the composite key space is 2^32, keeping the
+    * expected combo bucket ≤ ~0.25 assets at 10⁹. The Hamming ≤ 2
+    * verdict is width-independent ("a couple of local edits"); more
+    * cells = finer grid, so the gate tightens as the corpus grows —
+    * the conservative direction for a dedup gate — until the cap,
+    * where the 64-cell grid granularity simply holds. Payloads shorter
+    * than the cell count degrade to stride-1 cells with empty tails
+    * (their signatures cluster — short assets were never this
+    * operator's jurisdiction; payloadDedup's exact hash covers
+    * them). */
   private[graft] def perceptualBits(n: Long): Int = {
-    val w = math.max(4, math.ceil(
-      math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt)
+    val w = math.min(16, math.max(4, math.ceil(
+      math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
     4 * w
   }
+
+  /** Band k (0-based, MSB-first) of a width-`bits` integer signature:
+    * logical shift + mask, so extraction is two codegen'd integer ops
+    * regardless of width (bits ≤ 64 by the perceptualBits cap; the
+    * unsigned shift keeps bit 63 — set only at the cap — from smearing
+    * sign bits into narrower bands). */
+  private def bandVal(sig: Column, k: Int, bits: Int): Column = {
+    val bandW = bits / 4
+    shiftrightunsigned(sig, bits - (k + 1) * bandW)
+      .bitwiseAND(lit((1L << bandW) - 1))
+  }
+
+  /** Hamming distance between two width-≤64 integer signatures: ONE
+    * xor + popcount (codegen'd), replacing the round-13 string form's
+    * 40 substr comparisons per candidate — the round-9 sign-LSH
+    * integer-signature doctrine applied to the perceptual family. */
+  private def hammingInt(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** The 6 choose-2 combo index order (0,1),(0,2),(0,3),(1,2),(1,3),
+    * (2,3) — shared by pair generation, the admission index and the
+    * oracles, so blocking cannot drift between them. */
+  private val bandCombos: Seq[(Int, Int)] =
+    for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
+
+  /** Composite blocking key of combo (i,j): both band values packed in
+    * one long (bandW ≤ 16 so each value < 2^16 and the pack is exact —
+    * a single 8-byte shuffle key per candidate row). */
+  private def comboKey(sig: Column, i: Int, j: Int, bits: Int): Column =
+    bandVal(sig, i, bits) * lit(1L << (bits / 4)) + bandVal(sig, j, bits)
 
   /** The perceptual signature relation (doc_id, sig) over any documents
     * frame — the shared stage-1-to-3 of the dHash recipe (fixed cell
@@ -277,7 +320,15 @@ object Multimodal {
     * batch pair-finder (perceptualDedup), the admission gate
     * (perceptualAdmission) and the streaming admission twin all compute
     * signatures from ONE definition and cannot drift. Entirely
-    * array-local map-side work. */
+    * array-local map-side work.
+    *
+    * The signature is ONE BIGINT (bits ≤ 64 by the perceptualBits
+    * cap): comparison i occupies bit (bits-1-i), MSB-first, so band k
+    * of the old string form's substr(k·w+1, w) is exactly the
+    * shift/mask extract bandVal(sig, k) — same partition of the same
+    * comparisons, integer-coded. Disjoint single-bit terms sum without
+    * carries, so the + reduce IS the bitwise or (and stays a flat
+    * codegen'd add chain). */
   private[graft] def perceptualSigs(docs: DataFrame, bits: Int): DataFrame = {
     val cells = bits + 1
     docs
@@ -285,9 +336,10 @@ object Multimodal {
       .withColumn("cs",
         graft.functions.PerceptualCellSums.sums(col("text"), cells))
       .select(col("doc_id"),
-        concat((0 until bits).map(i =>
+        (0 until bits).map(i =>
           when(element_at(col("cs"), i + 1) > element_at(col("cs"), i + 2),
-               lit("1")).otherwise(lit("0"))): _*).as("sig"))
+               lit(1L << (bits - 1 - i))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
   }
 
   def perceptualDedup(spark: SparkSession, dir: String): DataFrame =
@@ -314,7 +366,6 @@ object Multimodal {
     val bits = perceptualBits(Tables.footerCount(spark, dir, "documents"))
     val sig = perceptualSigs(
       Tables.spread(Tables.t(spark, dir, "documents")), bits)
-    val bandW = bits / 4
     // Blocking key = the 6 choose-2 COMPOSITE band pairs, not the 4
     // single bands. Same pigeonhole, one step further: ≤ 2 bit errors
     // dirty ≤ 2 of the 4 bands, so ≥ 2 bands are clean — i.e. some PAIR
@@ -331,13 +382,11 @@ object Multimodal {
     // space absorbs the tail (same corpus: avg 91, max 699,
     // Σ sz² = 329M — 3.8× less, within ~2× of the answer-driven floor
     // of pairs × ≤ 6 combo meetings). Cost: 6 exploded rows per doc
-    // instead of 4 and a 2w-char key — both Θ(docs), trivial beside
-    // the Σ sz² term they buy down.
-    val comboCols = (for (i <- 0 until 4; j <- i + 1 until 4) yield
-      concat(col("sig").substr(i * bandW + 1, bandW),
-             col("sig").substr(j * bandW + 1, bandW))).toSeq
+    // instead of 4 and an 8-byte packed key — both Θ(docs), trivial
+    // beside the Σ sz² term they buy down.
     val bands = sig.select(col("doc_id"), col("sig"),
-      posexplode(array(comboCols: _*)))
+      posexplode(array(bandCombos.map { case (i, j) =>
+        comboKey(col("sig"), i, j, bits) }: _*)))
       .select(col("doc_id"), col("sig"),
               col("pos").as("band_id"), col("col").as("band"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -345,70 +394,80 @@ object Multimodal {
           col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sig").as("sa"), col("b.sig").as("sb"))
-      .distinct()
-    val ham = (1 to bits).map(i =>
-      when(col("sa").substr(i, 1) =!= col("sb").substr(i, 1), 1L)
-        .otherwise(0L)).reduce(_ + _)
-    cand.select(col("doc_a"), col("doc_b"), ham.as("hamming"),
-                col("sa").as("sig_a"), col("sb").as("sig_b"))
+              col("a.sig").as("sa"), col("b.sig").as("sb"),
+              col("a.band_id").as("band_id"))
+    // A pair whose signatures share k combo buckets meets k times; the
+    // round-13 form deduplicated those meetings with a .distinct() —
+    // a whole extra exchange carrying every candidate. OWNERSHIP
+    // replaces it: the meeting's combo set is a pure function of
+    // (sa, sb), so each meeting checks map-side whether ITS combo is
+    // the FIRST matching one and only that meeting survives — exactly
+    // one row per pair, zero dedup shuffle (the coalesce(when...) is
+    // never null: the join guarantees the row's own combo matches).
+    val bandMatch = (0 until 4).map(k =>
+      bandVal(col("sa"), k, bits) === bandVal(col("sb"), k, bits))
+    val firstCombo = coalesce(bandCombos.zipWithIndex.map {
+      case ((i, j), k) => when(bandMatch(i) && bandMatch(j), lit(k)) }: _*)
+    cand.filter(col("band_id") === firstCombo)
+      .select(col("doc_a"), col("doc_b"),
+              hammingInt(col("sa"), col("sb")).as("hamming"),
+              col("sa").as("sig_a"), col("sb").as("sig_b"))
       .filter(col("hamming") <= 2) // order applied at the query surface
   }
 
-  /** Hamming distance between two width-`bits` signature strings,
-    * usable inside array lambdas (position fold, not a column reduce). */
-  private def hammingStr(a: Column, b: Column, bits: Int): Column =
-    aggregate(sequence(lit(1), lit(bits)), lit(0L), (acc, i) =>
-      acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1L)
-        .otherwise(0L))
-
-  /** The corpus band INDEX of the perceptual admission gate: one row per
-    * occupied (band_id, band value) bucket carrying its member list
-    * (c_id, c_sig). Member lists are bounded by construction — the
-    * adaptive signature width (perceptualBits) sizes each band's key
-    * space so the EXPECTED bucket holds ≤ ~64 assets at any corpus size,
-    * which is precisely what makes them safe to pre-aggregate as arrays
-    * (the published-artifact shape: this relation IS the deployed
-    * index, rebuilt by the offline batch run whenever the corpus
-    * grows). */
+  /** The corpus band INDEX of the perceptual admission gate: one row
+    * per occupied (combo_id, packed combo value) bucket carrying its
+    * member list (c_id, c_sig). Keys are the 6 choose-2 COMPOSITE band
+    * pairs — the same blocking perceptualPairs uses, for the same
+    * measured reason: single-band buckets are heavy-tailed on real
+    * signatures (max 6,499 members at the 500k-asset probe) and a hot
+    * bucket is per-new-asset probe cost here; a composite bucket needs
+    * TWO bands to collide jointly, so the 2^(2w) key space absorbs the
+    * tail and keeps collect_list bounded (the published-artifact
+    * shape: this relation IS the deployed index, rebuilt by the
+    * offline batch run whenever the corpus grows). Pigeonhole keeps
+    * the ≤ 2 verdict lossless: ≥ 2 clean bands ⇒ some jointly-clean
+    * combo. */
   private[graft] def perceptualBandIndex(sigs: DataFrame,
-      bits: Int): DataFrame = {
-    val bandW = bits / 4
+      bits: Int): DataFrame =
     sigs
       .select(col("doc_id").as("c_id"), col("sig").as("c_sig"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => col("sig").substr((b * bandW + 1).cast("int"), lit(bandW)))))
+        posexplode(array(bandCombos.map { case (i, j) =>
+          comboKey(col("sig"), i, j, bits) }: _*)))
       .groupBy(col("pos").as("band_id"), col("col").as("band"))
       .agg(collect_list(struct(col("c_id"), col("c_sig"))).as("members"))
-  }
 
   /** The shared admission verdict: each probe row (doc_id, sig) joins
-    * the band index once per band position (4 joins — STATELESS, so the
-    * identical plan runs batch or per-micro-batch on a stream), then
-    * reduces its ≤ 4 bounded member lists ARRAY-LOCALLY: distinct
-    * candidates, exact full-width Hamming each, best = integer
-    * min(struct(hamming, c_id)), admitted ⇔ no candidate within
-    * Hamming ≤ 2 (the pigeonhole guarantee makes band blocking lossless
-    * for the ≤ 2 verdict, exactly as in perceptualDedup). */
+    * the combo index once per combo position (6 joins — STATELESS, so
+    * the identical plan runs batch or per-micro-batch on a stream),
+    * then reduces its ≤ 6 bounded member lists ARRAY-LOCALLY: distinct
+    * candidates, exact full-width Hamming each (one xor+popcount — the
+    * integer-signature form), best = integer min(struct(hamming,
+    * c_id)), admitted ⇔ no candidate within Hamming ≤ 2 (the
+    * pigeonhole guarantee makes combo blocking lossless for the ≤ 2
+    * verdict, exactly as in perceptualPairs). The n_candidates /
+    * best_match diagnostics are blocking-defined and tighten under the
+    * composite rule (a candidate now needs TWO agreeing bands); the
+    * admit verdict itself is blocking-invariant. */
   private[graft] def admissionVerdicts(probes: DataFrame, index: DataFrame,
       bits: Int): DataFrame = {
-    val bandW = bits / 4
     val emptyMembers =
-      array().cast("array<struct<c_id:bigint,c_sig:string>>")
-    val joined = (0 until 4).foldLeft(
-      probes.select(col("doc_id"), col("sig"))) { (d, k) =>
+      array().cast("array<struct<c_id:bigint,c_sig:bigint>>")
+    val joined = bandCombos.zipWithIndex.foldLeft(
+      probes.select(col("doc_id"), col("sig"))) { case (d, ((i, j), k)) =>
       d.join(
         index.filter(col("band_id") === k)
           .select(col("band").as(s"band_$k"),
                   col("members").as(s"members_$k")),
-        col("sig").substr(k * bandW + 1, bandW) === col(s"band_$k"),
+        comboKey(col("sig"), i, j, bits) === col(s"band_$k"),
         "left")
     }
     val cands = array_distinct(concat(
-      (0 until 4).map(k => coalesce(col(s"members_$k"), emptyMembers)): _*))
+      bandCombos.indices.map(k =>
+        coalesce(col(s"members_$k"), emptyMembers)): _*))
     joined
       .withColumn("scored", transform(cands, c =>
-        struct(hammingStr(col("sig"), c("c_sig"), bits).as("ham"),
+        struct(hammingInt(col("sig"), c("c_sig")).as("ham"),
                c("c_id").as("c_id"))))
       // self-match guard: a probe whose own id is in the index (not the
       // case for the even/odd split, but the shared logic stays total)
@@ -426,10 +485,11 @@ object Multimodal {
     * ann_incremental's shape for assets, proving the adaptive-width
     * perceptual index works INCREMENTALLY: the corpus (even doc_ids)
     * stands as the band index; each new asset (odd doc_ids) probes only
-    * its own 4 band buckets and is admitted iff no corpus asset sits
-    * within Hamming ≤ 2 of its signature. Per-asset cost is Θ(4 ·
-    * bucket density) — bounded by the adaptive width — and the corpus
-    * side is index maintenance, never rescanned per probe. */
+    * its own 6 combo buckets and is admitted iff no corpus asset sits
+    * within Hamming ≤ 2 of its signature. Per-asset cost is Θ(6 ·
+    * combo-bucket density) — bounded by the composite key space even
+    * where single-band buckets are heavy-tailed — and the corpus side
+    * is index maintenance, never rescanned per probe. */
   def perceptualAdmission(spark: SparkSession, dir: String): DataFrame = {
     val bits = perceptualBits(Tables.footerCount(spark, dir, "documents"))
     val sigs = perceptualSigs(
@@ -470,22 +530,33 @@ object Multimodal {
     "mm_resize" -> (resize _))
 
   /** Oracle fragments of the perceptual signature — same fixed-grid /
-    * codepoint-sum / adjacent-comparison recipe stated in DuckDB.
-    * Parity holds on ARBITRARY payloads: both engines iterate
-    * codepoints (unicode() here, the native PerceptualCellSums UTF-8
-    * decode on the Spark side — see the encoding note on
+    * codepoint-sum / adjacent-comparison recipe stated in DuckDB, in
+    * the same INTEGER form the engine ships: comparison i at bit
+    * (15-i) of one BIGINT (bits = 16 at every gate scale — the
+    * PropertySpec pin), band k = (sig >> (12-4k)) & 15, Hamming =
+    * bit_count(xor). Parity holds on ARBITRARY payloads: both engines
+    * iterate codepoints (unicode() here, the native PerceptualCellSums
+    * UTF-8 decode on the Spark side — see the encoding note on
     * perceptualDedup). */
   private def pCell(i: Int): String =
     s"substr(text, CAST($i*stride+1 AS INT), CAST(stride AS INT))"
   private def pSum(i: Int): String =
     s"COALESCE(list_sum(list_transform(split(${pCell(i)}, ''), " +
       s"x -> unicode(x))), 0)"
-  private val pBits = (0 until 16).map(i =>
-    s"CASE WHEN ${pSum(i)} > ${pSum(i + 1)} THEN '1' ELSE '0' END")
-    .mkString("(", " || ", ")")
-  private val pHam = (1 to 16).map(i =>
-    s"CASE WHEN substr(sa,$i,1) <> substr(sb,$i,1) THEN 1 ELSE 0 END")
-    .mkString("(", " + ", ")")
+  private val pSig = (0 until 16).map(i =>
+    s"CASE WHEN ${pSum(i)} > ${pSum(i + 1)} " +
+      s"THEN ${1L << (15 - i)} ELSE 0 END")
+    .mkString("CAST((", " + ", ") AS BIGINT)")
+  private def pBand(sig: String, k: Int): String =
+    s"(($sig >> ${12 - 4 * k}) & 15)"
+  private val pHam = "CAST(bit_count(xor(sa, sb)) AS BIGINT)"
+  // the composite candidate rule of the admission gate: some PAIR of
+  // bands jointly equal (6 choose-2 disjunction, same order as
+  // bandCombos)
+  private def pComboMatch(a: String, b: String): String =
+    (for (i <- 0 until 4; j <- i + 1 until 4) yield
+      s"(${pBand(a, i)} = ${pBand(b, i)} AND " +
+        s"${pBand(a, j)} = ${pBand(b, j)})").mkString("(", " OR ", ")")
 
   val oracle: Map[String, String] = Map(
     "mm_admission" ->
@@ -493,20 +564,16 @@ object Multimodal {
          |  SELECT doc_id, GREATEST(1, length(text) // 17) AS stride, text
          |  FROM documents
          |  WHERE text IS NOT NULL AND length(text) > 0),
-         |sig AS (SELECT doc_id, $pBits AS sig FROM s),
+         |sig AS (SELECT doc_id, $pSig AS sig FROM s),
          |c AS (SELECT doc_id AS c_id, sig AS c_sig FROM sig
          |      WHERE doc_id % 2 = 0),
          |b AS (SELECT doc_id, sig FROM sig WHERE doc_id % 2 = 1),
          |cand AS (
          |  SELECT DISTINCT b.doc_id, c.c_id, b.sig AS sa, c.c_sig AS sb
-         |  FROM b JOIN c ON (
-         |       substr(b.sig, 1, 4)  = substr(c.c_sig, 1, 4)
-         |    OR substr(b.sig, 5, 4)  = substr(c.c_sig, 5, 4)
-         |    OR substr(b.sig, 9, 4)  = substr(c.c_sig, 9, 4)
-         |    OR substr(b.sig, 13, 4) = substr(c.c_sig, 13, 4))
+         |  FROM b JOIN c ON ${pComboMatch("b.sig", "c.c_sig")}
          |  WHERE c.c_id <> b.doc_id),
          |h AS (
-         |  SELECT doc_id, c_id, CAST($pHam AS BIGINT) AS ham FROM cand),
+         |  SELECT doc_id, c_id, $pHam AS ham FROM cand),
          |agg AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
          |  FROM h GROUP BY doc_id),
@@ -529,10 +596,10 @@ object Multimodal {
          |  SELECT doc_id, GREATEST(1, length(text) // 17) AS stride, text
          |  FROM documents
          |  WHERE text IS NOT NULL AND length(text) > 0),
-         |sig AS (SELECT doc_id, $pBits AS sig FROM s),
+         |sig AS (SELECT doc_id, $pSig AS sig FROM s),
          |bands AS (
          |  SELECT doc_id, sig, b,
-         |         substr(sig, CAST(b*4+1 AS INT), 4) AS band
+         |         (sig >> (12 - 4*b)) & 15 AS band
          |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -550,22 +617,28 @@ object Multimodal {
          |SELECT id AS doc_id, min(r) AS cluster_id,
          |       (min(r) = id) AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // blocking form differs from the engine's (single-band here,
+    // composite there) — legitimate because BOTH candidate sets contain
+    // every Hamming ≤ 2 pair (pigeonhole), so after the ≤ 2 filter the
+    // emitted relations are equal; the simpler single-band SQL keeps
+    // the oracle readable and DuckDB at sf0.01 never sees the skew the
+    // composite key exists to absorb
     "mm_neardup" ->
       s"""WITH s AS (
          |  SELECT doc_id, GREATEST(1, length(text) // 17) AS stride, text
          |  FROM documents
          |  WHERE text IS NOT NULL AND length(text) > 0),
-         |sig AS (SELECT doc_id, $pBits AS sig FROM s),
+         |sig AS (SELECT doc_id, $pSig AS sig FROM s),
          |bands AS (
          |  SELECT doc_id, sig, b,
-         |         substr(sig, CAST(b*4+1 AS INT), 4) AS band
+         |         (sig >> (12 - 4*b)) & 15 AS band
          |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                  a.sig AS sa, b.sig AS sb
          |  FROM bands a JOIN bands b
          |    ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST($pHam AS BIGINT) AS hamming,
+         |SELECT doc_a, doc_b, $pHam AS hamming,
          |       sa AS sig_a, sb AS sig_b
          |FROM cand WHERE $pHam <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,

@@ -715,9 +715,12 @@ object Similarity {
     rankTopK(pqRescoredPairs(spark, dir), k = 3)
 
   /** ADC rescore depth at corpus size n — see the SCALE DIAL comment at
-    * the use site. max(30, ⌈(2n/⌈√n⌉)/3⌉): 30 at every fixture scale,
-    * pool-proportional past ~45k vectors (measured 0.30 → 1.00 recall@5
-    * at the 200k-vector density probe). */
+    * the use site. max(30, ⌈(2n/⌈√n⌉)/3⌉): 30 at every fixture scale
+    * (pool = 88.9 at the 2,000-vector sf0.1 fixture — one notch below
+    * the boundary, pinned by PropertySpec on the fixture footer
+    * counts), pool-proportional past ~2,100 vectors (pool/3 > 30 ⇔
+    * 2n/⌈√n⌉ > 90 ⇔ n ≳ 2,100; measured 0.30 → 1.00 recall@5 at the
+    * 200k-vector density probe). */
   private[graft] def adcRescoreDepth(nVecs: Long): Long = {
     val poolSize = 2.0 * nVecs / math.ceil(math.sqrt(nVecs.toDouble))
     math.max(30L, math.ceil(poolSize / 3.0).toLong)
@@ -779,7 +782,10 @@ object Similarity {
     // at the 200k-vector density probe. depth = max(30, ⌈pool/3⌉):
     // identical to the shipped 30 at every fixture scale (pools ≤ 89 at
     // sf0.001/0.01/0.1, so the DuckDB oracle's literal crank <= 30 stays
-    // exact where the gate runs), opening only past ~45k vectors — the
+    // exact where the gate runs), opening only past ~2,100 vectors
+    // (pool/3 > 30 ⇔ 2N/⌈√N⌉ > 90 — the sf0.1 fixture's pool of 88.9
+    // is one notch below; PropertySpec pins depth==30 on the fixture
+    // footer counts so a larger regenerated fixture fails loudly) — the
     // same fixture-exact/scale-adaptive doctrine as adaptiveBits and
     // statefulWidth. Rescore stays Θ(|Q|·depth) exact cosines — driver
     // and shuffle costs are unchanged in kind.

@@ -218,7 +218,12 @@ object EventStream {
     * the oracle gate runs at — the ivf_retrain both-branches doctrine
     * applied to the plan dial. */
   private def bandingOn(spark: SparkSession, dir: String): Boolean = {
-    val minRows = sys.props.get("graft.band.minRows").map(_.toLong)
+    // fail loudly NAMING the property: an unguarded toLong would throw a
+    // bare NumberFormatException at plan-build time with no hint which
+    // -D was malformed
+    val minRows = sys.props.get("graft.band.minRows").map(v =>
+      v.toLongOption.getOrElse(sys.error(
+        s"-Dgraft.band.minRows must be a long, got '$v'")))
       .getOrElse(1000000L)
     graft.Tables.footerCount(spark, dir, "events") >= minRows
   }

@@ -26,9 +26,12 @@ object BandStats {
     val bandW = bits / 4
     val sig = graft.ops.Multimodal.perceptualSigs(
       graft.Tables.spread(graft.Tables.t(spark, dir, "documents")), bits)
+    // integer-signature band extracts — the same shift/mask convention
+    // as Multimodal.bandVal (band k MSB-first at bits-(k+1)*bandW)
+    def bv(k: Int) = shiftrightunsigned(col("sig"), bits - (k + 1) * bandW)
+      .bitwiseAND(lit((1L << bandW) - 1))
     val buckets = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => col("sig").substr((b * bandW + 1).cast("int"), lit(bandW)))))
+        posexplode(array((0 until 4).map(bv): _*)))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("sz"))
       .persist()
     val stats = buckets.agg(
@@ -44,14 +47,13 @@ object BandStats {
       s"max=${stats.getLong(1)} sum_sq=${stats.getLong(3)}")
     println("top 10 buckets:")
     buckets.orderBy(col("sz").desc).limit(10).collect().foreach(r =>
-      println(s"  band_id=${r.getInt(0)} band=${r.getString(1)} " +
+      println(s"  band_id=${r.getInt(0)} band=${r.getLong(1)} " +
         s"sz=${r.getLong(2)}"))
-    // the 2-band COMPOSITE alternative (pigeonhole: ham ≤ 2 leaves ≥ 2
-    // clean bands, so some PAIR of bands is jointly clean): same
-    // histogram over the 6 choose-2 composite keys
+    // the 2-band COMPOSITE blocking the engine ships (pigeonhole:
+    // ham ≤ 2 leaves ≥ 2 clean bands, so some PAIR of bands is jointly
+    // clean): same histogram over the 6 choose-2 packed combo keys
     val comboCols = (for (i <- 0 until 4; j <- i + 1 until 4) yield
-      concat(col("sig").substr(i * bandW + 1, bandW),
-             col("sig").substr(j * bandW + 1, bandW))).toSeq
+      bv(i) * lit(1L << bandW) + bv(j)).toSeq
     val cb = sig.select(col("doc_id"), posexplode(array(comboCols: _*)))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("sz"))
       .persist()

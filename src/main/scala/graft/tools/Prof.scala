@@ -32,12 +32,16 @@ object Prof {
         val i = sc.stageInfo
         val wall = (for {t0 <- i.submissionTime; t1 <- i.completionTime}
           yield (t1 - t0) / 1e3).getOrElse(-1.0)
-        val m = i.taskMetrics
-        println(f"      stage ${i.stageId}%3d  $wall%7.3fs  " +
+        // taskMetrics is null for skipped/failed stages; an unguarded
+        // dereference NPEs inside the listener bus, which silently
+        // swallows the stage line
+        val metrics = Option(i.taskMetrics).map(m =>
           f"in=${m.inputMetrics.bytesRead / 1048576}%5dMB " +
-          f"sw=${m.shuffleWriteMetrics.bytesWritten / 1048576}%5dMB " +
-          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1048576}%5dMB  " +
-          i.name.take(70))
+            f"sw=${m.shuffleWriteMetrics.bytesWritten / 1048576}%5dMB " +
+            f"sr=${m.shuffleReadMetrics.totalBytesRead / 1048576}%5dMB  ")
+          .getOrElse("in=    -   sw=    -   sr=    -     ")
+        println(f"      stage ${i.stageId}%3d  $wall%7.3fs  " +
+          metrics + i.name.take(70))
       }
     }
     val fn = graft.SparkEntry.queries(name)

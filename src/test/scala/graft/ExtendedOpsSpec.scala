@@ -769,19 +769,21 @@ class ExtendedOpsSpec extends AnyFunSuite {
     val ddir = TestFixtures.writeDir(Map(
       "documents" -> Seq((0L, base, "en", "s"), (1L, jittered, "en", "s"))
         .toDF("doc_id", "text", "lang", "source")))
-    // hand codepoint recompute of the 17-cell sums and 16-bit signature
-    def handSig(s: String): String = {
+    // hand codepoint recompute of the 17-cell sums and the 16-bit
+    // INTEGER signature (comparison i at bit 15-i, MSB-first — the
+    // perceptualSigs packing convention)
+    def handSig(s: String): Long = {
       val n = s.codePointCount(0, s.length)
       val stride = math.max(1, n / 17)
       val sums = (0 until 17).map(c =>
         (c * stride until math.min(n, (c + 1) * stride))
           .map(cpAt(s, _).toLong).sum)
-      (0 until 16).map(i =>
-        if (sums(i) > sums(i + 1)) '1' else '0').mkString
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        if (sums(i) > sums(i + 1)) acc | (1L << (15 - i)) else acc)
     }
     val sigs = graft.ops.Multimodal.perceptualSigs(
         Tables.t(spark, ddir, "documents"), 16).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(0L) === handSig(base), "base signature != codepoint spec")
     assert(sigs(1L) === handSig(jittered),
       "jittered signature != codepoint spec")

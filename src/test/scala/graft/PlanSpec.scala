@@ -625,14 +625,21 @@ class PlanSpec extends AnyFunSuite {
   test("mm_neardup: payloads never shuffle — signatures are computed " +
        "map-side and only (id, sig, band) tuples cross the exchanges") {
     // AQE's wrapper hides the tree from collect(); plan inspection wants
-    // the plain physical tree, so build this one query with AQE off
+    // the plain physical tree, so build this one query with AQE off.
+    // Broadcast off too: at fixture scale the band self-join broadcasts
+    // (since the ownership filter replaced the .distinct(), no other
+    // exchange remains), but the doctrine under audit is the AT-SCALE
+    // shape — both band relations are corpus-sized, so production plans
+    // the hash join whose exchanges must stay payload-free.
     val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val exchanges = try {
       // precise form of the mm_dedup doctrine: no DATAFLOW shuffle (hash
-      // partitioning: the band join, the pair distinct) may carry the
-      // payload column — signatures are map-side work. Tables.spread's
-      // round-robin repartition is exempt: it is the single-file fixture
+      // partitioning: the band join) may carry the payload column —
+      // signatures are map-side work. Tables.spread's round-robin
+      // repartition is exempt: it is the single-file fixture
       // parallelism shim, conditional on input splits < cores, and a
       // no-op on any real multi-split layout.
       // Audited on the GENERATION plan (perceptualPairs): the shipped
@@ -647,7 +654,10 @@ class PlanSpec extends AnyFunSuite {
                 org.apache.spark.sql.catalyst.plans.physical
                   .HashPartitioning] => e
         }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    }
     val df = graft.ops.Multimodal.perceptualPairs(spark, sf)
     assert(exchanges.nonEmpty, "expected the band-join/distinct shuffles")
     exchanges.foreach { e =>

@@ -258,7 +258,35 @@ class PropertySpec extends AnyFunSuite {
     // banding-power growth: expected band bucket stays ~<= 64 assets
     assert(graft.ops.Multimodal.perceptualBits(5000L) === 28)
     assert(graft.ops.Multimodal.perceptualBits(50000L) === 40)
-    assert(graft.ops.Multimodal.perceptualBits(1L << 30) === 96)
+    // capped at 64 so the whole signature fits ONE long (Hamming = one
+    // xor+popcount); past the cap the composite combo key space (2^32)
+    // carries the blocking power — see the perceptualBits scaladoc
+    assert(graft.ops.Multimodal.perceptualBits(5000000L) === 64)
+    assert(graft.ops.Multimodal.perceptualBits(1L << 30) === 64)
+  }
+
+  test("adcRescoreDepth: exactly 30 at every fixture scale (the " +
+       "sim_ann_pq oracle's literal crank <= 30), pool-proportional " +
+       "past ~2,100 vectors") {
+    // the depth opens when pool/3 > 30, i.e. 2N/ceil(sqrt(N)) > 90 —
+    // about N = 2,100, NOT the ~45k a round-13 comment claimed (the
+    // 2,000-vector sf0.1 fixture sits one notch below the boundary:
+    // pool = 88.9 -> depth exactly 30). Pin the equality on the actual
+    // fixture footer counts so a regenerated/larger fixture fails HERE,
+    // loudly, instead of silently breaking DuckDB-oracle parity.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val p = s"/root/testdata/$sf/embeddings.parquet"
+      if (new java.io.File(p).exists()) {
+        val n = spark.read.parquet(p).count()
+        assert(graft.ops.Similarity.adcRescoreDepth(n) === 30L,
+          s"embeddings fixture $sf has $n rows -> adcRescoreDepth != 30, " +
+            "but the sim_ann_pq/ann_recall oracles hard-code a top-30 ADC " +
+            "cut; regenerate the oracle SQL or re-pin")
+      }
+    }
+    assert(graft.ops.Similarity.adcRescoreDepth(2000L) === 30L)
+    // one decade past the gate: pool ≈ 2·sqrt(N) -> depth ≈ pool/3
+    assert(graft.ops.Similarity.adcRescoreDepth(200000L) === 298L)
   }
 
   test("probeBuckets enumerates EXACTLY the Hamming <= r ball of the " +
