@@ -416,17 +416,23 @@ object Multimodal {
   }
 
   /** The corpus band INDEX of the perceptual admission gate: one row
-    * per occupied (combo_id, packed combo value) bucket carrying its
-    * member list (c_id, c_sig). Keys are the 6 choose-2 COMPOSITE band
-    * pairs — the same blocking perceptualPairs uses, for the same
-    * measured reason: single-band buckets are heavy-tailed on real
-    * signatures (max 6,499 members at the 500k-asset probe) and a hot
-    * bucket is per-new-asset probe cost here; a composite bucket needs
-    * TWO bands to collide jointly, so the 2^(2w) key space absorbs the
-    * tail and keeps collect_list bounded (the published-artifact
-    * shape: this relation IS the deployed index, rebuilt by the
-    * offline batch run whenever the corpus grows). Pigeonhole keeps
-    * the ≤ 2 verdict lossless: ≥ 2 clean bands ⇒ some jointly-clean
+    * per (combo_id, packed combo value, member) — a NORMALIZED inverted
+    * index (6 rows per asset), not per-bucket member arrays. Keys are
+    * the 6 choose-2 COMPOSITE band pairs — the same blocking
+    * perceptualPairs uses, for the same measured reason: single-band
+    * buckets are heavy-tailed on real signatures (max 6,499 members at
+    * the 500k-asset probe; the single-band gate measured 2,703 s there
+    * vs 31 s composite) and a hot bucket is per-new-asset probe cost
+    * here. Normalized rows rather than collect_list arrays because a
+    * clique-structured corpus (the 5M probe plants 1000-copy cliques)
+    * makes even composite buckets thousands deep — per-row member
+    * ARRAYS then concat/array_distinct into multi-thousand-element
+    * structs per probe (measured 2,217 s at 5M), where normalized rows
+    * flow through the same hash-join + 16-byte-row aggregate shape as
+    * perceptualPairs (which pushed 2.7G candidates in 95 s on the same
+    * corpus). This relation IS the deployed index, rebuilt by the
+    * offline batch run whenever the corpus grows. Pigeonhole keeps the
+    * ≤ 2 verdict lossless: ≥ 2 clean bands ⇒ some jointly-clean
     * combo. */
   private[graft] def perceptualBandIndex(sigs: DataFrame,
       bits: Int): DataFrame =
@@ -434,52 +440,66 @@ object Multimodal {
       .select(col("doc_id").as("c_id"), col("sig").as("c_sig"),
         posexplode(array(bandCombos.map { case (i, j) =>
           comboKey(col("sig"), i, j, bits) }: _*)))
-      .groupBy(col("pos").as("band_id"), col("col").as("band"))
-      .agg(collect_list(struct(col("c_id"), col("c_sig"))).as("members"))
+      .select(col("pos").as("band_id"), col("col").as("band"),
+              col("c_id"), col("c_sig"))
 
-  /** The shared admission verdict: each probe row (doc_id, sig) joins
-    * the combo index once per combo position (6 joins — STATELESS, so
-    * the identical plan runs batch or per-micro-batch on a stream),
-    * then reduces its ≤ 6 bounded member lists ARRAY-LOCALLY: distinct
-    * candidates, exact full-width Hamming each (one xor+popcount — the
-    * integer-signature form), best = integer min(struct(hamming,
-    * c_id)), admitted ⇔ no candidate within Hamming ≤ 2 (the
-    * pigeonhole guarantee makes combo blocking lossless for the ≤ 2
-    * verdict, exactly as in perceptualPairs). The n_candidates /
-    * best_match diagnostics are blocking-defined and tighten under the
-    * composite rule (a candidate now needs TWO agreeing bands); the
-    * admit verdict itself is blocking-invariant. */
-  private[graft] def admissionVerdicts(probes: DataFrame, index: DataFrame,
-      bits: Int): DataFrame = {
-    val emptyMembers =
-      array().cast("array<struct<c_id:bigint,c_sig:bigint>>")
-    val joined = bandCombos.zipWithIndex.foldLeft(
-      probes.select(col("doc_id"), col("sig"))) { case (d, ((i, j), k)) =>
-      d.join(
-        index.filter(col("band_id") === k)
-          .select(col("band").as(s"band_$k"),
-                  col("members").as(s"members_$k")),
-        comboKey(col("sig"), i, j, bits) === col(s"band_$k"),
-        "left")
-    }
-    val cands = array_distinct(concat(
-      bandCombos.indices.map(k =>
-        coalesce(col(s"members_$k"), emptyMembers)): _*))
-    joined
-      .withColumn("scored", transform(cands, c =>
-        struct(hammingInt(col("sig"), c("c_sig")).as("ham"),
-               c("c_id").as("c_id"))))
-      // self-match guard: a probe whose own id is in the index (not the
-      // case for the even/odd split, but the shared logic stays total)
-      .withColumn("scored",
-        filter(col("scored"), s => s("c_id") =!= col("doc_id")))
-      .select(col("doc_id"),
-        size(col("scored")).cast("long").as("n_candidates"),
-        array_min(col("scored"))("c_id").as("best_match"),
-        array_min(col("scored"))("ham").as("best_hamming"),
-        coalesce(array_min(col("scored"))("ham") > 2, lit(true))
-          .as("admit"))
+  /** The per-candidate relation of the admission gate: each probe row
+    * explodes its 6 combo keys map-side and meets the index through ONE
+    * stateless hash equi-join on (combo position, packed combo value) —
+    * so the identical plan runs batch or per-micro-batch on a stream
+    * (every candidate row derives from its probe's single input row by
+    * stateless operators, the annAdmissionStream argument). LEFT join:
+    * probes whose buckets are all empty keep null candidate rows, so
+    * the downstream aggregate is total without a re-join against the
+    * probe set. A candidate sharing k jointly-clean combos meets k
+    * times; rather than a dedup shuffle, each row carries `valid` —
+    * computed MAP-SIDE from the two signatures: real candidate, not
+    * self, and THIS combo is the pair's first matching one (the
+    * perceptualPairs ownership rule) — so exactly one row per (probe,
+    * candidate) counts. Hamming is one xor+popcount per row. */
+  private[graft] def admissionCandidates(probes: DataFrame,
+      index: DataFrame, bits: Int): DataFrame = {
+    val probeBands = probes.select(col("doc_id"), col("sig"),
+        posexplode(array(bandCombos.map { case (i, j) =>
+          comboKey(col("sig"), i, j, bits) }: _*)))
+      .select(col("doc_id"), col("sig"),
+              col("pos").as("band_id"), col("col").as("band"))
+    val bandMatch = (0 until 4).map(k =>
+      bandVal(col("sig"), k, bits) === bandVal(col("c_sig"), k, bits))
+    val firstCombo = coalesce(bandCombos.zipWithIndex.map {
+      case ((i, j), k) => when(bandMatch(i) && bandMatch(j), lit(k)) }: _*)
+    probeBands.join(index, Seq("band_id", "band"), "left")
+      .select(col("doc_id"), col("c_id"),
+        (col("c_id").isNotNull && col("c_id") =!= col("doc_id") &&
+          col("band_id") === firstCombo).as("valid"),
+        hammingInt(col("sig"), col("c_sig")).as("ham"))
   }
+
+  /** Shared verdict tail of the perceptual admission gate — used by the
+    * batch operator and the streaming twin's per-micro-batch finish
+    * (StreamingBatch.streamingMmAdmission), so the two cannot drift:
+    * reduce the per-candidate relation to one verdict row per probe.
+    * Only `valid` rows count (the in-aggregate filter keeps the
+    * relation total — every probe contributes its 6 probeBand rows even
+    * when all its candidates are invalid); best = integer
+    * min(struct(hamming, c_id)); admitted ⇔ no candidate within
+    * Hamming ≤ 2 (blocking-invariant by pigeonhole; the n_candidates /
+    * best_match diagnostics are combo-blocking-defined and
+    * oracle-mirrored). */
+  private[graft] def admissionFromCandidates(cands: DataFrame): DataFrame =
+    cands
+      .groupBy(col("doc_id"))
+      .agg(count(when(col("valid"), lit(1))).as("n_candidates"),
+           min(when(col("valid"),
+             struct(col("ham"), col("c_id")))).as("m"))
+      .select(col("doc_id"), col("n_candidates"),
+        col("m")("c_id").as("best_match"),
+        col("m")("ham").as("best_hamming"),
+        coalesce(col("m")("ham") > 2, lit(true)).as("admit"))
+
+  private[graft] def admissionVerdicts(probes: DataFrame, index: DataFrame,
+      bits: Int): DataFrame =
+    admissionFromCandidates(admissionCandidates(probes, index, bits))
 
   /** Perceptual media ADMISSION gate — neardup_incremental /
     * ann_incremental's shape for assets, proving the adaptive-width

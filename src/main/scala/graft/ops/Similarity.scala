@@ -559,7 +559,37 @@ object Similarity {
   // the layout an in-RAM search tier actually holds at 10⁹+ vectors.
   private val pqM = 4 // subspaces
   private val pqSub = 16 // dims per subspace
-  private val pqK = 16 // codes per subspace
+  // PROBE DIALS (-Dgraft.pq.k / -Dgraft.pq.nprobe): dev-only overrides
+  // for the RecallCurve scale measurements — defaults are the shipped
+  // values, and the oracles/specs only ever run at the defaults. A
+  // malformed value fails naming the property (the bandingOn doctrine).
+  private def probeDial(prop: String, dflt: Int): Int =
+    sys.props.get(prop).map(v => v.toIntOption.getOrElse(
+      sys.error(s"-D$prop must be an int, got '$v'"))).getOrElse(dflt)
+  /** Codes per subspace — the RESOLUTION dial of the PQ tier, and the
+    * round-14 probe's finding: recall at the 2M-vector decade is
+    * resolution-bound before it is depth-bound (k=16 → 0.30, k=64 →
+    * 0.40, k=256 → 0.60 at the same pool-proportional rescore depth).
+    * A fixed k=16 gives k^m = 65,536 distinct full codes FOREVER: past
+    * ~65k vectors multiple corpus vectors share every code, ADC scores
+    * tie in blocks, and any rescore cut is arbitrary among ties — the
+    * fixed-IVF-codebook failure class in code space. k grows so the
+    * full-code space keeps pace with the corpus (k ≥ N^(1/m), pow-2 so
+    * codes stay aligned bit fields), clamped to [16, 256]: 16 at every
+    * fixture scale (opens past 16⁴ = 65,536 vectors — PropertySpec
+    * pins the fixture equality, and the oracle's 16-seed recipe stays
+    * exact where the gate runs), 64 at 2M, 256 from ~1B up. Cost is
+    * negligible everywhere it matters: learn is an m·k·subdim-group
+    * aggregate (16k groups at the cap), encode argmax is Θ(k·subdim)
+    * map-side per vector, and the shipped code stays m·log2(k)/8 ≤ 4
+    * bytes/vector — still 64× below fp32. */
+  private[graft] def pqKAdaptive(n: Long): Int = {
+    val raw = math.ceil(math.pow(n.toDouble, 0.25)).toInt
+    if (raw <= 16) 16
+    else math.min(256, Integer.highestOneBit(raw - 1) << 1)
+  }
+  private def pqK(n: Long): Int = probeDial("graft.pq.k", pqKAdaptive(n))
+  private def pqNprobe = probeDial("graft.pq.nprobe", 2)
 
   /** Learned-model cache: trained codebooks (PQ, IVF, k-means) are
     * MODEL PARAMETERS — KBs of driver-side state derived by a
@@ -637,15 +667,18 @@ object Similarity {
     modelOnce(s"pq_model@$dir@${embFp(dir)}") {
       val e = Tables.spread(Tables.t(spark, dir, "embeddings"))
         .select(col("vec_id"), col("embedding"))
-      // Seeds = hash-min pqK sample (vecSample — works on any id space);
-      // the CODE a seed carries is its RANK among the seeds ordered by
-      // vec_id (0..pqK−1, the oracle's ROW_NUMBER()−1), because the recon
-      // stage indexes the codebook array by code+1: codes must be dense
-      // ordinals even though vec_ids need not be.
-      val seed = vecSample(spark, dir, pqK)
+      // Seeds = hash-min k sample (vecSample — works on any id space);
+      // k = pqKAdaptive(corpus) — 16 at every gate scale, so the
+      // oracle's 16-seed ROW_NUMBER() recipe stays exact where the gate
+      // runs. The CODE a seed carries is its RANK among the seeds
+      // ordered by vec_id (0..k−1, the oracle's ROW_NUMBER()−1), because
+      // the recon stage indexes the codebook array by code+1: codes must
+      // be dense ordinals even though vec_ids need not be.
+      val k = pqK(Tables.footerCount(spark, dir, "embeddings"))
+      val seed = vecSample(spark, dir, k)
         .select(col("vec_id"), col("embedding")).collect()
         .sortBy(_.getLong(0))
-      val ids = Array.tabulate(pqK)(_.toLong)
+      val ids = Array.tabulate(k)(_.toLong)
       val cb1: Array[Array[Array[Float]]] = Array.tabulate(pqM) { s =>
         seed.map(_.getSeq[Float](1)
           .slice(s * pqSub, (s + 1) * pqSub).toArray)
@@ -714,13 +747,12 @@ object Similarity {
   def simAnnPq(spark: SparkSession, dir: String): DataFrame =
     rankTopK(pqRescoredPairs(spark, dir), k = 3)
 
-  /** ADC rescore depth at corpus size n — see the SCALE DIAL comment at
-    * the use site. max(30, ⌈(2n/⌈√n⌉)/3⌉): 30 at every fixture scale
-    * (pool = 88.9 at the 2,000-vector sf0.1 fixture — one notch below
-    * the boundary, pinned by PropertySpec on the fixture footer
-    * counts), pool-proportional past ~2,100 vectors (pool/3 > 30 ⇔
-    * 2n/⌈√n⌉ > 90 ⇔ n ≳ 2,100; measured 0.30 → 1.00 recall@5 at the
-    * 200k-vector density probe). */
+  /** The round-13 global rescore-depth model — superseded in round 14
+    * by the PER-QUERY windowed rule at the use site (see the SCALE DIAL
+    * comment in pqRescoredPairs: cell occupancy is skewed on clustered
+    * corpora, so the uniform-cell model understates real pools). Kept
+    * as the MODELED reference the probe tooling prints next to the
+    * measured per-query pools. */
   private[graft] def adcRescoreDepth(nVecs: Long): Long = {
     val poolSize = 2.0 * nVecs / math.ceil(math.sqrt(nVecs.toDouble))
     math.max(30L, math.ceil(poolSize / 3.0).toLong)
@@ -763,7 +795,7 @@ object Similarity {
         .partitionBy(col("query_id"))
         .orderBy(round(cosineHof(col("q_emb"), col("cent")), 6).desc,
                  col("cent_id"))))
-      .filter(col("crn") <= 2)
+      .filter(col("crn") <= pqNprobe)
       .select(col("cent_id").as("cell"), col("query_id"), col("q_emb"))
     val c = joined.select(col("cell"), col("vec_id").as("neighbor_id"),
                           recon.as("recon"))
@@ -773,30 +805,42 @@ object Similarity {
     // over 2× the candidates lets ADC quantization noise evict true
     // neighbors the single-cell cut kept — measured recall@5 0.68 at
     // nprobe=2/cut=15 vs 0.90 at nprobe=2/cut=30.
-    // SCALE DIAL (round-13): past fixture scale the cut must grow with
-    // the probed pool. Cells hold ~N/⌈√N⌉ ≈ √N vectors, so the 2-cell
-    // pool is ~2√N while a FIXED cut keeps a shrinking fraction of it —
-    // and a true neighbor's ADC rank displacement is pool-proportional
-    // (each distractor independently out-scores it with the same
-    // quantization-noise probability), so recall@5 collapsed 0.90 → 0.30
-    // at the 200k-vector density probe. depth = max(30, ⌈pool/3⌉):
-    // identical to the shipped 30 at every fixture scale (pools ≤ 89 at
-    // sf0.001/0.01/0.1, so the DuckDB oracle's literal crank <= 30 stays
-    // exact where the gate runs), opening only past ~2,100 vectors
-    // (pool/3 > 30 ⇔ 2N/⌈√N⌉ > 90 — the sf0.1 fixture's pool of 88.9
-    // is one notch below; PropertySpec pins depth==30 on the fixture
-    // footer counts so a larger regenerated fixture fails loudly) — the
-    // same fixture-exact/scale-adaptive doctrine as adaptiveBits and
-    // statefulWidth. Rescore stays Θ(|Q|·depth) exact cosines — driver
-    // and shuffle costs are unchanged in kind.
-    val adcDepth = adcRescoreDepth(
-      Tables.footerCount(spark, dir, "embeddings"))
+    // SCALE DIAL (round-14, superseding round-13's global formula):
+    // depth = max(30, ⌈pool_q/3⌉) PER QUERY, where pool_q is the
+    // query's MEASURED candidate count — a COUNT over the same window
+    // the rank already partitions by, so it costs nothing extra. Two
+    // measured reasons over the round-13 global max(30, ⌈(2N/⌈√N⌉)/3⌉):
+    // (1) the r13 form modeled every cell at the N/⌈√N⌉ average, but
+    // cell occupancy is skewed on clustered corpora (the 5M probe's
+    // 1000-copy cliques co-assign) — at 2M vectors a cut at the MODELED
+    // pool/1.0 still lost 20% recall because real pools run larger
+    // (k=256: 0.60 at modeled/3, 0.70 at modeled·2/3, 0.80 at
+    // modeled·1 — the gap to IVF's 1.00 is exactly the
+    // modeled-vs-actual pool gap); the per-query form tracks the pool
+    // that actually exists. (2) it removes the fixture-exactness
+    // tightrope entirely: the ORACLE computes the identical windowed
+    // rule (COUNT(*) OVER the same partition), so parity holds at EVERY
+    // scale by construction instead of resting on fixture pools staying
+    // under a literal's boundary. Bounding the depth further is the
+    // resolution dial's job (pqKAdaptive above), not a smaller
+    // fraction: depth 30 at 2M measured 0.00 recall at ANY k — ADC
+    // cannot order within near-tie clusters, so the floor of the
+    // rescore fraction is what recall rests on. Rescore stays
+    // Θ(|Q|·depth) exact cosines. -Dgraft.pq.depth (probe dial) forces
+    // a fixed cut for measurement runs.
+    val fixedDepth = probeDial("graft.pq.depth", -1)
+    val adcDepth =
+      if (fixedDepth > 0) lit(fixedDepth.toLong)
+      else greatest(lit(30L),
+        ceil(col("cpool") / 3.0).cast("long"))
     val cand = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), round(adc, 6).as("adc"))
       .withColumn("crank", row_number().over(Window
         .partitionBy(col("query_id"))
         .orderBy(col("adc").desc, col("neighbor_id"))))
+      .withColumn("cpool", count(lit(1)).over(Window
+        .partitionBy(col("query_id"))))
       .filter(col("crank") <= adcDepth)
       .select(col("query_id"), col("neighbor_id"))
     val emb = Tables.t(spark, dir, "embeddings")
@@ -1623,7 +1667,10 @@ object Similarity {
     * assignment, m = refined 6-dp means, c2 = refined codebook with the
     * empty-code seed fallback (LEFT JOIN + COALESCE — the Spark side
     * keeps cb1's entry when no vector chose the code), a2 = final
-    * assignment. Shared by the pq_codes and sim_ann_pq oracles. */
+    * assignment. Shared by the pq_codes and sim_ann_pq oracles. The
+    * seed count is the LITERAL 16 = pqKAdaptive(n) at every gate scale
+    * (the adaptive k opens past 16⁴ = 65,536 vectors; PropertySpec pins
+    * the fixture equality). */
   private val duckPqCtes: String =
     (0 until pqM).map { s =>
       def sl(e: String) = s"$e[${s * pqSub + 1}:${(s + 1) * pqSub}]"
@@ -1631,7 +1678,7 @@ object Similarity {
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
          |           AS code,
          |         ${sl("embedding")} AS cent
-         |  FROM (${duckVecSample(pqK)})),
+         |  FROM (${duckVecSample(16)})),
          |a1_$s AS (
          |  SELECT vec_id, code FROM (
          |    SELECT e.vec_id, c.code,
@@ -1852,8 +1899,9 @@ object Similarity {
            |cand AS (
            |  SELECT query_id, neighbor_id FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY adc DESC, neighbor_id) AS crank FROM cd)
-           |  WHERE crank <= 30),
+           |      ORDER BY adc DESC, neighbor_id) AS crank,
+           |      COUNT(*) OVER (PARTITION BY query_id) AS cpool FROM cd)
+           |  WHERE crank <= GREATEST(30, CAST(CEIL(cpool / 3.0) AS BIGINT))),
            |rs AS (
            |  SELECT c.query_id, c.neighbor_id,
            |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim
@@ -2124,8 +2172,9 @@ object Similarity {
          |pcand AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adc DESC, neighbor_id) AS crank FROM pcd)
-         |  WHERE crank <= 30),
+         |      ORDER BY adc DESC, neighbor_id) AS crank,
+         |      COUNT(*) OVER (PARTITION BY query_id) AS cpool FROM pcd)
+         |  WHERE crank <= GREATEST(30, CAST(CEIL(cpool / 3.0) AS BIGINT))),
          |pp AS (
          |  SELECT c.query_id, c.neighbor_id,
          |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim

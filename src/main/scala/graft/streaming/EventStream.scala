@@ -789,14 +789,19 @@ object EventStream {
     * benchBloom deployment doctrine — one Θ(corpus) relation whose
     * band buckets the adaptive signature width keeps at ≤ ~64 expected
     * members); each arriving asset (odd doc_ids) computes its signature
-    * ARRAY-LOCALLY, meets the index through 4 stateless stream-static
-    * band joins, and reduces its bounded member lists array-locally to
-    * the admit verdict. No watermark, no state, no stream-side
-    * aggregation — per-asset cost Θ(4 · bucket density) at ingest
-    * speed, and the final table equals the batch gate bit-for-bit
-    * regardless of batching (every verdict is a pure function of the
-    * asset and the static index, via the SHARED
-    * Multimodal.admissionVerdicts chain). */
+    * ARRAY-LOCALLY, explodes its 6 combo keys map-side, and meets the
+    * NORMALIZED index through one stateless stream-static equi-join on
+    * the combo key. The returned relation is the per-candidate stream;
+    * the per-asset verdict reduce rides INSIDE the sink's
+    * per-micro-batch transform (StreamingBatch.streamingMmAdmission,
+    * finish = Multimodal.admissionFromCandidates — the
+    * annAdmissionStream shape): every candidate row of an asset derives
+    * from its single input row by stateless operators, so all of them
+    * live in the same micro-batch and a within-batch groupBy(doc_id)
+    * equals the global one (doc_ids are unique). Zero streaming state,
+    * no watermark; the final table equals the batch gate bit-for-bit
+    * under any batching via the SHARED candidate + verdict-tail
+    * chain. */
   def mmAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
     val mm = graft.ops.Multimodal
     // count() is answered from parquet footer metadata, no data scan
@@ -814,7 +819,7 @@ object EventStream {
           graft.Tables.spread(graft.Tables.t(spark, dir, "documents"))
             .filter(col("doc_id") % 2 === 0), bits), bits),
       s"mm_index@$dir")
-    mm.admissionVerdicts(
+    mm.admissionCandidates(
       mm.perceptualSigs(
         spreadStream(readDocuments(spark, dir)
           .filter(col("doc_id") % 2 === 1)), bits),

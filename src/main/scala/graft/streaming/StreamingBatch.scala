@@ -276,7 +276,8 @@ object StreamingBatch {
 
   def streamingMmAdmission(spark: SparkSession, dir: String): DataFrame =
     runToParquet(EventStream.mmAdmissionStream(spark, dir), "mm_admission",
-      dir)
+      dir,
+      finish = graft.ops.Multimodal.admissionFromCandidates)
       .orderBy("doc_id")
 
   def streamingAnnAdmission(spark: SparkSession, dir: String): DataFrame =
@@ -318,9 +319,12 @@ object StreamingBatch {
     // join reproduces the batch groupBy's bin union — so the final
     // report equals batch psi_drift bit-for-bit under any batching
     "streaming_psi_drift" -> graft.ops.Audit.oracle("psi_drift"),
-    // every verdict is a pure function of the asset and the static band
-    // index (no state, no watermark), so the appended final table equals
-    // the batch admission gate bit-for-bit under any batching
+    // signature + combo keys are array-local, the index join is
+    // stateless stream-static, and the verdict reduce runs within the
+    // micro-batch that holds ALL of an asset's candidate rows (stateless
+    // derivation of a unique key — the ann_admission argument), so the
+    // final table equals the batch admission gate bit-for-bit under any
+    // batching
     "streaming_mm_admission" -> graft.ops.Multimodal.oracle("mm_admission"),
     // same argument for vectors: signature + probe ball are array-local,
     // the bucket join is stateless stream-static against the published

@@ -265,28 +265,34 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Multimodal.perceptualBits(1L << 30) === 64)
   }
 
-  test("adcRescoreDepth: exactly 30 at every fixture scale (the " +
-       "sim_ann_pq oracle's literal crank <= 30), pool-proportional " +
-       "past ~2,100 vectors") {
-    // the depth opens when pool/3 > 30, i.e. 2N/ceil(sqrt(N)) > 90 —
-    // about N = 2,100, NOT the ~45k a round-13 comment claimed (the
-    // 2,000-vector sf0.1 fixture sits one notch below the boundary:
-    // pool = 88.9 -> depth exactly 30). Pin the equality on the actual
-    // fixture footer counts so a regenerated/larger fixture fails HERE,
-    // loudly, instead of silently breaking DuckDB-oracle parity.
+  test("pqKAdaptive: exactly 16 at every fixture scale (the PQ oracles' " +
+       "16-seed recipe), resolution-proportional past 65,536 vectors") {
+    // the PQ rescore DEPTH needs no fixture pin since round 14: the cut
+    // is max(30, ceil(pool_q/3)) computed per query over the SAME
+    // window in BOTH engines (Spark and the DuckDB oracle), so parity
+    // holds at every scale by construction. The remaining literal is
+    // the seed/code count: the oracle trains 16 codes per subspace, so
+    // pqKAdaptive must equal 16 wherever the gate runs — pinned on the
+    // actual fixture footer counts so a larger regenerated fixture
+    // fails HERE, loudly, instead of silently breaking oracle parity.
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val p = s"/root/testdata/$sf/embeddings.parquet"
       if (new java.io.File(p).exists()) {
         val n = spark.read.parquet(p).count()
-        assert(graft.ops.Similarity.adcRescoreDepth(n) === 30L,
-          s"embeddings fixture $sf has $n rows -> adcRescoreDepth != 30, " +
-            "but the sim_ann_pq/ann_recall oracles hard-code a top-30 ADC " +
-            "cut; regenerate the oracle SQL or re-pin")
+        assert(graft.ops.Similarity.pqKAdaptive(n) === 16,
+          s"embeddings fixture $sf has $n rows -> pqKAdaptive != 16, " +
+            "but the pq_codes/sim_ann_pq oracles train 16 codes per " +
+            "subspace; regenerate the oracle SQL or re-pin")
       }
     }
-    assert(graft.ops.Similarity.adcRescoreDepth(2000L) === 30L)
-    // one decade past the gate: pool ≈ 2·sqrt(N) -> depth ≈ pool/3
-    assert(graft.ops.Similarity.adcRescoreDepth(200000L) === 298L)
+    // k grows as the pow-2 ceiling of N^(1/4) (full-code space k^4
+    // keeps pace with the corpus so ADC ties stay rare), clamped at
+    // 256 (4 code bytes/vector — still 64x below fp32)
+    assert(graft.ops.Similarity.pqKAdaptive(65536L) === 16)
+    assert(graft.ops.Similarity.pqKAdaptive(65537L) === 32)
+    assert(graft.ops.Similarity.pqKAdaptive(2000000L) === 64)
+    assert(graft.ops.Similarity.pqKAdaptive(1L << 30) === 256)
+    assert(graft.ops.Similarity.pqKAdaptive(1L << 40) === 256)
   }
 
   test("probeBuckets enumerates EXACTLY the Hamming <= r ball of the " +

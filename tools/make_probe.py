@@ -25,7 +25,7 @@ import duckdb
 OFF = 10_000_000  # key offset per copy; far above any fixture id
 
 DOC_SQL = """
-  SELECT doc_id + {k} * {OFF} AS doc_id,
+  SELECT doc_id + CAST({k} AS BIGINT) * {OFF} AS doc_id,
          CASE WHEN {k} = 0 THEN text
               ELSE text || ' tag{k}x' || CAST(doc_id % 5 AS VARCHAR)
          END AS text,
@@ -36,13 +36,13 @@ DOC_SQL = """
   FROM '{src}/documents.parquet'"""
 
 EVT_SQL = """
-  SELECT event_id + {k} * {OFF} AS event_id,
+  SELECT event_id + CAST({k} AS BIGINT) * {OFF} AS event_id,
          ts + INTERVAL ({k}) MINUTE AS ts,
          user_id, event_type, value, props
   FROM '{src}/events.parquet'"""
 
 EMB_SQL = """
-  SELECT vec_id + {k} * {OFF} AS vec_id,
+  SELECT vec_id + CAST({k} AS BIGINT) * {OFF} AS vec_id,
          list_transform(embedding,
            x -> CAST(x + {k} * 0.0003 AS FLOAT)) AS embedding,
          label
@@ -50,26 +50,26 @@ EMB_SQL = """
 
 
 CUST_SQL = """
-  SELECT c_custkey + {k} * {OFF} AS c_custkey,
+  SELECT c_custkey + CAST({k} AS BIGINT) * {OFF} AS c_custkey,
          c_name || '#{k}' AS c_name, c_nationkey,
          round(c_acctbal + {k} * 0.01, 2) AS c_acctbal, c_mktsegment
   FROM '{src}/customer.parquet'"""
 
 SUPP_SQL = """
-  SELECT s_suppkey + {k} * {OFF} AS s_suppkey,
+  SELECT s_suppkey + CAST({k} AS BIGINT) * {OFF} AS s_suppkey,
          s_name || '#{k}' AS s_name, s_nationkey,
          round(s_acctbal + {k} * 0.01, 2) AS s_acctbal
   FROM '{src}/supplier.parquet'"""
 
 PART_SQL = """
-  SELECT p_partkey + {k} * {OFF} AS p_partkey,
+  SELECT p_partkey + CAST({k} AS BIGINT) * {OFF} AS p_partkey,
          p_name || ' v{k}' AS p_name, p_brand, p_type, p_size,
          round(p_retailprice + {k} * 0.01, 2) AS p_retailprice
   FROM '{src}/part.parquet'"""
 
 ORD_SQL = """
-  SELECT o_orderkey + {k} * {OFF} AS o_orderkey,
-         o_custkey + {k} * {OFF} AS o_custkey,
+  SELECT o_orderkey + CAST({k} AS BIGINT) * {OFF} AS o_orderkey,
+         o_custkey + CAST({k} AS BIGINT) * {OFF} AS o_custkey,
          o_orderstatus,
          round(o_totalprice + {k} * 0.01, 2) AS o_totalprice,
          o_orderdate + INTERVAL ({k}) MINUTE AS o_orderdate,
@@ -77,9 +77,9 @@ ORD_SQL = """
   FROM '{src}/orders.parquet'"""
 
 LINE_SQL = """
-  SELECT l_orderkey + {k} * {OFF} AS l_orderkey,
-         l_partkey + {k} * {OFF} AS l_partkey,
-         l_suppkey + {k} * {OFF} AS l_suppkey,
+  SELECT l_orderkey + CAST({k} AS BIGINT) * {OFF} AS l_orderkey,
+         l_partkey + CAST({k} AS BIGINT) * {OFF} AS l_partkey,
+         l_suppkey + CAST({k} AS BIGINT) * {OFF} AS l_suppkey,
          l_linenumber, l_quantity,
          round(l_extendedprice + {k} * 0.01, 2) AS l_extendedprice,
          l_discount, l_tax, l_returnflag, l_linestatus,
@@ -92,6 +92,9 @@ def main():
     relmult = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # a mult-way UNION ALL parses as a mult-deep chain; the default depth
+    # cap (1000) rejects the 5M-doc decade (mult=1000)
+    con.execute("SET max_expression_depth TO 100000")
 
     def copies(template, m):
         return " UNION ALL ".join(
