@@ -222,9 +222,40 @@ object Audit {
   private[graft] def psiIsBase: Column =
     coalesce(col("o_orderdate") < psiCut, lit(false))
 
+  /** Memoized edge values behind psiEdges — the Similarity.modelOnce
+    * doctrine applied to the audit's one model parameter: the nine
+    * decile doubles are learned from the base slice ONCE per (dir,
+    * orders fingerprint) and every later invocation builds its 1-row
+    * relation from the cached literals. Before this, EVERY psi_drift /
+    * streaming_psi_drift invocation re-ran the count + distributedRank
+    * + flanking-row collect (eagerly, at DataFrame-construction time —
+    * and the streaming twin built the relation TWICE per call: once for
+    * publish, once in psiStreamReport), several driver-visible jobs per
+    * bench pass that a deployment's offline-learned artifact never
+    * pays. BOUNDEDNESS: one ≤9-double entry per fixture dir the JVM
+    * touches (driver sf dirs, spec temp dirs, probe dirs — a fixed
+    * handful, never data-proportional). None = empty base slice. */
+  private val psiEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[Double]]]()
+
   /** Base-slice decile edges — the 1-row model parameter the drift audit
     * publishes offline and every scoring pass broadcasts. */
   private[graft] def psiEdges(spark: SparkSession, dir: String): DataFrame = {
+    val nullEdge = lit(null).cast("double")
+    psiEdgeCache.computeIfAbsent(
+      s"$dir@${Tables.fp(dir, "orders")}",
+      _ => psiEdgeValues(spark, dir)) match {
+      case Some(edges) =>
+        spark.range(1)
+          .select((1 to 9).map(k => lit(edges(k - 1)).as(s"e$k")): _*)
+      case None =>
+        spark.range(1)
+          .select((1 to 9).map(k => nullEdge.as(s"e$k")): _*)
+    }
+  }
+
+  private def psiEdgeValues(spark: SparkSession,
+                            dir: String): Option[Seq[Double]] = {
     // Exact decile edges with BOUNDED memory. The round-11 100× probe
     // caught the old shape — nine scalar percentile() aggregates —
     // at 316 s over 15M base orders (psi_drift's whole bill): each call
@@ -245,10 +276,7 @@ object Audit {
     val base = Tables.t(spark, dir, "orders").filter(psiIsBase)
       .select(col("o_totalprice").as("v"))
     val n = base.count()
-    val nullEdge = lit(null).cast("double")
-    if (n == 0)
-      return base.sparkSession.range(1)
-        .select((1 to 9).map(k => nullEdge.as(s"e$k")): _*)
+    if (n == 0) return None
     // the same double constants the old percentile() literals parsed
     val ps = (1 to 9).map(k => s"0.$k".toDouble)
     val targets = ps.map { p =>
@@ -261,13 +289,11 @@ object Audit {
       .filter(col("_rnk").isin(need: _*))
       .select(col("_rnk"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val edges = targets.map { case (pos, lo, hi) =>
+    Some(targets.map { case (pos, lo, hi) =>
       if (lo == hi) byRank(lo)
       else byRank(lo) * (math.ceil(pos) - pos) +
         byRank(hi) * (pos - math.floor(pos))
-    }
-    base.sparkSession.range(1)
-      .select((1 to 9).map(k => lit(edges(k - 1)).as(s"e$k")): _*)
+    })
   }
 
   /** Shared tail of the PSI audit: (bin, n_base, n_cur) cells → the
