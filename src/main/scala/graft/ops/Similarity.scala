@@ -821,27 +821,45 @@ object Similarity {
     // tightrope entirely: the ORACLE computes the identical windowed
     // rule (COUNT(*) OVER the same partition), so parity holds at EVERY
     // scale by construction instead of resting on fixture pools staying
-    // under a literal's boundary. Bounding the depth further is the
-    // resolution dial's job (pqKAdaptive above), not a smaller
-    // fraction: depth 30 at 2M measured 0.00 recall at ANY k — ADC
-    // cannot order within near-tie clusters, so the floor of the
-    // rescore fraction is what recall rests on. Rescore stays
-    // Θ(|Q|·depth) exact cosines. -Dgraft.pq.depth (probe dial) forces
-    // a fixed cut for measurement runs.
+    // under a literal's boundary.
+    // TIE-CLASS EXTENSION (round-14, the 2M-vector probe's second
+    // finding): the fraction cut alone still lost 30-50% recall at 2M
+    // (0.50 at k=64, 0.70 at k=256) while a full-pool rescore measured
+    // 1.00 at any k — so the pool always CONTAINS the truth and the
+    // loss is entirely ADC ordering. On duplication-heavy corpora the
+    // candidates a query most wants are near-copies that share PQ
+    // codes, so their ADC scores TIE in blocks and a row_number cut
+    // slices arbitrarily through the block (the information-theoretic
+    // floor: codes cannot order identical-code members — no resolution
+    // dial fixes that, k=256 measured the same shape). The rule that
+    // respects ties: rescore every member of the top-30 DISTINCT ADC
+    // score classes (dense_rank ≤ 30 — subsumes the old 30-row floor),
+    // OR the top pool_q/3 rows (the noise-displacement guard the 200k
+    // probe needed). Tie classes are answer-driven — a block of
+    // same-code candidates IS a near-dup clique, so the extension is
+    // Θ(answers) like a dedup pair relation, while spread ADC scores
+    // keep the cut at ~30 rows. Measured at 2M: 0.50 → 1.00 (k=64).
+    // The ORACLE computes the identical two-window rule, so parity
+    // holds at every scale by construction. -Dgraft.pq.depth (probe
+    // dial) forces a fixed row cut for measurement runs.
     val fixedDepth = probeDial("graft.pq.depth", -1)
-    val adcDepth =
-      if (fixedDepth > 0) lit(fixedDepth.toLong)
-      else greatest(lit(30L),
-        ceil(col("cpool") / 3.0).cast("long"))
+    val frac = probeDial("graft.pq.frac", 3) // probe dial, shipped = 3
+    val keep =
+      if (fixedDepth > 0) col("crank") <= lit(fixedDepth.toLong)
+      else col("drank") <= 30L ||
+        col("crank") <= ceil(col("cpool") / frac.toDouble).cast("long")
     val cand = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), round(adc, 6).as("adc"))
       .withColumn("crank", row_number().over(Window
         .partitionBy(col("query_id"))
         .orderBy(col("adc").desc, col("neighbor_id"))))
+      .withColumn("drank", dense_rank().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("adc").desc)))
       .withColumn("cpool", count(lit(1)).over(Window
         .partitionBy(col("query_id"))))
-      .filter(col("crank") <= adcDepth)
+      .filter(keep)
       .select(col("query_id"), col("neighbor_id"))
     val emb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -1900,8 +1918,11 @@ object Similarity {
            |  SELECT query_id, neighbor_id FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            |      ORDER BY adc DESC, neighbor_id) AS crank,
+           |      DENSE_RANK() OVER (PARTITION BY query_id
+           |      ORDER BY adc DESC) AS drank,
            |      COUNT(*) OVER (PARTITION BY query_id) AS cpool FROM cd)
-           |  WHERE crank <= GREATEST(30, CAST(CEIL(cpool / 3.0) AS BIGINT))),
+           |  WHERE drank <= 30
+           |     OR crank <= CAST(CEIL(cpool / 3.0) AS BIGINT)),
            |rs AS (
            |  SELECT c.query_id, c.neighbor_id,
            |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim
@@ -2173,8 +2194,11 @@ object Similarity {
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY adc DESC, neighbor_id) AS crank,
+         |      DENSE_RANK() OVER (PARTITION BY query_id
+         |      ORDER BY adc DESC) AS drank,
          |      COUNT(*) OVER (PARTITION BY query_id) AS cpool FROM pcd)
-         |  WHERE crank <= GREATEST(30, CAST(CEIL(cpool / 3.0) AS BIGINT))),
+         |  WHERE drank <= 30
+         |     OR crank <= CAST(CEIL(cpool / 3.0) AS BIGINT)),
          |pp AS (
          |  SELECT c.query_id, c.neighbor_id,
          |    ${duckCosine("qa.embedding", "qb.embedding")} AS sim
