@@ -838,10 +838,13 @@ object Similarity {
     // probe needed). Tie classes are answer-driven — a block of
     // same-code candidates IS a near-dup clique, so the extension is
     // Θ(answers) like a dedup pair relation, while spread ADC scores
-    // keep the cut at ~30 rows. Measured at 2M: 0.50 → 1.00 (k=64).
-    // The ORACLE computes the identical two-window rule, so parity
-    // holds at every scale by construction. -Dgraft.pq.depth (probe
-    // dial) forces a fixed row cut for measurement runs.
+    // keep the cut at ~30 rows. Measured at 2M (k=64): 0.50 → 0.90
+    // with this shipped rule; the residual to 1.00 is pure rescore
+    // fraction (frac=2 still 0.90, full pool 1.00 — the full r14 dial
+    // grid is in SCALE.md, including fixed-depth-30 scoring 0.00 at
+    // any nprobe). The ORACLE computes the identical two-window rule,
+    // so parity holds at every scale by construction. -Dgraft.pq.depth
+    // (probe dial) forces a fixed row cut for measurement runs.
     val fixedDepth = probeDial("graft.pq.depth", -1)
     val frac = probeDial("graft.pq.frac", 3) // probe dial, shipped = 3
     val keep =
