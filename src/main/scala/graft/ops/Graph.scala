@@ -36,7 +36,14 @@ import graft.Tables
   */
 object Graph {
 
-  /** Distinct (order, part) incidences, optionally shipdate-sliced. */
+  /** Raw (order, part) incidences, optionally shipdate-sliced. NOT
+    * deduplicated: every consumer routes through a per-order collect_set
+    * (orderPairs / frequentPairs baskets), whose set semantics subsume
+    * the old `.distinct()` — dropping it here removes a full
+    * (ok, pk)-keyed exchange from every graph query (the r13 shape paid
+    * distinct AND the basket/join shuffle; guide §2.4, share one
+    * exchange). The oracles keep their explicit SELECT DISTINCT CTE —
+    * same relation, derived once instead of twice. */
   private def incidences(spark: SparkSession, dir: String,
                          fromDate: String, untilDate: String): DataFrame = {
     val li = Tables.t(spark, dir, "lineitem")
@@ -45,16 +52,49 @@ object Graph {
       else li.filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
                      col("l_shipdate") < lit(untilDate).cast("timestamp"))
     sliced.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
   }
 
-  /** Directed co-purchase edges (both directions, deduplicated). */
-  private def directedEdges(inc: DataFrame): DataFrame = {
-    val a = inc.select(col("ok"), col("pk").as("src"))
-    val b = inc.select(col("ok"), col("pk").as("dst"))
-    a.join(b, "ok").filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-  }
+  /** All unordered within-order part pairs (a < b), one row per
+    * (order, pair) incidence. Basket-local expansion: one exchange (the
+    * per-order collect_set, map-side partially aggregated) replaces the
+    * r13 shape's distinct + self-join on ok — which re-shuffled the
+    * incidence relation twice more and probed a hash table per row, for
+    * pairs the sorted basket array can emit directly (guide §2.4: two
+    * operations keyed the same way share one exchange). Grouped state is
+    * bounded by the schema's max order size (≤ 17 parts — the same
+    * constant that bounds the pair fan-out), so collect_set is not an
+    * unbounded buffer. The sorted array makes a < b positional: the
+    * two-level Generate (posexplode × tail slice) emits each unordered
+    * pair exactly once per order, which is exactly one row per
+    * (ok, a, b) of the old join — the pair MULTISET is unchanged, so
+    * every consumer's counts are engine-exact vs the unchanged oracles. */
+  private def orderPairs(inc: DataFrame): DataFrame =
+    inc.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("b"))
+
+  /** Distinct undirected co-purchase edges, src < dst by construction
+    * (the basket expansion emits sorted pairs) — half the distinct-state
+    * of deduplicating the directed form. */
+  private def undirectedEdges(inc: DataFrame): DataFrame =
+    orderPairs(inc)
+      .select(col("a").as("src"), col("b").as("dst")).distinct()
+
+  /** Directed co-purchase edges (both directions, deduplicated). Both
+    * orientations explode out of ONE row of the deduplicated undirected
+    * set — an explode AFTER the distinct keeps a single plan subtree
+    * (a self-union here would re-run the basket aggregate and the
+    * distinct once per leg: Catalyst does not share common subtrees
+    * across union branches, and the first cut of this rewrite measured
+    * exactly that double-compute on every directedEdges consumer). */
+  private def directedEdges(inc: DataFrame): DataFrame =
+    undirectedEdges(inc)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** PageRank over the 1997 co-purchase subgraph, 5 iterations, d = 0.85,
     * in integer micro-units (S = 1e12):
@@ -108,7 +148,7 @@ object Graph {
     * corner is credited. Nodes in no triangle report 0. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val inc = incidences(spark, dir, "1997-01-01", "1997-07-01")
-    val undirected = directedEdges(inc).filter(col("src") < col("dst"))
+    val undirected = undirectedEdges(inc)
       .persist()
     val deg = undirected.select(col("src").as("x"))
       .union(undirected.select(col("dst").as("x")))
@@ -157,8 +197,8 @@ object Graph {
     * edges drop via one anti join; top-50 by (count, pair) is integer-
     * deterministic before any float enters. */
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
-    val und = directedEdges(incidences(spark, dir, "1997-01-01", "1997-07-01"))
-      .filter(col("src") < col("dst")).persist()
+    val und = undirectedEdges(incidences(spark, dir, "1997-01-01", "1997-07-01"))
+      .persist()
     val nbrs = und.select(col("src").as("w"), col("dst").as("x"))
       .union(und.select(col("dst").as("w"), col("src").as("x")))
     val deg = nbrs.groupBy(col("w")).agg(count(lit(1)).as("deg"))
@@ -190,12 +230,22 @@ object Graph {
     * all-integer, so the top-50 membership is engine-exact; floats
     * appear only in the reported confidence/lift columns. */
   def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val inc = incidences(spark, dir, "", "").persist()
-    val nOrders = inc.select(col("ok")).distinct().count()
-    val singles = inc.groupBy(col("pk")).agg(count(lit(1)).as("n1"))
-    val pairs = inc.select(col("ok"), col("pk").as("a"))
-      .join(inc.select(col("ok"), col("pk").as("b")), "ok")
-      .filter(col("a") < col("b"))
+    // One persisted basket relation feeds all three aggregates: the
+    // basket count (nOrders), the per-part supports (explode), and the
+    // pair counts (positional expansion). The r13 form persisted the
+    // incidence relation and still paid the distinct + self-join double
+    // shuffle for the pairs; here the only exchanges are the basket
+    // groupBy and the two (map-side partially aggregated) count shuffles.
+    val baskets = incidences(spark, dir, "", "")
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps")).persist()
+    val nOrders = baskets.count()
+    val singles = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n1"))
+    val pairs = baskets
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
     // top-50 BEFORE the stat joins: membership depends only on the
@@ -222,15 +272,12 @@ object Graph {
     * Output is |distinct degrees| rows (bounded by max degree). */
   def degreeDist(spark: SparkSession, dir: String): DataFrame = {
     // Degrees only need the UNDIRECTED distinct pair set (u < v) — each
-    // endpoint then contributes one neighbor to the other. Half the
-    // distinct-state of the directed form (measured 2.6 s → 2.3 s at
-    // sf0.1 — the pair join dominates, the distinct was the saving);
-    // deg(p) = |distinct neighbors| is unchanged.
-    val inc = incidences(spark, dir, "", "")
-    val a = inc.select(col("ok"), col("pk").as("src"))
-    val b = inc.select(col("ok"), col("pk").as("dst"))
-    val und = a.join(b, "ok").filter(col("src") < col("dst"))
-      .select(col("src"), col("dst")).distinct()
+    // endpoint then contributes one neighbor to the other (half the
+    // distinct-state of the directed form); the pairs come from the
+    // single-exchange basket expansion, deg(p) = |distinct neighbors|
+    // unchanged.
+    val und = orderPairs(incidences(spark, dir, "", ""))
+      .select(col("a").as("src"), col("b").as("dst")).distinct()
     und.select(col("src").as("x"))
       .union(und.select(col("dst").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
