@@ -231,11 +231,24 @@ object Curation {
     * PUBLISHED output of the offline decontamination run that online
     * consumers load as a constant. */
   private[graft] def benchBloom(spark: SparkSession, dir: String)
-      : org.apache.spark.util.sketch.BloomFilter = {
-    val bench = docGrams(spark, dir).filter(col("doc_id") % 50 === 0)
-      .select(col("gram")).distinct()
-    bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), 0.01)
-  }
+      : org.apache.spark.util.sketch.BloomFilter =
+    // Memoized per (dir, documents fingerprint) — the psiEdges doctrine:
+    // the sketch is the PUBLISHED offline artifact, but every
+    // bloom_prefilter / streaming_decontaminate invocation re-ran the
+    // gram distinct + count + bloom aggregate (two corpus gram passes)
+    // to rebuild the identical filter. BOUNDEDNESS: one filter per
+    // (dir, fp) the JVM touches — a fixed handful of fixture dirs, each
+    // filter sized to the bench slice's distinct grams (9.6 bits/item at
+    // 1% fpp), i.e. exactly the artifact a deployment holds resident.
+    bloomCache.computeIfAbsent(s"$dir@${Tables.fp(dir, "documents")}",
+      _ => {
+        val bench = docGrams(spark, dir).filter(col("doc_id") % 50 === 0)
+          .select(col("gram")).distinct()
+        bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), 0.01)
+      })
+
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
 
   def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGrams(spark, dir)
@@ -265,6 +278,9 @@ object Curation {
     * OOV context word is scored as that single shared `<unk>` bucket,
     * i.e. its Laplace denominator is oovMass + V. Factored out of
     * [[lmScore]] so the cap is pinnable by spec at a small k. */
+  private val lmModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row], Long, Long)]()
+
   private[graft] def lmModel(toks: DataFrame, k: Int): (Array[org.apache.spark.sql.Row], Long, Long) = {
     val uCnt = toks.select(explode(col("toks")).as("term"))
       .groupBy(col("term"))
@@ -305,7 +321,14 @@ object Curation {
     val toks = Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-    val (uRows, v, oovMass) = lmModel(toks, LmVocabCap)
+    // unigram model memoized per (dir, fp) — the psiEdges doctrine: the
+    // ≤ LmVocabCap-row model is a learned parameter both lm_score and
+    // quality_tradeoff re-collected per invocation (top-k + total-mass
+    // jobs). lmModel itself stays the pure spec-pinnable compute.
+    // BOUNDEDNESS: ≤ LmVocabCap rows per fixture dir the JVM touches.
+    val (uRows, v, oovMass) = lmModelCache.computeIfAbsent(
+      s"$dir@${Tables.fp(dir, "documents")}#$LmVocabCap",
+      _ => lmModel(toks, LmVocabCap))
     val uSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("u_cnt", org.apache.spark.sql.types.LongType)))

@@ -368,8 +368,56 @@ object Text {
     * fold order fixed — both engines learn the identical merge sequence
     * (the oracle unrolls each round as CTEs, greedy application stated
     * as the odd-offsets-within-match-runs closed form). */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergesOf(spark, Tables.spread(Tables.t(spark, dir, "documents")))
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeModel(spark, dir)._1
+      .toDF("merge_round", "lhs", "rhs", "pair_count", "symbols_after")
+      .orderBy(col("merge_round"))
+  }
+
+  /** Memoized BPE model per (dir, documents fingerprint) — the psiEdges
+    * doctrine applied to the tokenizer family's model parameters: the
+    * merge sequence (≤ BpeRounds small tuples) lives in this map, the
+    * final vocab is a committed staged layer (materializeOnce), and
+    * every later invocation rebuilds its relations from those instead of
+    * re-running the 6-round learn loop (a pair-count aggregate + argmax
+    * collect + mass aggregate per round — ~12 driver-visible jobs) that
+    * EVERY bpe_merges / bpe_encode call previously paid. The model is
+    * deterministic over an immutable input dir, so learning once per
+    * (dir, fp) is observationally identical; a regenerated fixture
+    * fingerprints apart and re-learns. BOUNDEDNESS: one ≤ BpeRounds-
+    * tuple entry per fixture dir the JVM touches — never
+    * data-proportional (the vocab DATA lives in the staged parquet under
+    * materializeOnce's eviction + shutdown-delete contract). */
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long, Long)]]()
+
+  /** Learned model for a fixture dir: (merge rows, final vocab as a
+    * committed staged relation). First call per (dir, fp) runs the learn
+    * loop and stages; later calls are a map hit + a staged-parquet read. */
+  private def bpeModel(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    val mkey = s"$dir@${Tables.fp(dir, "documents")}"
+    val vocab = graft.Pipeline.materializeOnce(spark, s"bpe-vocab&$mkey") {
+      val (learned, v) = bpeLearn(spark,
+        Tables.spread(Tables.t(spark, dir, "documents")))
+      bpeMergeCache.put(mkey, learned)
+      // v stays persisted through the staging write; hand it to the
+      // holder so the next call (or the harness's clearCache) releases
+      // it — the round-9 bounded-leak contract, now at most one learn
+      // per (dir, fp) instead of one per call
+      this.synchronized {
+        lastBpeVocab.foreach(_.unpersist(blocking = false))
+        lastBpeVocab = Some(v)
+      }
+      v
+    }
+    val merges = bpeMergeCache.get(mkey)
+    // same-JVM invariant: the staged layer and the merge entry commit
+    // together (the compute fills the map before the write commits)
+    require(merges != null, s"bpe merge cache missing for $mkey")
+    (merges, vocab)
+  }
 
   /** Corpus-parameterized body of bpeMerges — the planted-corpus entry
     * the spec drives directly. */
@@ -425,26 +473,21 @@ object Text {
     * explode + one key join on `word` against the Θ(types) vocab +
     * one doc_id re-aggregation — the token_encode dataflow with the
     * merge table standing in for the id vocabulary. */
-  /** The previous bpeEncode call's persisted vocab — unpersisted lazily
-    * on the NEXT call, because the returned plan still references it
-    * lazily at return time (the caller may not have executed yet). This
-    * bounds a long-lived session that never calls clearCache (ad-hoc /
-    * notebook use) to ONE cached vocab copy instead of one per call —
-    * the round-9 ADVICE leak. */
+  /** The last learn-time persisted vocab (filled inside bpeModel's
+    * staging compute, at most once per (dir, fp)) — unpersisted on the
+    * NEXT learn, because the staging write may still be in flight at
+    * registration time. Bounds a long-lived session that never calls
+    * clearCache (ad-hoc / notebook use) to ONE cached vocab copy —
+    * the round-9 ADVICE leak, now further bounded by the per-(dir, fp)
+    * learn. */
   private var lastBpeVocab: Option[DataFrame] = None
 
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.t(spark, dir, "documents"))
-    val (_, vocab) = bpeLearn(spark, docs)
-    this.synchronized {
-      lastBpeVocab.foreach(_.unpersist(blocking = false))
-      lastBpeVocab = Some(vocab)
-    }
+    // the encoding table is the staged final vocab (bpeModel) — the
+    // corpus-side explode+join below recomputes from parquet every call
+    val vocab = bpeModel(spark, dir)._2
     val enc = vocab.select(col("word"), size(col("syms")).as("n_syms"))
-    // vocab stays persisted under the returned plan (the harnesses
-    // clearCache between queries — Bench's documented contract for
-    // operators that persist shared sub-results internally; the holder
-    // above releases it on the next call for harness-free sessions)
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(
