@@ -1181,6 +1181,9 @@ object Relational {
       .cast("long")
   }
 
+  private val rfmBoundsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, Array[Double]])]()
+
   /** RFM customer segmentation — the classic marketing rollup: per
     * customer recency (days since last order, anchored at the corpus
     * max order date so the result is reproducible), frequency, monetary
@@ -1209,20 +1212,27 @@ object Relational {
         datediff(col("_anchor"), col("last_order")).cast("long"))
       .drop("_anchor")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = base.count()
     // Each quintile ranks the CACHED base independently and comes back
     // as a skinny (custkey, score) relation — chaining the three ranks
     // instead would put score i's full join+window pipeline inside
     // score i+1's offset subtree and re-evaluate it per level (the
     // quadratic-lineage trap). All three boundary sets come from ONE
     // multi-column approxQuantile job rather than one action per
-    // measure (3 jobs → 1; measured ~0.9s of the 4.2→2.1s win).
-    val parts = 32
-    val probs = (1 until parts).map(_.toDouble / parts).toArray
-    val allBounds = base.stat.approxQuantile(
-      Array("recency_days", "n_orders", "spend"), probs, 0.01)
-    val boundsOf = Map("recency_days" -> allBounds(0),
-      "n_orders" -> allBounds(1), "spend" -> allBounds(2))
+    // measure (3 jobs → 1; measured ~0.9s of the 4.2→2.1s win) — and
+    // the (count, bounds) pair is memoized per (dir, orders fp) like
+    // every other learned banding parameter (psiEdges doctrine): n is
+    // an exact invariant of the input, the bounds only steer
+    // distributedRank's range partitioning (exactness does not depend
+    // on them). BOUNDEDNESS: 3×31 doubles + one long per fixture dir.
+    val (n, boundsOf) = rfmBoundsCache.computeIfAbsent(
+      s"$dir@${Tables.fp(dir, "orders")}", _ => {
+        val parts = 32
+        val probs = (1 until parts).map(_.toDouble / parts).toArray
+        val allBounds = base.stat.approxQuantile(
+          Array("recency_days", "n_orders", "spend"), probs, 0.01)
+        (base.count(), Map("recency_days" -> allBounds(0),
+          "n_orders" -> allBounds(1), "spend" -> allBounds(2)))
+      })
     def score(m: String, asc: Boolean, name: String): DataFrame = {
       val order =
         if (asc) Seq(col(m), col("o_custkey"))
