@@ -313,7 +313,8 @@ object Events {
   def zscoreAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-    zscoreChunked(e).getOrElse(zscorePlain(e))
+    zscoreChunked(e, Some(s"$dir@${Tables.fp(dir, "events")}"))
+      .getOrElse(zscorePlain(e))
   }
 
   /** The direct formulation: one window partitioned by event type. Correct
@@ -356,26 +357,55 @@ object Events {
     * labeler); if any bucket is under-full the operator falls back to the
     * plain window (production would widen the chunk instead: size chunks
     * so min-rows-per-chunk ≥ frame). Returns None on fallback. */
-  private[graft] def zscoreChunked(e: DataFrame): Option[DataFrame] = {
+  private val zscoreStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[org.apache.spark.sql.Row]]()
+
+  private[graft] def zscoreChunked(e: DataFrame,
+      memoKey: Option[String] = None): Option[DataFrame] = {
     val frame = 100
+    val spark = e.sparkSession
     val b = e.withColumn("bucket", date_trunc("DAY", col("ts")))
-    val stats = b.groupBy(col("event_type"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-    // |types × days| rows — persisted so the gate count and the carry
-    // join share one events pass (clearCache releases it, as elsewhere).
-    val withNext = stats
-      .withColumn("next_bucket", lead(col("bucket"), 1).over(wb)).persist()
-    val underFull = withNext
-      .filter(col("next_bucket").isNotNull && col("cnt") < frame).count()
-    if (underFull > 0) { withNext.unpersist(blocking = false); return None }
+    // |types × days| rows — the chunk-occupancy statistics behind the
+    // losslessness gate. Collected (they are broadcast to every carry-
+    // join task anyway, so the driver holds them either way) and, for
+    // the dir-backed operator, memoized per (dir, events fingerprint)
+    // like every learned banding parameter: the gate verdict and the
+    // carry map are input invariants, but every invocation re-ran the
+    // full events aggregate to re-derive them. Spec callers pass no key
+    // and keep the uncached compute. BOUNDEDNESS: Θ(types × days) small
+    // rows per fixture dir — the same bound the broadcast already
+    // imposes.
+    def statRows(): Seq[org.apache.spark.sql.Row] = {
+      val stats = b.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      stats.withColumn("next_bucket", lead(col("bucket"), 1).over(wb))
+        .collect().toSeq
+    }
+    val rows = memoKey match {
+      case Some(k) => zscoreStatsCache.computeIfAbsent(k, _ => statRows())
+      case None => statRows()
+    }
+    val underFull = rows.exists(r => !r.isNullAt(3) && r.getLong(2) < frame)
+    if (underFull) return None
+    val carryMap = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.filter(r => !r.isNullAt(3))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("next_bucket",
+          org.apache.spark.sql.types.TimestampType))))
+      .select(col("event_type"), col("bucket"), col("next_bucket"))
     val wr = Window.partitionBy(col("event_type"), col("bucket"))
       .orderBy(col("ts").desc, col("event_id").desc)
     val carry = b.withColumn("rn", row_number().over(wr))
       .filter(col("rn") <= frame).drop("rn")
-      .join(broadcast(withNext.filter(col("next_bucket").isNotNull)
-          .select(col("event_type"), col("bucket"), col("next_bucket"))),
-        Seq("event_type", "bucket"))
+      .join(broadcast(carryMap), Seq("event_type", "bucket"))
       .withColumn("bucket", col("next_bucket")).drop("next_bucket")
       .withColumn("is_carry", lit(true))
     val unioned = b.withColumn("is_carry", lit(false)).unionByName(carry)
@@ -485,30 +515,43 @@ object Events {
     * reducer; at 100 TB the drop-in swap is approx_percentile (a
     * mergeable t-digest-style sketch, map-side combinable) — exact stays
     * here because the oracle can check it bit-for-bit. */
+  private val madModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Double, Double)]]()
+
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     // both median stages ride the bounded-memory grouped exact quantile
     // dataflow (Relational.groupedQuantiles) — percentile() held each
     // type's Θ(distinct values) buffer whole in one task
-    val nEvents = Tables.footerCount(spark, dir, "events") // footer-only
-    // the per-type medians are a |types|-row MODEL PARAMETER (the
-    // psiEdges doctrine): collected once, so the deviations stage and
-    // the final report read a local relation instead of re-evaluating
-    // the median subtree twice (two corpus passes at scale)
-    val med = {
+    // the per-type (median, MAD) pairs are a |types|-row MODEL PARAMETER
+    // (the psiEdges doctrine), memoized per (dir, events fingerprint):
+    // the r13 form collected the medians once per call but left the MAD
+    // stage lazy, so every invocation still ran the deviations quantile
+    // pass (a full events pass) to re-learn the same |types| doubles —
+    // the scoring query below needs only the published literals.
+    // BOUNDEDNESS: |event types| (type, mad, med) rows per fixture dir.
+    val madRows = madModelCache.computeIfAbsent(
+      s"$dir@${Tables.fp(dir, "events")}", _ => {
+        val nEvents = Tables.footerCount(spark, dir, "events") // footer-only
+        import spark.implicits._
+        val med = Relational.exactQuantiles(e, "event_type", "value",
+            Seq(("med", 0.5)), nEvents)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+          .toDF("event_type", "med")
+        Relational.exactQuantiles(
+            e.join(broadcast(med), Seq("event_type"))
+              .select(col("event_type"), abs(col("value") - col("med"))
+                .as("absdev")),
+            "event_type", "absdev", Seq(("mad", 0.5)), nEvents)
+          .join(broadcast(med), Seq("event_type"))
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      })
+    val mad = {
       import spark.implicits._
-      Relational.exactQuantiles(e, "event_type", "value",
-          Seq(("med", 0.5)), nEvents)
-        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-        .toDF("event_type", "med")
+      madRows.toDF("event_type", "mad", "med")
     }
-    val mad = Relational.exactQuantiles(
-        e.join(broadcast(med), Seq("event_type"))
-          .select(col("event_type"), abs(col("value") - col("med"))
-            .as("absdev")),
-        "event_type", "absdev", Seq(("mad", 0.5)), nEvents)
-      .join(broadcast(med), Seq("event_type"))
     e.join(broadcast(mad), Seq("event_type"))
       .withColumn("rscore",
         round((col("value") - col("med")) / (col("mad") * 1.4826) + 1e-9, 4))
