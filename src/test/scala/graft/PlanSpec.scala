@@ -185,17 +185,18 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("LessThan(l_quantity"))
   }
 
-  test("mad_outlier at fixture scale: the small mode of the hybrid — " +
-       "percentile aggregates partial map-side, stats broadcast back") {
+  test("mad_outlier: no quantile aggregate in the consuming plan — the " +
+       "(median, MAD) pairs are pre-learned model literals that " +
+       "broadcast back (the psi_drift shape)") {
     val p = plan(graft.ops.Events.madOutliers(spark, sf))
-    // the median is a collected |types|-row model parameter (computed
-    // at construction), so exactly the MAD stage's percentile aggregate
-    // remains in the consuming plan
-    assert("partial_percentile".r.findAllIn(p).length === 1,
-      "the MAD stage must be a partial+final percentile aggregation " +
-        "below QuantileDataflowMinRows (and the median must NOT " +
-        "re-enter the plan)")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+    // both medians are memoized |types|-row model parameters per
+    // (dir, events fingerprint) — the scoring plan is one broadcast
+    // join + filter over events, with NO percentile aggregate left
+    // (round 14; the fit is priced once in the bench cold column)
+    assert(!p.contains("percentile"),
+      "the (med, mad) model must be pre-learned literals — no " +
+        "percentile aggregate may re-enter the consuming plan")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
       "the |event types|-row statistics must broadcast back")
     assert(!p.contains("SortMergeJoin"),
       "nothing corpus-sized should sort-merge in this plan")
