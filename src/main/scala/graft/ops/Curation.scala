@@ -181,12 +181,24 @@ object Curation {
     * Shingles expression (array-local distinct, one pass, no shuffle) — a
     * global explode + .distinct() would shuffle every trigram OCCURRENCE
     * in the corpus to dedup what is already per-row state. */
+  /** Exploded (doc_id, 3-gram) relation — the shared front of the
+    * contamination family (contamination, bloom_prefilter,
+    * decontam_closure, heavy_hitters, the streaming decontamination
+    * tagger). STAGED once per (dir, documents fingerprint) as a
+    * committed layer (the termFreq doctrine): each consumer previously
+    * re-ran the tokenize + shingle + explode lineage — contamination and
+    * bloom_prefilter twice within one query (corpus side + benchmark
+    * side) — where a deployment reads the gram index it already
+    * maintains. Θ(tokens) rows, column-pruned scans on read. */
   private[graft] def docGrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.t(spark, dir, "documents"))
-      .filter(col("text").isNotNull &&
-        size(Text.tokens(col("text"))) >= 3)
-      .select(col("doc_id"),
-        explode(Dedup.shingles(col("text"))).as("gram"))
+    graft.Pipeline.materializeOnce(spark,
+      s"doc-grams&$dir@${Tables.fp(dir, "documents")}") {
+      Tables.spread(Tables.t(spark, dir, "documents"))
+        .filter(col("text").isNotNull &&
+          size(Text.tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"))).as("gram"))
+    }
 
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGrams(spark, dir)
@@ -317,7 +329,28 @@ object Curation {
     * denominator (see [[lmModel]]). The bigram counts stay fully
     * distributed: bigram vocabulary grows near-linearly with corpus
     * tokens, so it is never collected or broadcast-hinted. */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    // The per-doc score table is a derived relation consumed by several
+    // operators (the lm_score query itself; quality_tradeoff references
+    // it TWICE — once under its decile-edges subtree, once as the main
+    // binning input — so the bigram lineage ran twice per call there).
+    // Staged once per (dir, documents fingerprint) as a committed layer
+    // (the stagedPairs/termFreq doctrine): in deployment this is the
+    // published scoring run a threshold analysis reads, not a lineage
+    // each consumer re-derives.
+    // the presentation sort re-applies on the read side: a parquet
+    // read-back guarantees no row order
+    graft.Pipeline.materializeOnce(spark,
+      s"lm-score&$dir@${Tables.fp(dir, "documents")}") {
+      lmScoreCompute(spark, dir)
+    }.orderBy(col("doc_id"))
+
+  /** Spec window into the staging lineage (PlanSpec asserts its shape —
+    * unigram broadcast, no gram window — which the staged read hides). */
+  private[graft] def lmScoreComputeForSpec(spark: SparkSession,
+      dir: String): DataFrame = lmScoreCompute(spark, dir)
+
+  private def lmScoreCompute(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))

@@ -110,14 +110,25 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.exists(f => f.contains("Or(") && f.contains("p_brand")))
   }
 
-  test("lm_score: unigram stats broadcast; no gram-partitioned window") {
+  test("lm_score: consumers scan the staged score artifact — no bigram " +
+       "lineage or gram window re-enters the consuming plan") {
+    // the score table is a committed layer per (dir, fp) (round 14);
+    // the scoring LINEAGE (uCnt hint-broadcast, planner-chosen bCnt
+    // join, no per-gram window) runs once at staging and is asserted
+    // below on the compute body directly
     val p = plan(Curation.lmScore(spark, sf))
-    // uCnt is hint-broadcast (word vocab is sublinear); bCnt is left to
-    // the planner because bigram vocab grows ~linearly with the corpus
-    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(broadcasts >= 1,
-      s"unigram stats should broadcast, got $broadcasts")
     assert(!p.contains("windowspecdefinition(gram"),
+      "per-gram windows are the stopword-skew hazard")
+    assert(!p.toLowerCase.contains("explode"),
+      "the staged read must not re-derive the bigram explode")
+    // the staging compute keeps the documented shape: unigram stats
+    // broadcast, no gram-partitioned window
+    val pc = plan(Curation.lmScoreComputeForSpec(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(pc).length
+    assert(broadcasts >= 1,
+      s"unigram stats should broadcast in the staging lineage, got " +
+        s"$broadcasts")
+    assert(!pc.contains("windowspecdefinition(gram"),
       "per-gram windows are the stopword-skew hazard")
   }
 
