@@ -452,24 +452,37 @@ object Corpus {
     * all-pairs token join); the vocab restriction rides into the scan as
     * a broadcast semi-join. Support floor c_ab ≥ 5 keeps the output the
     * statistically meaningful tail. */
+  /** Memoized (top-64 df vocab, doc count) per (dir, documents
+    * fingerprint) — the psiEdges doctrine: both are model parameters the
+    * r13 form re-derived per call (a full distinct-token explode +
+    * aggregate for the vocab, plus the count job). BOUNDEDNESS: 64
+    * (term, df) pairs + one long per fixture dir. */
+  private val collocModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long)], Long)]()
+
   def collocLift(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), "\\s+"))).as("term"))
-    val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // bounded top-k vocabulary (TakeOrderedAndProject, never a global
-    // sort); (df desc, term asc) is a deterministic total order. The 64
-    // (term, df) rows are a MODEL PARAMETER (same stance as the k-means
-    // codebook / lm_score stats): collected once, shipped as literals.
-    val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(64)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val (vocabSeq, n) = collocModelCache.computeIfAbsent(
+      s"$dir@${Tables.fp(dir, "documents")}", _ => {
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), "\\s+"))).as("term"))
+        val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // bounded top-k vocabulary (TakeOrderedAndProject, never a
+        // global sort); (df desc, term asc) is a deterministic total
+        // order. The 64 (term, df) rows are a MODEL PARAMETER (same
+        // stance as the k-means codebook / lm_score stats): collected
+        // once, shipped as literals.
+        (dfreq.orderBy(col("df").desc, col("term")).limit(64)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq,
+         docs.count())
+      })
+    val vocab = vocabSeq.toArray
     // term-sorted vocab: index order == lexicographic order, so pair
     // (i < j) ⇔ (term_i < term_j) and the int code i*64+j IS the pair
     val sorted = vocab.map(_._1).sorted.toIndexedSeq
     val vlit = array(sorted.map(lit): _*)
     val idxMap = map(sorted.zipWithIndex.flatMap {
       case (t, i) => Seq(lit(t), lit(i)) }: _*)
-    val n = docs.count()
     // Pair generation is ARRAY-LOCAL: restrict each doc's distinct-token
     // set to the vocab, map terms to ints, and emit i<j combinations as
     // single int codes with higher-order functions — no token explode,

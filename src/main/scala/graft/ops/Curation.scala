@@ -1317,12 +1317,20 @@ object Curation {
     * which is what the oracle's plain NTILE computes. Mean quality is
     * an exact integer ratio (sum/count, one division both engines).
     * The tier aggregate is map-side-combinable onto 4 groups. */
+  private val docTextCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.t(spark, dir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
               size(Text.tokens(col("text"))).cast("long").as("n_toks"))
-    val n = docs.count()
+    // |docs with text| is a corpus scalar (the bm25 N): memoized per
+    // (dir, fp) instead of one count job per invocation
+    val n = docTextCountCache.computeIfAbsent(
+      s"$dir@${Tables.fp(dir, "documents")}",
+      _ => java.lang.Long.valueOf(Tables.t(spark, dir, "documents")
+        .filter(col("text").isNotNull).count())).longValue
     val ranked = Relational.distributedRank(
       docs, "n_toks", asc = true,
       Seq(col("n_toks"), col("doc_id")), "rnk")
