@@ -106,8 +106,39 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def footerCount(spark: SparkSession, dir: String, name: String): Long =
-    countCache.computeIfAbsent(s"$dir/$name@${fp(dir, name)}",
-      _ => java.lang.Long.valueOf(t(spark, dir, name).count())).longValue
+    memoized(countCache, s"$dir/$name@${fp(dir, name)}")(
+      java.lang.Long.valueOf(t(spark, dir, name).count())).longValue
+
+  /** computeIfAbsent + supersede-eviction for the model-memo maps
+    * (bloom filters, LM/BPE/bm25 models, zscore stat rows, …). Every
+    * memo key follows the materializeOnce convention — the last
+    * '@'-segment is a [[fp]] content fingerprint — so when a fixture dir
+    * is REGENERATED in-process (the make_probe pattern) the fresh
+    * fingerprint's insert drops the superseded entry instead of
+    * stranding one stale payload per regeneration for the JVM lifetime
+    * (the round-14 ADVICE: bloom filters and Θ(types×days) Row seqs are
+    * non-trivial payloads). Eviction runs AFTER the computeIfAbsent —
+    * mutating the map inside its own compute lambda is forbidden by
+    * ConcurrentHashMap — and is a no-op on every hit for an unchanged
+    * fingerprint. */
+  def memoized[V](map: java.util.concurrent.ConcurrentHashMap[String, V],
+                  key: String)(compute: => V): V = {
+    val hit = map.get(key)
+    if (hit != null) hit
+    else {
+      val v = map.computeIfAbsent(key, _ => compute)
+      val cut = key.lastIndexOf('@')
+      if (cut >= 0) {
+        val logical = key.substring(0, cut + 1)
+        val it = map.keySet().iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          if (k != key && k.startsWith(logical)) it.remove()
+        }
+      }
+      v
+    }
+  }
 
   /** Conf that lets Spark's parquet reader accept INT64 TIMESTAMP(NANOS)
     * columns (as raw longs). Set at session build (Verify/Bench/TestSpark

@@ -242,9 +242,9 @@ object Audit {
     * publishes offline and every scoring pass broadcasts. */
   private[graft] def psiEdges(spark: SparkSession, dir: String): DataFrame = {
     val nullEdge = lit(null).cast("double")
-    psiEdgeCache.computeIfAbsent(
-      s"$dir@${Tables.fp(dir, "orders")}",
-      _ => psiEdgeValues(spark, dir)) match {
+    Tables.memoized(psiEdgeCache,
+      s"$dir@${Tables.fp(dir, "orders")}")(
+      psiEdgeValues(spark, dir)) match {
       case Some(edges) =>
         spark.range(1)
           .select((1 to 9).map(k => lit(edges(k - 1)).as(s"e$k")): _*)

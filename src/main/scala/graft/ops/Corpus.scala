@@ -103,8 +103,8 @@ object Corpus {
     // is slower than the pipelined explode at every scale measured. The
     // aux/N/avgdl side is now a memoized model (above), so the per-call
     // plan is ONE tf lineage instead of three.
-    val (qTerms, n, avgdl) = bm25ModelCache.computeIfAbsent(
-      s"$dir@${Tables.fp(dir, "documents")}", _ => {
+    val (qTerms, n, avgdl) = Tables.memoized(bm25ModelCache,
+      s"$dir@${Tables.fp(dir, "documents")}") {
         val aux = termFreq(spark, dir).groupBy(col("term"))
           .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_tok"))
         val q = aux.orderBy(col("df").desc, col("term")).limit(3)
@@ -116,10 +116,14 @@ object Corpus {
         val nDocs = Tables.t(spark, dir, "documents")
           .filter(col("text").isNotNull).count()
         // identical arithmetic to the old 1-row stats aggregate: DOUBLE
-        // division of the summed token count by N
-        val totTok = aux.agg(sum(col("n_tok"))).head().getLong(0)
-        (q, nDocs, totTok / nDocs.toDouble)
-      })
+        // division of the summed token count by N. An empty or
+        // all-NULL-text corpus yields a NULL sum and nDocs = 0 — degrade
+        // to the empty result (q is empty, so the scoring join emits no
+        // rows) instead of NPE / NaN (round-14 ADVICE).
+        val totTok = Option(aux.agg(sum(col("n_tok"))).head()
+          .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
+        (q, nDocs, if (nDocs == 0L) 0.0 else totTok / nDocs.toDouble)
+      }
     val q = {
       import spark.implicits._
       qTerms.toDF("term", "df")
@@ -462,8 +466,8 @@ object Corpus {
 
   def collocLift(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
-    val (vocabSeq, n) = collocModelCache.computeIfAbsent(
-      s"$dir@${Tables.fp(dir, "documents")}", _ => {
+    val (vocabSeq, n) = Tables.memoized(collocModelCache,
+      s"$dir@${Tables.fp(dir, "documents")}") {
         val toks = docs.select(col("doc_id"),
           explode(array_distinct(split(col("text"), "\\s+"))).as("term"))
         val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -475,7 +479,7 @@ object Corpus {
         (dfreq.orderBy(col("df").desc, col("term")).limit(64)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq,
          docs.count())
-      })
+      }
     val vocab = vocabSeq.toArray
     // term-sorted vocab: index order == lexicographic order, so pair
     // (i < j) ⇔ (term_i < term_j) and the int code i*64+j IS the pair

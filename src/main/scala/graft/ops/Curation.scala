@@ -252,12 +252,22 @@ object Curation {
     // (dir, fp) the JVM touches — a fixed handful of fixture dirs, each
     // filter sized to the bench slice's distinct grams (9.6 bits/item at
     // 1% fpp), i.e. exactly the artifact a deployment holds resident.
-    bloomCache.computeIfAbsent(s"$dir@${Tables.fp(dir, "documents")}",
-      _ => {
-        val bench = docGrams(spark, dir).filter(col("doc_id") % 50 === 0)
-          .select(col("gram")).distinct()
-        bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), 0.01)
-      })
+    Tables.memoized(bloomCache, s"$dir@${Tables.fp(dir, "documents")}") {
+      // ONE gram pass, not two (round-15, guide §1.2): Bloom insertion is
+      // idempotent, so the pre-insert DISTINCT — whose only purpose was
+      // sizing expectedNumItems — is dropped, and with it both the gram
+      // distinct exchange and its second execution (the old shape ran the
+      // distinct lineage once for .count() and again for the filter
+      // aggregate). expectedNumItems is now the bench slice's OCCURRENCE
+      // count (a doc_id-column-only scan of the staged gram layer) — an
+      // upper bound on its distinct grams, so the realized FPP is ≤ the
+      // nominal 1% (a few× more bits for per-doc-distinct shingles whose
+      // cross-doc duplication is modest; the filter stays a bounded model
+      // artifact, and the exact join behind it is what decides anyway).
+      val bench = docGrams(spark, dir).filter(col("doc_id") % 50 === 0)
+        .select(col("gram"))
+      bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), 0.01)
+    }
 
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.util.sketch.BloomFilter]()
@@ -359,9 +369,9 @@ object Curation {
     // quality_tradeoff re-collected per invocation (top-k + total-mass
     // jobs). lmModel itself stays the pure spec-pinnable compute.
     // BOUNDEDNESS: ≤ LmVocabCap rows per fixture dir the JVM touches.
-    val (uRows, v, oovMass) = lmModelCache.computeIfAbsent(
-      s"$dir@${Tables.fp(dir, "documents")}#$LmVocabCap",
-      _ => lmModel(toks, LmVocabCap))
+    val (uRows, v, oovMass) = Tables.memoized(lmModelCache,
+      s"$dir@${Tables.fp(dir, "documents")}#$LmVocabCap")(
+      lmModel(toks, LmVocabCap))
     val uSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("u_cnt", org.apache.spark.sql.types.LongType)))
@@ -516,8 +526,8 @@ object Curation {
     // pass (bucket histograms) AND the threshold pass (a full scoring
     // aggregate), three token-stream passes where the APPLY needs one.
     // BOUNDEDNESS: ≤ 64 (b, lam) doubles + one double per fixture dir.
-    val (lam, wCut) = dsirModelCache.computeIfAbsent(
-      s"$dir@${Tables.fp(dir, "documents")}", _ => {
+    val (lam, wCut) = Tables.memoized(dsirModelCache,
+      s"$dir@${Tables.fp(dir, "documents")}") {
         val m = tok.groupBy(col("b")).agg(
           sum(when(col("is_target"), 1L).otherwise(0L)).as("t_cnt"),
           sum(when(!col("is_target"), 1L).otherwise(0L)).as("r_cnt"))
@@ -537,7 +547,7 @@ object Curation {
             case d: java.lang.Double => d.doubleValue()
           }
         (lamRows, cut)
-      })
+      }
     // APPLY: one broadcast join + one map-side-combinable doc aggregate
     // against the published literals.
     scoredOf(tok, lamDfOf(spark, lam))
@@ -1327,9 +1337,9 @@ object Curation {
               size(Text.tokens(col("text"))).cast("long").as("n_toks"))
     // |docs with text| is a corpus scalar (the bm25 N): memoized per
     // (dir, fp) instead of one count job per invocation
-    val n = docTextCountCache.computeIfAbsent(
-      s"$dir@${Tables.fp(dir, "documents")}",
-      _ => java.lang.Long.valueOf(Tables.t(spark, dir, "documents")
+    val n = Tables.memoized(docTextCountCache,
+      s"$dir@${Tables.fp(dir, "documents")}")(
+      java.lang.Long.valueOf(Tables.t(spark, dir, "documents")
         .filter(col("text").isNotNull).count())).longValue
     val ranked = Relational.distributedRank(
       docs, "n_toks", asc = true,

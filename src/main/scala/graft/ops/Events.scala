@@ -383,7 +383,7 @@ object Events {
         .collect().toSeq
     }
     val rows = memoKey match {
-      case Some(k) => zscoreStatsCache.computeIfAbsent(k, _ => statRows())
+      case Some(k) => graft.Tables.memoized(zscoreStatsCache, k)(statRows())
       case None => statRows()
     }
     val underFull = rows.exists(r => !r.isNullAt(3) && r.getLong(2) < frame)
@@ -531,8 +531,8 @@ object Events {
     // pass (a full events pass) to re-learn the same |types| doubles —
     // the scoring query below needs only the published literals.
     // BOUNDEDNESS: |event types| (type, mad, med) rows per fixture dir.
-    val madRows = madModelCache.computeIfAbsent(
-      s"$dir@${Tables.fp(dir, "events")}", _ => {
+    val madRows = Tables.memoized(madModelCache,
+      s"$dir@${Tables.fp(dir, "events")}") {
         val nEvents = Tables.footerCount(spark, dir, "events") // footer-only
         import spark.implicits._
         val med = Relational.exactQuantiles(e, "event_type", "value",
@@ -547,7 +547,7 @@ object Events {
           .join(broadcast(med), Seq("event_type"))
           .collect()
           .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
-      })
+      }
     val mad = {
       import spark.implicits._
       madRows.toDF("event_type", "mad", "med")

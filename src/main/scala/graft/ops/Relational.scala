@@ -1224,15 +1224,15 @@ object Relational {
     // an exact invariant of the input, the bounds only steer
     // distributedRank's range partitioning (exactness does not depend
     // on them). BOUNDEDNESS: 3×31 doubles + one long per fixture dir.
-    val (n, boundsOf) = rfmBoundsCache.computeIfAbsent(
-      s"$dir@${Tables.fp(dir, "orders")}", _ => {
+    val (n, boundsOf) = Tables.memoized(rfmBoundsCache,
+      s"$dir@${Tables.fp(dir, "orders")}") {
         val parts = 32
         val probs = (1 until parts).map(_.toDouble / parts).toArray
         val allBounds = base.stat.approxQuantile(
           Array("recency_days", "n_orders", "spend"), probs, 0.01)
         (base.count(), Map("recency_days" -> allBounds(0),
           "n_orders" -> allBounds(1), "spend" -> allBounds(2)))
-      })
+      }
     def score(m: String, asc: Boolean, name: String): DataFrame = {
       val order =
         if (asc) Seq(col(m), col("o_custkey"))

@@ -629,6 +629,19 @@ object Similarity {
         else {
           val v = compute
           modelCache.put(key, v)
+          // supersede-evict by logical prefix (the Tables.memoized /
+          // materializeOnce convention: last '@'-segment is the content
+          // fingerprint) — a regenerated fixture dir must not strand one
+          // stale codebook per regeneration (round-14 ADVICE)
+          val cut = key.lastIndexOf('@')
+          if (cut >= 0) {
+            val logical = key.substring(0, cut + 1)
+            val it = modelCache.keySet().iterator()
+            while (it.hasNext) {
+              val k = it.next()
+              if (k != key && k.startsWith(logical)) it.remove()
+            }
+          }
           v
         }
       }

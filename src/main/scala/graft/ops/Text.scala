@@ -402,6 +402,14 @@ object Text {
       val (learned, v) = bpeLearn(spark,
         Tables.spread(Tables.t(spark, dir, "documents")))
       bpeMergeCache.put(mkey, learned)
+      // supersede-evict older fingerprints of the same dir (round-14
+      // ADVICE) — mirrors materializeOnce's eviction of the vocab layer
+      val logical = mkey.substring(0, mkey.lastIndexOf('@') + 1)
+      val it = bpeMergeCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != mkey && k.startsWith(logical)) it.remove()
+      }
       // v stays persisted through the staging write; hand it to the
       // holder so the next call (or the harness's clearCache) releases
       // it — the round-9 bounded-leak contract, now at most one learn
@@ -427,6 +435,15 @@ object Text {
     * the corpus against it (the caller owns the unpersist). */
   private def bpeLearn(spark: SparkSession, docs: DataFrame)
       : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    // NEGATIVE RESULT (round-15, recorded per guide §1): folding each
+    // round's two actions (argmax collect + mass aggregate) into ONE
+    // combined aggregate (min_by over the total order (-cnt, lhs, rhs) +
+    // the identity Σ freq·|syms| = Σ pair counts + Σ freq) measured NO
+    // win — cold bpe_merges 11.8→12.2 s min-of-3, per-round job walls are
+    // 20-80 ms while the loop's real cost is the one corpus word-count
+    // pass (~2 s of the ~4 s job wall) plus per-round driver
+    // planning/codegen of the bpeApply fold, which the merged action does
+    // not shrink. The two-action loop stays.
     var vocab = bpeVocab(docs).persist()
     val learned =
       collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
