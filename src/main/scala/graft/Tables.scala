@@ -195,11 +195,42 @@ object Tables {
     * previously-unconditional repartition, never toward
     * under-parallelizing. Results never change (no keyed semantics
     * attached; every output is proven layout-independent by
-    * PartitionInvarianceSpec). */
+    * PartitionInvarianceSpec).
+    *
+    * The width is DATA-derived, capped at the session's parallelism
+    * (round-15, guide §2.2 / the driver's core-count axis): a flat
+    * `repartition(defaultParallelism)` manufactures `cpus` slivers of a
+    * KB-sized table — at 32 cores that is 32 near-empty CPU tasks per
+    * spread site whose per-task fixed cost (setup, codegen dispatch,
+    * cache thrash) exceeds their work; measured at sf0.1: the 32-core
+    * suite burned 3.4× the task CPU of the 8-core run for the same wall
+    * time, and the dial curve on a 19-query spread-heavy slice at 32c
+    * read wall 19.7 / 17.1 / 15.5 / 13.2 / 13.7 s (task CPU 51 / 31 /
+    * 19 / 14 / 12 s) at full-p / 64k / 128k / 256k / 512k slices — the
+    * knee is 256 KiB. One slice per `graft.spread.sliceBytes` of
+    * (compressed) input — default 256 KiB ≈ ~1 MB of raw text ≈ 0.3–1 s
+    * of expression-heavy work per task — keeps small tables at a
+    * handful of right-sized tasks while any input past cpus×256 KiB
+    * still spreads to the full width, so probe/production scans are
+    * unchanged. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
-    if (files >= p) df else df.repartition(p)
+    val files =
+      try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.length >= p) df
+    else if (files.isEmpty) df.repartition(p) // width unknowable: old rule
+    else {
+      val slice = sys.props.get("graft.spread.sliceBytes")
+        .flatMap(_.toLongOption).getOrElse(262144L)
+      val bytes = files.iterator.map { f =>
+        try java.nio.file.Files.size(
+          java.nio.file.Paths.get(new java.net.URI(f).getPath))
+        catch { case _: Exception => slice * p } // unknown size: assume big
+      }.sum
+      val width = math.max(1L, math.min(p.toLong,
+        (bytes + slice - 1) / slice)).toInt
+      if (width <= files.length) df else df.repartition(width)
+    }
   }
 
   /** Mirrors raw_gdp_growth / raw_unemployment (database.py:31-55). */

@@ -42,16 +42,37 @@ object Ingest {
       lit("}"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "countryiso3code STRING, country STRUCT<id: STRING>, date STRING, value DOUBLE")
-    Tables.spread(Tables.events(spark, dir))
-      .select(col("event_id"), from_json(rec, schema).as("r"))
-      .select(
-        col("event_id"),
-        // P2: Python `rec.get("countryiso3code") or country["id"]` treats
-        // "" as falsy → nullif-then-coalesce (database.py:97)
-        coalesce(expr("nullif(r.countryiso3code, '')"), col("r.country.id"))
-          .as("iso3"),
-        expr("try_cast(r.date AS BIGINT)").as("year"), // F3 (database.py:107)
-        col("r.value").as("value"))
+    val base = Tables.spread(Tables.events(spark, dir))
+    // A/B dial (round-15, guide §4 expression cost): 'tuple' extracts via
+    // json_tuple (one streaming parse for the top-level fields, one
+    // get_json_object for the nested id — no struct materialization);
+    // default is the from_json struct path. Both compute the identical
+    // relation; the dial exists to measure, and the default is the
+    // measured winner.
+    val variant = sys.props.getOrElse("graft.ingest.jsonVariant", "struct")
+    val parsed =
+      if (variant == "tuple")
+        base.select(col("event_id"), rec.as("rec"))
+          .select(col("event_id"),
+            expr("json_tuple(rec, 'countryiso3code', 'date', 'value')")
+              .as(Seq("c3", "d", "v")),
+            expr("get_json_object(rec, '$.country.id')").as("cid"))
+          .select(
+            col("event_id"),
+            coalesce(expr("nullif(c3, '')"), col("cid")).as("iso3"),
+            expr("try_cast(d AS BIGINT)").as("year"),
+            expr("cast(v AS DOUBLE)").as("value"))
+      else
+        base.select(col("event_id"), from_json(rec, schema).as("r"))
+          .select(
+            col("event_id"),
+            // P2: Python `rec.get("countryiso3code") or country["id"]`
+            // treats "" as falsy → nullif-then-coalesce (database.py:97)
+            coalesce(expr("nullif(r.countryiso3code, '')"),
+              col("r.country.id")).as("iso3"),
+            expr("try_cast(r.date AS BIGINT)").as("year"), // F3
+            col("r.value").as("value"))
+    parsed
       .filter(length(col("iso3")) > 0 && col("year").isNotNull) // F2+F3 reject
       .orderBy(col("event_id"))
   }
