@@ -48,7 +48,12 @@ object Ingest {
     // get_json_object for the nested id — no struct materialization);
     // default is the from_json struct path. Both compute the identical
     // relation; the dial exists to measure, and the default is the
-    // measured winner.
+    // MEASURED winner: at sf0.1/32c, struct 1.97/1.60 s vs tuple
+    // 2.02/1.94 s (two interleaved min-of-3 rounds each) — json_tuple's
+    // second parse for the nested country.id costs more than the
+    // single-parse struct materialization it avoids. NEGATIVE RESULT for
+    // the tuple variant, kept as a dial so the next decade re-measures
+    // instead of re-implementing.
     val variant = sys.props.getOrElse("graft.ingest.jsonVariant", "struct")
     val parsed =
       if (variant == "tuple")

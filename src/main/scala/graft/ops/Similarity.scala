@@ -589,7 +589,39 @@ object Similarity {
     else math.min(256, Integer.highestOneBit(raw - 1) << 1)
   }
   private def pqK(n: Long): Int = probeDial("graft.pq.k", pqKAdaptive(n))
-  private def pqNprobe = probeDial("graft.pq.nprobe", 2)
+  /** Probed cells per query — SCALE-ADAPTIVE (round-15, closing the
+    * round-14 verdict's 0.90-at-2M residual). The dial is
+    * scale-dependent in OPPOSITE directions, so neither constant
+    * survives both regimes; the full measured grid (recall@5, shipped
+    * tie-class/frac rule, 10 queries, SCALE.md round-15):
+    *
+    *   N      nprobe=1   nprobe=2
+    *   ~2k      0.72       0.90   (sf0.01 gate, r13)
+    *   20k      0.90       1.00
+    *   200k     0.98       1.00
+    *   500k     1.00       1.00   (the tie point)
+    *   2M       1.00       0.90
+    *   5M       1.00       1.00
+    *
+    * Below ~500k cells are few and small, the Voronoi-boundary effect
+    * dominates (true neighbors land in the adjacent cell), and the
+    * second probe buys recall. From ~500k up the own cell already
+    * covers the answer set (√N-sized cells; near-dup corpora
+    * co-assign) and the second cell only adds ~√N ADC-noise
+    * candidates: at best a tie (500k, 5M), at 2M a measured 0.10 LOSS
+    * (noise rows displacing truth from the bounded rank cut), and
+    * always ~25–30% more search/rescore cost (2M methods wall 108.7 s
+    * at nprobe=1 vs 142.5 s at nprobe=2; 5M: 378 vs 423 s). The switch
+    * sits at 1M, between the measured 500k tie and the measured 2M win;
+    * every fixture scale (≤ 20k) keeps nprobe=2, so gate results and
+    * oracles are untouched (PropertySpec pins the fixture equality).
+    * Rescore depth stays the per-query windowed rule — bounded, and
+    * with one probed cell the pool halves, so the depth guard tightens
+    * at exactly the scale that earns it. */
+  private[graft] def pqNprobeAdaptive(n: Long): Int =
+    if (n >= 1000000L) 1 else 2
+  private def pqNprobe(n: Long): Int =
+    probeDial("graft.pq.nprobe", pqNprobeAdaptive(n))
 
   /** Learned-model cache: trained codebooks (PQ, IVF, k-means) are
     * MODEL PARAMETERS — KBs of driver-side state derived by a
@@ -808,7 +840,8 @@ object Similarity {
         .partitionBy(col("query_id"))
         .orderBy(round(cosineHof(col("q_emb"), col("cent")), 6).desc,
                  col("cent_id"))))
-      .filter(col("crn") <= pqNprobe)
+      .filter(col("crn") <=
+        pqNprobe(Tables.footerCount(spark, dir, "embeddings")))
       .select(col("cent_id").as("cell"), col("query_id"), col("q_emb"))
     val c = joined.select(col("cell"), col("vec_id").as("neighbor_id"),
                           recon.as("recon"))

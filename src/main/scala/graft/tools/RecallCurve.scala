@@ -125,7 +125,8 @@ object RecallCurve {
     println(s"corpus $n vectors; lsh dials: adaptiveBits=$bits " +
       s"pool=${Similarity.poolBits(bits)} " +
       s"budget=${Similarity.probeBudget(bits)}; ivf nprobe=2; " +
-      s"pq k=${Similarity.pqKAdaptive(n)} depth=max(30,pool_q/3) " +
+      s"pq k=${Similarity.pqKAdaptive(n)} " +
+      s"nprobe=${Similarity.pqNprobeAdaptive(n)} depth=max(30,pool_q/3) " +
       s"per query (modeled-pool reference " +
       s"${Similarity.adcRescoreDepth(n)})")
     val t0 = System.nanoTime()

@@ -295,6 +295,33 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Similarity.pqKAdaptive(1L << 40) === 256)
   }
 
+  test("pqNprobeAdaptive: exactly 2 at every fixture scale (the PQ " +
+       "oracles' crn <= 2 literal), 1 from 1M vectors up") {
+    // the dial is scale-dependent in OPPOSITE directions (round-15 grid,
+    // SCALE.md): below ~500k the Voronoi-boundary effect makes the
+    // second probed cell a recall WIN (0.72 -> 0.90 at the sf0.01 gate);
+    // past ~1M own-cell coverage is complete and the second cell's
+    // ADC-noise rows displace truth from any bounded cut (2M: 1.00 at
+    // nprobe=1 vs 0.90 at nprobe=2). The oracle texts hard-code the
+    // 2-cell probe, so the adaptive value must equal 2 wherever the
+    // gate runs — pinned on the actual fixture footer counts.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val p = s"/root/testdata/$sf/embeddings.parquet"
+      if (new java.io.File(p).exists()) {
+        val n = spark.read.parquet(p).count()
+        assert(graft.ops.Similarity.pqNprobeAdaptive(n) === 2,
+          s"embeddings fixture $sf has $n rows -> pqNprobeAdaptive != 2, " +
+            "but the sim_ann_pq/ann_recall oracles probe 2 cells; " +
+            "regenerate the oracle SQL or re-pin")
+      }
+    }
+    assert(graft.ops.Similarity.pqNprobeAdaptive(500000L) === 2)
+    assert(graft.ops.Similarity.pqNprobeAdaptive(999999L) === 2)
+    assert(graft.ops.Similarity.pqNprobeAdaptive(1000000L) === 1)
+    assert(graft.ops.Similarity.pqNprobeAdaptive(2000000L) === 1)
+    assert(graft.ops.Similarity.pqNprobeAdaptive(1L << 40) === 1)
+  }
+
   test("probeBuckets enumerates EXACTLY the Hamming <= r ball of the " +
        "integer signature, duplicate-free, for every supported radius") {
     val sigs = Seq(0xB2L, 0x00L, 0xFFL, 0x55L)
