@@ -12,6 +12,11 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
+    // optional comma-separated query filter (probe-decade dumps price
+    // model fits at DataFrame construction, so a full-surface dump
+    // against a 60M-row dir is not free — dump just the asked family)
+    val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // GraftSession, not a raw builder: dumped plans must reflect the
     // exact session settings Verify/Bench execute under
     val spark = GraftSession.builder("local[4]", shufflePartitions = Some(4))
@@ -19,7 +24,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
+      .foreach { case (name, fn) =>
       sb.append(s"\n========== $name ==========\n")
       try sb.append(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

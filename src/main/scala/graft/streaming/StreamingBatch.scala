@@ -121,6 +121,9 @@ object StreamingBatch {
     spark.table(name)
   }
 
+  /** Conf key for Spark's watermark-closure micro-batches. */
+  private val NoDataBatchKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+
   /** One parquet sink dir per (query name, fixture dir), reused across
     * invocations and deleted at JVM exit — the round-12 advice: a fresh
     * temp dir per run × Bench's warmup+repeats × the row-proportional
@@ -174,11 +177,28 @@ object StreamingBatch {
     * the file listing. */
   private def runToParquet(df: DataFrame, name: String, dir: String,
       finish: DataFrame => DataFrame = identity,
-      width: Int = 4): DataFrame = {
+      width: Int = 4, noDataBatch: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val out = sinkDir(name, dir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // noDataBatch=false skips the trailing watermark-closure micro-batch
+    // for APPEND twins whose emission is ARRIVAL-driven (inner
+    // stream-stream joins emit each match eagerly the moment both sides
+    // are present; dropDuplicatesWithinWatermark emits each surviving
+    // row in its arrival batch — for both, the watermark bounds STATE
+    // EVICTION only, never emission, which is these twins' own oracle
+    // determinism argument above). A no-data batch can emit nothing for
+    // them (it carries no input rows), so skipping it removes one full
+    // per-invocation round of batch planning, state-store open/commit
+    // across every partition of every stateful operator, and
+    // offset/commit-log writes — measured (StreamProf, 8c, sf0.1 warm):
+    // streaming_funnel 2/8 batches/jobs → 1/4, wall −~35%. Twins whose
+    // EMISSION is watermark-driven (range_frame, resample, sessions —
+    // timers and append-mode aggregate finalization fire exactly in
+    // that closure batch) keep the default. */
+    val prevNoData = spark.conf.get(NoDataBatchKey, "true")
+    if (!noDataBatch) spark.conf.set(NoDataBatchKey, "false")
     try {
       val q = df.writeStream.outputMode("append")
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -194,7 +214,10 @@ object StreamingBatch {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(NoDataBatchKey, prevNoData)
+    }
     // enumerate the per-batch dirs rather than globbing: a glob path
     // makes the reader's sink-metadata probe log a spurious
     // FileNotFoundException WARN, and the listing is Θ(batches)
@@ -236,12 +259,12 @@ object StreamingBatch {
 
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     runToParquet(EventStream.clickPurchaseJoin(spark, dir), "interval", dir,
-      width = statefulWidth(spark, dir))
+      width = statefulWidth(spark, dir), noDataBatch = false)
       .orderBy("user_id", "click_ts", "purchase_ts")
 
   def streamingFunnel(spark: SparkSession, dir: String): DataFrame =
     runToParquet(EventStream.funnelJoinStream(spark, dir), "funnel", dir,
-      width = statefulWidth(spark, dir))
+      width = statefulWidth(spark, dir), noDataBatch = false)
       .orderBy("user_id", "view_ts", "click_ts", "purchase_ts")
 
   def streamingDedup(spark: SparkSession, dir: String): DataFrame =
@@ -251,7 +274,8 @@ object StreamingBatch {
 
   def streamingDedupArrival(spark: SparkSession, dir: String): DataFrame =
     runToParquet(EventStream.dedupArrivalStream(spark, dir),
-      "dedup_arrival", dir, width = statefulWidth(spark, dir))
+      "dedup_arrival", dir, width = statefulWidth(spark, dir),
+      noDataBatch = false)
       .orderBy("user_id", "event_type")
 
   def streamingDecontaminate(spark: SparkSession, dir: String): DataFrame =
